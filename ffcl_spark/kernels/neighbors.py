@@ -1,0 +1,138 @@
+"""Vectorized NumPy neighbor kernels + brute-force oracles.
+
+These implement the reference's query semantics exactly (the
+"semantics contract", SURVEY.md §7):
+
+- kNN: k smallest Euclidean distances, self included when the query is
+  in the reference set, replace-on-full only when *strictly* closer
+  (reference ``StaticBuffer.hpp:143-182``); ties at the k-th distance
+  broken by neighbor id (engine-defined determinism — the reference
+  keeps the first-encountered candidate, which is traversal-order
+  dependent; fixtures are tie-free floats).
+- radius: strict ``dist < radius`` (reference ``Ball.hpp:91-97,
+  208-216``), query point included at distance 0.
+- box: inclusive bounds (reference ``LowerBoundAndUpperBound.hpp:76-78``).
+- core distance: distance to the k-th NN with self counted
+  (reference ``CoreDistances.hpp:39-54``).
+
+The brute-force forms double as test oracles (mirroring the
+reference's oracle-test style, ``SearchTest.cpp:954-995``: accelerated
+== brute force) and as the leaf-scan of the per-cell pandas kernel —
+at cell granularity a vectorized O(n·m) block scan beats a pointer
+kd-tree in Python, so the "local kd-tree" is grid-refined blocking +
+vectorized scan.
+
+2-D distances use the elementwise difference formula
+``dx*dx + dy*dy`` in float64 — the identical IEEE operation sequence
+as the engine's SQL expression, so the pandas-kernel path and the
+all-JVM path produce bit-equal distances.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BLOCK = 2048  # query rows per distance block (bounds peak memory)
+
+
+def pairwise_sq_2d(q_xy: np.ndarray, r_xy: np.ndarray) -> np.ndarray:
+    """Squared Euclidean distances for 2-D points, float64,
+    shape (len(q), len(r)); bit-compatible with the SQL expression
+    ``(qx-rx)*(qx-rx) + (qy-ry)*(qy-ry)``."""
+    q = np.asarray(q_xy, dtype=np.float64)
+    r = np.asarray(r_xy, dtype=np.float64)
+    dx = q[:, 0][:, None] - r[:, 0][None, :]
+    dy = q[:, 1][:, None] - r[:, 1][None, :]
+    return dx * dx + dy * dy
+
+
+def pairwise_sq(q: np.ndarray, r: np.ndarray) -> np.ndarray:
+    """General-dimension squared distances (BLAS |q|²+|r|²−2q·r path;
+    fast for embeddings, not bit-stable — use only where ranking, not
+    exact values, matters)."""
+    q = np.asarray(q, dtype=np.float64)
+    r = np.asarray(r, dtype=np.float64)
+    d = (
+        np.sum(q * q, axis=1)[:, None]
+        + np.sum(r * r, axis=1)[None, :]
+        - 2.0 * (q @ r.T)
+    )
+    np.maximum(d, 0.0, out=d)
+    return d
+
+
+def knn(
+    q_xy: np.ndarray,
+    r_xy: np.ndarray,
+    r_ids: np.ndarray,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Brute-force kNN of every query row against the reference set.
+
+    Returns (query_row_index, neighbor_id, distance) flat arrays with
+    exactly ``min(k, len(r))`` neighbors per query, ordered by
+    (distance, neighbor_id) — FFCL result-set semantics with the
+    engine's deterministic tie-break.
+    """
+    nq, nr = len(q_xy), len(r_xy)
+    kk = min(k, nr)
+    # pre-sort references by id so that a stable distance sort breaks
+    # exact ties toward the smaller id
+    order_ids = np.argsort(r_ids, kind="stable")
+    r_sorted = np.asarray(r_xy, dtype=np.float64)[order_ids]
+    ids_sorted = np.asarray(r_ids)[order_ids]
+    out_q = np.empty(nq * kk, dtype=np.int64)
+    out_n = np.empty(nq * kk, dtype=ids_sorted.dtype)
+    out_d = np.empty(nq * kk, dtype=np.float64)
+    for s in range(0, nq, BLOCK):
+        e = min(s + BLOCK, nq)
+        d = pairwise_sq_2d(q_xy[s:e], r_sorted)
+        if kk < nr:
+            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
+        else:
+            part = np.broadcast_to(np.arange(nr), (e - s, nr)).copy()
+        rows = np.arange(e - s)[:, None]
+        dd = d[rows, part]
+        # restore id order inside the top slice, then stable-sort by
+        # distance → (distance, id) ordering
+        idsort = np.argsort(part, axis=1, kind="stable")
+        part = np.take_along_axis(part, idsort, axis=1)
+        dd = np.take_along_axis(dd, idsort, axis=1)
+        dsort = np.argsort(dd, axis=1, kind="stable")
+        part = np.take_along_axis(part, dsort, axis=1)
+        dd = np.take_along_axis(dd, dsort, axis=1)
+        span = slice(s * kk, e * kk)
+        out_q[span] = np.repeat(np.arange(s, e), kk)
+        out_n[span] = ids_sorted[part].ravel()
+        out_d[span] = np.sqrt(dd).ravel()
+    return out_q, out_n, out_d
+
+
+def radius_pairs(
+    q_xy: np.ndarray,
+    q_ids: np.ndarray,
+    r_xy: np.ndarray,
+    r_ids: np.ndarray,
+    radius: float,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All pairs with dist < radius (strict). Self-pairs included at
+    distance 0 when ids coincide (FFCL includes the query point)."""
+    out_a, out_b, out_d = [], [], []
+    r2 = float(radius) ** 2
+    for s in range(0, len(q_xy), BLOCK):
+        e = min(s + BLOCK, len(q_xy))
+        d = pairwise_sq_2d(q_xy[s:e], r_xy)
+        qi, ri = np.nonzero(d < r2)
+        out_a.append(np.asarray(q_ids)[s:e][qi])
+        out_b.append(np.asarray(r_ids)[ri])
+        out_d.append(np.sqrt(d[qi, ri]))
+    if not out_a:
+        return np.array([]), np.array([]), np.array([])
+    return np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_d)
+
+
+def core_distance(xy: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Distance to the k-th nearest neighbor, self counted
+    (reference ``CoreDistances.hpp:39-54``)."""
+    _, _, d = knn(xy, xy, np.asarray(ids), k)
+    return d.reshape(len(xy), min(k, len(xy)))[:, -1]

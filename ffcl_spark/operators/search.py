@@ -1,0 +1,226 @@
+"""Distributed spatial search operators: box, radius join, kNN join.
+
+All three take a "points" DataFrame with columns ``(id, x, y)`` (id:
+any orderable atomic type) and reproduce the reference's result-set
+semantics (SURVEY.md §7 contract). The grid cell column is the
+partition key — the distributed stand-in for the reference kd-tree's
+upper levels; candidate generation mirrors its traversal:
+
+- box search → plain column predicates (Catalyst-native; pushed to the
+  parquet scan). Reference: AABB search, ``AABBWithCentroid.hpp``,
+  inclusive bounds ``LowerBoundAndUpperBound.hpp:76-78``.
+- radius join → queries explode to the Chebyshev-``ceil(r/s)`` cell
+  neighborhood, equi-join on cell, strict ``dist < r`` post-filter.
+  Reference: ``Ball.hpp:91-97,208-216`` + traversal.
+- kNN join → iterative ring expansion with the furthest-distance
+  termination rule — the distributed form of the kd-tree sibling prune
+  (``KDNodeView.hpp:235-243``): a query stops expanding once its k-th
+  distance is strictly smaller than the guaranteed-covered radius of
+  the rings searched so far.
+
+The hot path is 100% JVM (explode/join/window, WholeStageCodegen); no
+Python executes per row. Distance = sqrt(dx*dx + dy*dy) in float64 —
+bit-identical to the NumPy kernels.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ffcl_spark.config import EngineConfig
+from ffcl_spark.functions import cells as C
+
+DIST = "sqrt((q_x - r_x) * (q_x - r_x) + (q_y - r_y) * (q_y - r_y))"
+
+
+def box_search(points: DataFrame, x_lo: float, y_lo: float, x_hi: float, y_hi: float) -> DataFrame:
+    """All points inside the axis-aligned box, bounds inclusive."""
+    return points.where(
+        F.col("x").between(x_lo, x_hi) & F.col("y").between(y_lo, y_hi)
+    )
+
+
+def _tag(df: DataFrame, prefix: str) -> DataFrame:
+    return df.select(
+        F.col("id").alias(f"{prefix}_id"),
+        F.col("x").alias(f"{prefix}_x"),
+        F.col("y").alias(f"{prefix}_y"),
+    )
+
+
+def radius_join(
+    queries: DataFrame,
+    refs: DataFrame,
+    radius: float,
+    cfg: EngineConfig,
+) -> DataFrame:
+    """All (q_id, r_id, dist) with dist < radius (strict).
+
+    One shuffle on the cell key; the Chebyshev ring radius needed to
+    cover an L2 radius r is ceil(r / cell_size), known a priori, so no
+    iteration. Self-pairs appear when queries is refs (FFCL includes
+    the query point at distance 0).
+    """
+    rings = max(1, math.ceil(radius / cfg.cell_size))
+    q = _tag(queries, "q").withColumn(
+        "cell",
+        F.explode(
+            C.neighbor_cells(C.cell_id(F.col("q_x"), F.col("q_y"), cfg), rings, cfg)
+        ),
+    )
+    r = _tag(refs, "r").withColumn(
+        "cell", C.cell_id(F.col("r_x"), F.col("r_y"), cfg)
+    )
+    return (
+        q.join(r, "cell")
+        .withColumn("dist", F.expr(DIST))
+        .where(F.col("dist") < radius)
+        .select("q_id", "r_id", "dist")
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    refs: DataFrame,
+    k: int,
+    cfg: EngineConfig,
+    start_ring: int = 1,
+) -> DataFrame:
+    """k nearest refs per query: (q_id, r_id, dist, rank).
+
+    Semantics: k smallest Euclidean distances, ties broken by r_id
+    (deterministic engine tie-break; reference keeps first-encountered,
+    ``StaticBuffer.hpp:169``); self included when queries ⊆ refs.
+
+    Algorithm (ring expansion — FFCL sibling-prune rule distributed):
+      round 0: search the Chebyshev-``start_ring`` neighborhood of the
+      query's cell; keep top-k per query.
+      A query is DONE when it has k candidates and its k-th distance is
+      strictly < the guaranteed-covered radius of the searched region
+      (``functions.cells.guaranteed_radius``), or the region already
+      covers the whole grid.
+      Pending queries search only the *incremental* ring(s) next round;
+      survivors' top-k candidate sets carry forward.
+
+    Each round = one shuffle join on cell for the pending queries only.
+    At sane resolutions (cfg.auto_resolution) almost all queries finish
+    in round 0. After ``cfg.max_rounds`` the (rare) stragglers fall
+    back to a brute-force join against all refs — the correctness
+    backstop; at that point they are few, so the broadcast of the
+    pending queries is small.
+    """
+    w = Window.partitionBy("q_id").orderBy("dist", "r_id")
+
+    r = _tag(refs, "r").withColumn("cell", C.cell_id(F.col("r_x"), F.col("r_y"), cfg))
+    r = r.persist()
+
+    pending = _tag(queries, "q").withColumn(
+        "q_cell", C.cell_id(F.col("q_x"), F.col("q_y"), cfg)
+    )
+    done_parts: list[DataFrame] = []
+    survivors: DataFrame | None = None  # carried top-k candidates of pending queries
+    ring_lo = 0
+    ring_hi = start_ring
+    max_ring = cfg.grid_n  # covers everything
+
+    for _ in range(cfg.max_rounds):
+        # candidate cells: full neighborhood minus what previous rounds saw
+        probe = pending.withColumn(
+            "cell",
+            F.explode(
+                F.array_except(
+                    C.neighbor_cells(F.col("q_cell"), ring_hi, cfg),
+                    C.neighbor_cells(F.col("q_cell"), ring_lo - 1, cfg)
+                    if ring_lo > 0
+                    else F.array().cast("array<long>"),
+                )
+            ),
+        )
+        cand = (
+            probe.join(r, "cell")
+            .withColumn("dist", F.expr(DIST))
+            .select("q_id", "q_x", "q_y", "q_cell", "r_id", "dist")
+        )
+        if survivors is not None:
+            cand = cand.unionByName(survivors)
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        )
+
+        gr = C.guaranteed_radius(F.col("q_x"), F.col("q_y"), F.col("q_cell"), ring_hi, cfg)
+        covers_all = ring_hi >= max_ring
+        per_q = topk.groupBy("q_id", "q_x", "q_y", "q_cell").agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.max("dist").alias("kth"),
+        )
+        flag = per_q.withColumn(
+            "done",
+            F.lit(covers_all)
+            | ((F.col("n_cand") >= k) & (F.col("kth") < gr)),
+        )
+        flag = flag.persist()
+        n_pending = flag.where(~F.col("done")).count()
+
+        done_q = flag.where(F.col("done")).select("q_id")
+        done_parts.append(
+            topk.join(done_q, "q_id").select("q_id", "r_id", "dist", "rank")
+        )
+        if n_pending == 0:
+            pending = None
+            break
+        pend_q = flag.where(~F.col("done")).select("q_id", "q_x", "q_y", "q_cell")
+        survivors = topk.join(pend_q.select("q_id"), "q_id").select(
+            "q_id", "q_x", "q_y", "q_cell", "r_id", "dist"
+        ).localCheckpoint(eager=False)
+        pending = pend_q.localCheckpoint(eager=False)
+        ring_lo = ring_hi + 1
+        ring_hi = min(max_ring, ring_hi * 2)  # geometric expansion
+    else:
+        pending = pending  # stragglers after max_rounds
+
+    if pending is not None:
+        # brute-force backstop: few queries remain; cross join via
+        # cell-less join against all refs
+        brute = (
+            pending.crossJoin(r.drop("cell"))
+            .withColumn("dist", F.expr(DIST))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", "r_id", "dist", "rank")
+        )
+        done_parts.append(brute)
+
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def core_distances(points: DataFrame, k: int, cfg: EngineConfig) -> DataFrame:
+    """(id, core_distance): distance to the k-th NN, self counted —
+    reference ``CoreDistances.hpp:39-54``. The self-pair contributes
+    distance 0, so this is the max distance of the self-kNN(k) set."""
+    nn = knn_join(points, points, k, cfg)
+    return nn.groupBy("q_id").agg(F.max("dist").alias("core_distance")).select(
+        F.col("q_id").alias("id"), "core_distance"
+    )
+
+
+def mutual_reachability(
+    edges: DataFrame, core: DataFrame
+) -> DataFrame:
+    """max(core(a), core(b), dist) per edge — reference
+    ``BoruvkasAlgorithm.hpp:307-308``. ``edges``: (q_id, r_id, dist);
+    ``core``: (id, core_distance)."""
+    ca = core.select(F.col("id").alias("q_id"), F.col("core_distance").alias("core_q"))
+    cb = core.select(F.col("id").alias("r_id"), F.col("core_distance").alias("core_r"))
+    return (
+        edges.join(F.broadcast(ca), "q_id")
+        .join(F.broadcast(cb), "r_id")
+        .withColumn("mreach", F.greatest("core_q", "core_r", "dist"))
+        .select("q_id", "r_id", "dist", "mreach")
+    )

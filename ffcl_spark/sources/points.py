@@ -1,0 +1,53 @@
+"""Extract the points projection from interleaved documents.
+
+The narrow ``(pid, doc_id, offset, x, y)`` DataFrame is the engine's
+working set — the analogue of the reference's flat row-major sample
+matrix + index array (``KDTree.hpp:180-186``; row identity = doc_id +
+span offset instead of an integer row index). Extraction is a JVM-side
+explode + regexp on ``media_ref`` — no Python in the path — and column
+pruning means parquet scans only read ``doc_id, spans``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ffcl_spark.config import EngineConfig
+from ffcl_spark.functions import cells as C
+
+X_RE = r"[?&]x=(-?[0-9.]+)"
+Y_RE = r"[?&]y=(-?[0-9.]+)"
+
+
+def media_points(docs: DataFrame) -> DataFrame:
+    """One row per media span: (doc_id, offset, x, y)."""
+    s = F.explode("spans").alias("span")
+    return (
+        docs.select("doc_id", s)
+        .where(F.col("span.kind") == "media")
+        .select(
+            F.concat_ws("#", "doc_id", F.col("span.offset").cast("string")).alias("id"),
+            "doc_id",
+            F.col("span.offset").alias("offset"),
+            F.regexp_extract("span.media_ref", X_RE, 1).cast("double").alias("x"),
+            F.regexp_extract("span.media_ref", Y_RE, 1).cast("double").alias("y"),
+        )
+    )
+
+
+def with_cell(points: DataFrame, cfg: EngineConfig) -> DataFrame:
+    return points.withColumn("cell", C.cell_id(F.col("x"), F.col("y"), cfg))
+
+
+def cell_stats(points: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Per-cell count + tight bbox — the analogue of the reference's
+    per-node AABB (``Interval.hpp:109-142`` make_tight_bound), used
+    broadcast-side for cell-pair pruning and salting decisions."""
+    return with_cell(points, cfg).groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+    )
