@@ -1,10 +1,23 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the ffcl_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator (SURVEY.md
+§2); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL. Both sides
+derive identical inputs from the shared parquet tables:
+
+- *doc points*: the interleaved-docs table is synthesized
+  deterministically from ``documents`` (``sources.docs.synth_docs``) —
+  2 media spans per doc whose coordinates come from pure int64
+  arithmetic (AX/AY mixing constants) that the SQL oracle reproduces
+  bit-for-bit; the Spark side goes through the *real* engine path
+  (spans → media_ref string → regexp parse), exercising the
+  format/parse round-trip.
+- *lineitem points*: same synthesis keyed by l_orderkey*8+l_linenumber
+  (the larger table → scale-path operators).
+
+Determinism rules for oracle-checked outputs: distances are single
+IEEE expressions (bit-equal across engines); ratios are single
+divisions; hashes are md5-derived integers; float aggregations are
+avoided or integer-encoded (cents); ranking ties break by id.
 """
 
 from __future__ import annotations
@@ -12,27 +25,599 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ffcl_spark.config import EngineConfig
+
+# ---------------------------------------------------------------- config
+
+RES = 4  # grid resolution for the doc-points queries (cell = 3.75)
+CFG = EngineConfig(resolution=RES)
+K = 5
+RADIUS = 2.0
+BOX = (-10.0, -10.0, 10.0, 10.0)
+TILE_SIDE = 6.0
+LI_QMOD = 397  # lineitem kNN query subset: doc number % 397 == 0
+EMB_K = 10
+EMB_QMOD = 10
+NEARDUP_COS = 0.42
+JACCARD_T = 0.05
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ffcl_spark.sources.docs import synth_docs
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return synth_docs(src, "doc_id", "text")
+
+
+def _doc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ffcl_spark.sources.points import media_points
+
+    return media_points(_docs(spark, sf_dir))
+
+
+def _li_docs(spark: SparkSession, sf_dir: str, only_queries: bool = False) -> DataFrame:
+    from ffcl_spark.sources.docs import synth_docs
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("pid")
+    ).distinct()  # pid is not unique in lineitem (synthetic keys)
+    if only_queries:
+        li = li.where(F.col("pid") % LI_QMOD == 0)
+    return synth_docs(li, "pid", None)
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: spatial kNN join (k=5) over the interleaved-doc media
+    points of sf0.001 — the engine's headline operator."""
+    from ffcl_spark.operators.search import knn_join
+
+    pts = _doc_points(spark, "/root/testdata/sf0.001")
+    return knn_join(pts, pts, K, CFG)
+
+
+# ------------------------------------------------------------ queries
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from ffcl_spark.functions import cells as C
+    from ffcl_spark.operators import dedup as DD
+    from ffcl_spark.operators import multimodal as MM
+    from ffcl_spark.operators import search as S
+    from ffcl_spark.operators import similarity as SIM
+    from ffcl_spark.operators import textops as TO
+    from ffcl_spark.operators import tiles as TL
+    from ffcl_spark.operators.dbscan import dbscan
+    from ffcl_spark.operators.knn_kernel import knn_join_kernel, knn_resolution
+    from ffcl_spark.sources.docs import span_sequence_digest
+    from ffcl_spark.sources.points import cell_stats
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_cell_index(spark, sf):
+        pts = _doc_points(spark, sf)
+        return pts.select(
+            "id", "x", "y", C.cell_id(F.col("x"), F.col("y"), CFG).alias("cell")
+        )
+
+    def q_cell_stats(spark, sf):
+        return cell_stats(_doc_points(spark, sf), CFG)
+
+    def q_box_search(spark, sf):
+        return S.box_search(_doc_points(spark, sf), *BOX).select("id", "x", "y")
+
+    def q_knn_docs(spark, sf):
+        pts = _doc_points(spark, sf)
+        return S.knn_join(pts, pts, K, CFG)
+
+    def q_knn_docs_kernel(spark, sf):
+        pts = _doc_points(spark, sf)
+        return knn_join_kernel(pts, pts, K, CFG)
+
+    def q_radius_docs(spark, sf):
+        pts = _doc_points(spark, sf)
+        return S.radius_join(pts, pts, RADIUS, CFG)
+
+    def q_core_distance(spark, sf):
+        return S.core_distances(_doc_points(spark, sf), K, CFG)
+
+    def q_knn_lineitem(spark, sf):
+        from ffcl_spark.sources.points import media_points
+
+        refs = media_points(_li_docs(spark, sf))
+        qs = media_points(_li_docs(spark, sf, only_queries=True))
+        cfg = knn_resolution(refs.count(), K, CFG)
+        return knn_join_kernel(qs, refs, K, cfg)
+
+    def q_pip_tiles(spark, sf):
+        pts = _doc_points(spark, sf)
+        tiles = TL.grid_tiles(spark, CFG, side=TILE_SIDE)
+        return TL.pip_join(pts, tiles, CFG)
+
+    def q_rasterize(spark, sf):
+        tiles = TL.grid_tiles(spark, CFG, side=TILE_SIDE)
+        return TL.rasterize(tiles, CFG)
+
+    def q_vectorize(spark, sf):
+        tiles = TL.grid_tiles(spark, CFG, side=TILE_SIDE)
+        return TL.vectorize(TL.rasterize(tiles, CFG), CFG)
+
+    def q_span_digest(spark, sf):
+        return span_sequence_digest(_docs(spark, sf))
+
+    def q_dbscan_docs(spark, sf):
+        # non-SQL-expressible (iterative connected components) →
+        # rows-only driver check; exact parity lives in pytest
+        return dbscan(_doc_points(spark, sf), RADIUS, K, CFG)
+
+    def q_dedup_exact(spark, sf):
+        return DD.exact_dedup(_documents(spark, sf))
+
+    def q_token_count(spark, sf):
+        return TO.token_counts(_documents(spark, sf))
+
+    def q_quality(spark, sf):
+        return TO.quality_scores(_documents(spark, sf))
+
+    def q_lang_id(spark, sf):
+        return TO.lang_id(_documents(spark, sf))
+
+    def q_fingerprint(spark, sf):
+        return TO.fingerprints(_documents(spark, sf))
+
+    def q_ngram_jaccard(spark, sf):
+        return DD.ngram_jaccard_pairs(_documents(spark, sf), JACCARD_T)
+
+    def q_minhash_sigs(spark, sf):
+        return DD.minhash_signatures(_documents(spark, sf))
+
+    def q_minhash_pairs(spark, sf):
+        return DD.minhash_dedup_pairs(_documents(spark, sf), JACCARD_T)
+
+    def q_simhash(spark, sf):
+        return DD.simhash(_documents(spark, sf))
+
+    def q_embed_topk(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qs = emb.where(F.col("vec_id") % EMB_QMOD == 0)
+        return SIM.cosine_topk(emb, qs, EMB_K).select("q_id", "n_id", "rank")
+
+    def q_embed_neardup(spark, sf):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return SIM.cosine_neardup_pairs(emb, NEARDUP_COS).select("id_a", "id_b")
+
+    def q_embed_ivf(spark, sf):
+        # approximate ANN → rows-only check; recall vs brute force in pytest
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qs = emb.where(F.col("vec_id") % EMB_QMOD == 0)
+        cents = SIM.train_ivf_centroids(emb, 16)
+        return SIM.ivf_topk(emb, qs, EMB_K, cents, n_probe=4).select(
+            "q_id", "n_id", "rank"
+        )
+
+    def q_multimodal_meta(spark, sf):
+        media = MM.media_binary(_docs(spark, sf))
+        return MM.extract_features(media).select("doc_id", "offset", "n_bytes")
+
+    def q_events_hourly(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        cents = F.round(F.col("value") * 100).cast("long")
+        return ev.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(cents).cast("double") / F.lit(100.0)).alias("sum_value"),
+        )
+
+    return {
+        "cell_index": q_cell_index,
+        "cell_stats": q_cell_stats,
+        "box_search": q_box_search,
+        "knn_docs": q_knn_docs,
+        "knn_docs_kernel": q_knn_docs_kernel,
+        "radius_docs": q_radius_docs,
+        "core_distance": q_core_distance,
+        "knn_lineitem": q_knn_lineitem,
+        "pip_tiles": q_pip_tiles,
+        "rasterize": q_rasterize,
+        "vectorize": q_vectorize,
+        "span_digest": q_span_digest,
+        "dbscan_docs": q_dbscan_docs,
+        "dedup_exact": q_dedup_exact,
+        "token_count": q_token_count,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_sigs": q_minhash_sigs,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "embed_topk": q_embed_topk,
+        "embed_neardup": q_embed_neardup,
+        "embed_ivf": q_embed_ivf,
+        "multimodal_meta": q_multimodal_meta,
+        "events_hourly": q_events_hourly,
+    }
+
+
+# --------------------------------------------------------- oracle SQL
+# Shared CTE fragments (DuckDB). All arithmetic mirrors the engine's
+# column expressions operation-for-operation.
+
+_PTS_DOCS = """
+src AS (SELECT doc_id AS d FROM documents),
+sp AS (SELECT d, s.m, s.off FROM src CROSS JOIN (VALUES (0, 0), (1, 2)) s(m, off)),
+hx AS (SELECT d, off,
+         ((2*d+m)*2654435761 + 1013904223) % 4294967296 AS ax,
+         ((2*d+m)*2246822519 + 3266489917) % 4294967296 AS ay
+       FROM sp),
+pts AS (SELECT 'doc-' || d || '#' || off AS id, d, off,
+          (ax % 60000 - 30000)/1000.0 AS x,
+          (ay % 60000 - 30000)/1000.0 AS y
+        FROM hx)
+"""
+
+_PTS_LI = """
+src AS (SELECT DISTINCT l_orderkey*8 + l_linenumber AS d FROM lineitem),
+sp AS (SELECT d, s.m, s.off FROM src CROSS JOIN (VALUES (0, 0), (1, 2)) s(m, off)),
+hx AS (SELECT d, off,
+         ((2*d+m)*2654435761 + 1013904223) % 4294967296 AS ax,
+         ((2*d+m)*2246822519 + 3266489917) % 4294967296 AS ay
+       FROM sp),
+pts AS (SELECT 'doc-' || d || '#' || off AS id, d, off,
+          (ax % 60000 - 30000)/1000.0 AS x,
+          (ay % 60000 - 30000)/1000.0 AS y
+        FROM hx)
+"""
+
+_CS = 60.0 / (1 << RES)
+_GRID_N = 1 << RES
+_BASE = RES * (1 << 52)
+
+
+def _cell_expr(x: str, y: str) -> str:
+    return (
+        f"({_BASE} "
+        f"+ greatest(0, least({_GRID_N - 1}, CAST(floor(({x} - (-30.0)) / {_CS}) AS BIGINT))) * 67108864 "
+        f"+ greatest(0, least({_GRID_N - 1}, CAST(floor(({y} - (-30.0)) / {_CS}) AS BIGINT))))"
+    )
+
+
+_DIST = "sqrt((q.x - r.x) * (q.x - r.x) + (q.y - r.y) * (q.y - r.y))"
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+_TOK_HASH = "CAST('0x' || substr(md5({t}), 1, 8) AS BIGINT)"
+
+
+def _knn_sql(pts_cte: str, k: int, query_filter: str = "") -> str:
+    return f"""
+WITH {pts_cte}
+SELECT q.id AS q_id, r.id AS r_id, {_DIST} AS dist,
+       CAST(row_number() OVER (
+         PARTITION BY q.id ORDER BY {_DIST}, r.id) AS INTEGER) AS rank
+FROM pts q CROSS JOIN pts r
+{query_filter}
+QUALIFY rank <= {k}
+"""
+
+
+def _shingle_cte() -> str:
+    return f"""
+tk AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+shl AS (SELECT id, list_distinct(
+          [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+           FOR i IN generate_series(1, len(toks) - 2)]) AS shingles
+        FROM tk),
+sh AS (SELECT id, unnest(shingles) AS shingle FROM shl WHERE len(shingles) > 0),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id)
+"""
+
+
+def _jaccard_sql(extra_cte: str = "", candidate_join: str = "") -> str:
+    return f"""
+WITH {_shingle_cte()}{extra_cte}
+, inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id),
+scored AS (
+  SELECT i.id_a, i.id_b,
+         CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.id = i.id_a
+  JOIN sizes sb ON sb.id = i.id_b
+  {candidate_join})
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {JACCARD_T}
+"""
+
+
+def _minhash_constants():
+    x = 7
+    out = []
+    for _ in range(32):
+        x = (1103515245 * x + 12345) % 2147483648
+        a = x | 1
+        x = (1103515245 * x + 12345) % 2147483648
+        out.append((a, x))
+    return out
+
+
+def _minhash_sig_cte() -> str:
+    ab = _minhash_constants()
+    h = _TOK_HASH.format(t="shingle")
+    sigs = ",\n  ".join(
+        f"min(({h} * {a} + {b}) % 2147483647) AS sig_{j}" for j, (a, b) in enumerate(ab)
+    )
+    return f"""
+{_shingle_cte()},
+sig AS (SELECT id, {sigs} FROM sh GROUP BY id)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cell = _cell_expr("x", "y")
+    o: dict[str, str] = {}
+
+    o["cell_index"] = f"WITH {_PTS_DOCS} SELECT id, x, y, {cell} AS cell FROM pts"
+
+    o["cell_stats"] = f"""
+WITH {_PTS_DOCS}
+SELECT {cell} AS cell, count(*) AS n,
+       min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+FROM pts GROUP BY 1
+"""
+
+    o["box_search"] = f"""
+WITH {_PTS_DOCS}
+SELECT id, x, y FROM pts
+WHERE x BETWEEN {BOX[0]} AND {BOX[2]} AND y BETWEEN {BOX[1]} AND {BOX[3]}
+"""
+
+    o["knn_docs"] = _knn_sql(_PTS_DOCS, K)
+    o["knn_docs_kernel"] = _knn_sql(_PTS_DOCS, K)
+
+    o["radius_docs"] = f"""
+WITH {_PTS_DOCS}
+SELECT q.id AS q_id, r.id AS r_id, {_DIST} AS dist
+FROM pts q CROSS JOIN pts r
+WHERE {_DIST} < {RADIUS}
+"""
+
+    o["core_distance"] = f"""
+WITH {_PTS_DOCS},
+nn AS (
+  SELECT q.id AS q_id, {_DIST} AS dist,
+         row_number() OVER (PARTITION BY q.id ORDER BY {_DIST}, r.id) AS rnk
+  FROM pts q CROSS JOIN pts r QUALIFY rnk <= {K})
+SELECT q_id AS id, max(dist) AS core_distance FROM nn GROUP BY q_id
+"""
+
+    o["knn_lineitem"] = _knn_sql(
+        _PTS_LI, K, query_filter=f"WHERE q.d % {LI_QMOD} = 0"
+    )
+
+    o["pip_tiles"] = f"""
+WITH {_PTS_DOCS},
+tiles AS (
+  SELECT 'tile-' || tx || '-' || ty AS tile_id,
+         -30.0 + {TILE_SIDE}*tx AS xlo, -30.0 + {TILE_SIDE}*(tx+1) AS xhi,
+         -30.0 + {TILE_SIDE}*ty AS ylo, -30.0 + {TILE_SIDE}*(ty+1) AS yhi
+  FROM generate_series(0, {int(60 / TILE_SIDE) - 1}) g1(tx)
+  CROSS JOIN generate_series(0, {int(60 / TILE_SIDE) - 1}) g2(ty))
+SELECT p.id, t.tile_id
+FROM pts p JOIN tiles t
+  ON p.x BETWEEN t.xlo AND t.xhi AND p.y BETWEEN t.ylo AND t.yhi
+"""
+
+    n_tiles = int(60 / TILE_SIDE)
+    o["rasterize"] = f"""
+WITH tiles AS (
+  SELECT tx, ty FROM generate_series(0, {n_tiles - 1}) g1(tx)
+  CROSS JOIN generate_series(0, {n_tiles - 1}) g2(ty)),
+bounds AS (
+  SELECT tx, ty,
+    greatest(0, CAST(floor(({TILE_SIDE}*tx) / {_CS}) AS BIGINT)) AS ixlo,
+    least({_GRID_N - 1}, CAST(floor(({TILE_SIDE}*(tx+1)) / {_CS}) AS BIGINT)) AS ixhi,
+    greatest(0, CAST(floor(({TILE_SIDE}*ty) / {_CS}) AS BIGINT)) AS iylo,
+    least({_GRID_N - 1}, CAST(floor(({TILE_SIDE}*(ty+1)) / {_CS}) AS BIGINT)) AS iyhi
+  FROM tiles),
+grid AS (
+  SELECT a.ix, b.iy FROM generate_series(0, {_GRID_N - 1}) a(ix)
+  CROSS JOIN generate_series(0, {_GRID_N - 1}) b(iy))
+SELECT 'tile-' || tx || '-' || ty AS tile_id,
+       {_BASE} + ix * 67108864 + iy AS cell
+FROM bounds, grid
+WHERE ix >= ixlo AND ix <= ixhi AND iy >= iylo AND iy <= iyhi
+"""
+
+    o["vectorize"] = f"""
+WITH r AS ({o['rasterize']}),
+d AS (SELECT tile_id, (cell >> 26) & 67108863 AS ix, cell & 67108863 AS iy FROM r)
+SELECT tile_id,
+  -30.0 + CAST(min(ix) AS DOUBLE) * {_CS} AS x_lo,
+  -30.0 + CAST(min(iy) AS DOUBLE) * {_CS} AS y_lo,
+  -30.0 + CAST(max(ix) + 1 AS DOUBLE) * {_CS} AS x_hi,
+  -30.0 + CAST(max(iy) + 1 AS DOUBLE) * {_CS} AS y_hi
+FROM d GROUP BY tile_id
+"""
+
+    o["span_digest"] = f"""
+WITH src AS (SELECT doc_id AS d, text FROM documents),
+hx AS (SELECT d, text,
+  ((2*d+0)*2654435761 + 1013904223) % 4294967296 AS ax0,
+  ((2*d+0)*2246822519 + 3266489917) % 4294967296 AS ay0,
+  ((2*d+1)*2654435761 + 1013904223) % 4294967296 AS ax1,
+  ((2*d+1)*2246822519 + 3266489917) % 4294967296 AS ay1
+  FROM src),
+c AS (SELECT d, text,
+  (ax0 % 60000 - 30000)/1000.0 AS x0, (ay0 % 60000 - 30000)/1000.0 AS y0,
+  (ax1 % 60000 - 30000)/1000.0 AS x1, (ay1 % 60000 - 30000)/1000.0 AS y1
+  FROM hx)
+SELECT 'doc-' || d AS doc_id, md5(
+  'media' || chr(31) || '' || chr(31) ||
+  'media://doc-' || d || '/0?x=' || printf('%.3f', x0) || '&y=' || printf('%.3f', y0) ||
+  chr(31) || '0' || chr(30) ||
+  'text' || chr(31) || coalesce(text, '') || chr(31) || '' || chr(31) || '1' || chr(30) ||
+  'media' || chr(31) || '' || chr(31) ||
+  'media://doc-' || d || '/2?x=' || printf('%.3f', x1) || '&y=' || printf('%.3f', y1) ||
+  chr(31) || '2') AS span_seq
+FROM c
+"""
+
+    o["dedup_exact"] = """
+WITH h AS (SELECT doc_id AS id, md5(text) AS hh FROM documents),
+g AS (SELECT hh, min(id) AS canonical_id, count(*) AS group_size FROM h GROUP BY hh)
+SELECT h.id, g.canonical_id, g.group_size FROM h JOIN g ON h.hh = g.hh
+"""
+
+    o["token_count"] = f"""
+SELECT doc_id, CAST(len({_TOKS}) AS INTEGER) AS n_tokens FROM documents
+"""
+
+    o["quality"] = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  CAST(length(text) AS INTEGER) AS n_chars,
+  CAST(len(toks) AS INTEGER) AS n_tokens,
+  CAST(list_sum(list_transform(toks, s -> length(s))) AS DOUBLE)
+    / CAST(len(toks) AS DOUBLE) AS avg_token_len,
+  CAST(len(list_filter(toks, s -> list_contains(
+    ['the','a','of','and','to','in','is','on','for','with'], s))) AS DOUBLE)
+    / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+    / CAST(length(text) AS DOUBLE) AS punct_ratio
+FROM t
+"""
+
+    markers = {
+        "de": "['der','die','das','und','nicht']",
+        "en": "['the','a','of','and','to']",
+        "es": "['el','la','los','que','y']",
+        "fr": "['le','les','des','et','une']",
+        "zh": "['de','shi','bu','le','wo']",
+    }
+    score_cols = ",\n  ".join(
+        f"len(list_filter(toks, s -> list_contains({lst}, s))) AS s_{lang}"
+        for lang, lst in markers.items()
+    )
+    o["lang_id"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {score_cols} FROM t),
+m AS (SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+        greatest(s_de, s_en, s_es, s_fr, s_zh) AS mx FROM s)
+SELECT doc_id,
+  CASE WHEN s_de = mx THEN 'de' WHEN s_en = mx THEN 'en'
+       WHEN s_es = mx THEN 'es' WHEN s_fr = mx THEN 'fr'
+       ELSE 'zh' END AS lang_pred
+FROM m
+"""
+
+    tok_h = _TOK_HASH.format(t="t")
+    o["fingerprint"] = f"""
+WITH tk AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+                 list_transform(toks, t -> {tok_h})),
+    (h, v) -> (h * 31 + v) % 2147483647) AS fingerprint
+FROM tk
+"""
+
+    o["ngram_jaccard"] = _jaccard_sql()
+
+    sig_cols = ", ".join(f"sig_{j}" for j in range(32))
+    o["minhash_sigs"] = f"WITH {_minhash_sig_cte()} SELECT id, {sig_cols} FROM sig"
+
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT id, {bi} AS band, sig_{bi*4} || ':' || sig_{bi*4+1} || ':' || "
+        f"sig_{bi*4+2} || ':' || sig_{bi*4+3} AS key FROM sig"
+        for bi in range(8)
+    )
+    o["minhash_pairs"] = f"""
+WITH {_minhash_sig_cte()},
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.id AS c_a, b.id AS c_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id),
+scored AS (
+  SELECT i.id_a, i.id_b,
+         CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.id = i.id_a
+  JOIN sizes sb ON sb.id = i.id_b
+  JOIN cand c ON c.c_a = i.id_a AND c.c_b = i.id_b)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {JACCARD_T}
+"""
+
+    hh = _TOK_HASH.format(t="tok")
+    votes = ",\n  ".join(
+        f"sum(CASE WHEN (hh >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+        for i in range(32)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v_{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)" for i in range(32)
+    )
+    o["simhash"] = f"""
+WITH tk AS (SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM documents),
+h AS (SELECT id, {hh} AS hh FROM tk),
+v AS (SELECT id, {votes} FROM h GROUP BY id)
+SELECT id, {bits} AS simhash FROM v
+"""
+
+    o["embed_topk"] = f"""
+SELECT q.vec_id AS q_id, r.vec_id AS n_id,
+  CAST(row_number() OVER (PARTITION BY q.vec_id
+    ORDER BY list_cosine_similarity(q.embedding, r.embedding) DESC, r.vec_id)
+    AS INTEGER) AS rank
+FROM embeddings q CROSS JOIN embeddings r
+WHERE q.vec_id % {EMB_QMOD} = 0 AND r.vec_id != q.vec_id
+QUALIFY rank <= {EMB_K}
+"""
+
+    o["embed_neardup"] = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a CROSS JOIN embeddings b
+WHERE a.vec_id < b.vec_id
+  AND list_cosine_similarity(a.embedding, b.embedding) >= {NEARDUP_COS}
+"""
+
+    o["multimodal_meta"] = """
+WITH src AS (SELECT doc_id AS d FROM documents),
+sp AS (SELECT d, s.m, s.off FROM src CROSS JOIN (VALUES (0, 0), (1, 2)) s(m, off)),
+hx AS (SELECT d, off,
+         ((2*d+m)*2654435761 + 1013904223) % 4294967296 AS ax,
+         ((2*d+m)*2246822519 + 3266489917) % 4294967296 AS ay
+       FROM sp),
+c AS (SELECT d, off,
+        (ax % 60000 - 30000)/1000.0 AS x, (ay % 60000 - 30000)/1000.0 AS y FROM hx)
+SELECT 'doc-' || d AS doc_id, CAST(off AS INTEGER) AS offset,
+  CAST(length('media://doc-' || d || '/' || off ||
+    '?x=' || printf('%.3f', x) || '&y=' || printf('%.3f', y)) AS INTEGER) AS n_bytes
+FROM c
+"""
+
+    o["events_hourly"] = """
+SELECT event_type,
+  strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+  count(*) AS n,
+  CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+    # dbscan_docs, embed_ivf: intentionally no oracle (iterative /
+    # approximate) → rows-only driver check; pytest holds the exact or
+    # recall-based verification.
+    return o

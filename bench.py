@@ -1,0 +1,135 @@
+"""Benchmark harness — headline engine queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Headline = the north_star pipeline over the lineitem-derived
+interleaved-doc table (the largest table at each sf): synthesis →
+media-span extraction → cell index → PIP tile assignment + kNN join.
+Extra fields report docs/sec and join-output rows/sec (the
+BASELINE.json metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from ffcl_spark import EngineConfig, get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+K = 5
+RADIUS = 0.25
+TILE_SIDE = 6.0
+
+
+def main() -> None:
+    from ffcl_spark.operators import dedup as DD
+    from ffcl_spark.operators import similarity as SIM
+    from ffcl_spark.operators import tiles as TL
+    from ffcl_spark.operators.knn_kernel import knn_join_kernel, knn_resolution
+    from ffcl_spark.operators.search import radius_join
+    from ffcl_spark.sources.docs import synth_docs
+    from ffcl_spark.sources.points import media_points, with_cell
+
+    spark = get_spark(
+        app_name="ffcl_spark_bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=max(CPUS, 16),
+    )
+    sf = float(SF_DIR.rstrip("/").split("sf")[-1])
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    li = (
+        spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        .select((F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("pid"))
+        .distinct()
+    )
+    docs = synth_docs(li, "pid", None).persist()
+    n_docs = docs.count()
+    cfg0 = EngineConfig()
+
+    # --- q1: extract + cell index (the scan→index stage) ---
+    t0 = time.time()
+    pts = with_cell(media_points(docs), knn_resolution(2 * n_docs, K, cfg0))
+    pts = pts.persist()
+    n_pts = pts.count()
+    timings["extract_index"] = time.time() - t0
+
+    cfg = knn_resolution(n_pts, K, cfg0)
+    pts_xy = pts.select("id", "x", "y")
+
+    # --- q2: kNN self-join k=5 (headline join) ---
+    t0 = time.time()
+    knn_rows = knn_join_kernel(pts_xy, pts_xy, K, cfg).count()
+    timings["knn_join"] = time.time() - t0
+    extras["knn_rows_per_sec"] = knn_rows / timings["knn_join"]
+
+    # --- q3: PIP tile assignment ---
+    t0 = time.time()
+    tiles = TL.grid_tiles(spark, cfg, side=TILE_SIDE)
+    pip_rows = TL.pip_join(pts_xy, tiles, cfg).count()
+    timings["pip_tiles"] = time.time() - t0
+    extras["pip_rows_per_sec"] = pip_rows / timings["pip_tiles"]
+
+    # --- q4: radius join (strict < r) ---
+    t0 = time.time()
+    radius_rows = radius_join(pts_xy, pts_xy, RADIUS, cfg).count()
+    timings["radius_join"] = time.time() - t0
+    extras["radius_rows_per_sec"] = radius_rows / timings["radius_join"]
+
+    # --- q5: MinHash-LSH near-dup over documents ---
+    t0 = time.time()
+    documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    DD.minhash_dedup_pairs(documents, 0.05).count()
+    timings["minhash_dedup"] = time.time() - t0
+
+    # --- q6: brute-force cosine top-k over embeddings ---
+    t0 = time.time()
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") % 10 == 0)
+    SIM.cosine_topk(emb, qs, 10).count()
+    timings["embed_topk"] = time.time() - t0
+
+    total = sum(timings.values())
+    # the north_star throughput: docs through the spatial-join+tiling
+    # pipeline (extract+index+knn+pip) per second
+    spatial_sec = (
+        timings["extract_index"] + timings["knn_join"] + timings["pip_tiles"]
+    )
+    extras["docs_per_sec"] = n_docs / spatial_sec
+    extras["join_rows_per_sec"] = (knn_rows + pip_rows) / spatial_sec
+
+    print(
+        json.dumps(
+            {
+                "metric": "spatial_join_tiling_suite_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "sf": sf,
+                "cpus": CPUS,
+                "n_docs": n_docs,
+                "n_points": n_pts,
+                "knn_rows": knn_rows,
+                "pip_rows": pip_rows,
+                "radius_rows": radius_rows,
+                **{k: round(v, 1) for k, v in extras.items()},
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -50,11 +50,13 @@ def cell_id(x: Column, y: Column, cfg: EngineConfig) -> Column:
 
 
 def cell_ix(cell: Column) -> Column:
-    return F.pmod(F.floor(cell / F.lit(AXIS_MOD)).cast("long"), F.lit(AXIS_MOD))
+    # bitwise decode — int64-exact (a double division here would lose
+    # low bits at 2^52 magnitudes)
+    return F.shiftright(cell, AXIS_BITS).bitwiseAND(F.lit(AXIS_MOD - 1))
 
 
 def cell_iy(cell: Column) -> Column:
-    return F.pmod(cell, F.lit(AXIS_MOD))
+    return cell.bitwiseAND(F.lit(AXIS_MOD - 1))
 
 
 def cell_bounds(cell: Column, cfg: EngineConfig) -> tuple[Column, Column, Column, Column]:

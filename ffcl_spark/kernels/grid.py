@@ -22,6 +22,23 @@ def cell_id(x: np.ndarray, y: np.ndarray, cfg: EngineConfig) -> np.ndarray:
 
 
 def cell_ixy(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    ix = (np.asarray(cell, dtype=np.int64) >> 0) // AXIS_MOD % AXIS_MOD
-    iy = np.asarray(cell, dtype=np.int64) % AXIS_MOD
+    c = np.asarray(cell, dtype=np.int64)
+    ix = (c >> 26) & (AXIS_MOD - 1)
+    iy = c & (AXIS_MOD - 1)
     return ix, iy
+
+
+def guaranteed_radius(
+    x: np.ndarray, y: np.ndarray, ix: np.ndarray, iy: np.ndarray, ring: int, cfg: EngineConfig
+) -> np.ndarray:
+    """NumPy twin of functions.cells.guaranteed_radius — the largest
+    L2 distance fully covered by the Chebyshev-``ring`` neighborhood
+    (domain-clipped sides are unbounded thanks to cell clamping)."""
+    s = cfg.cell_size
+    n = cfg.grid_n
+    inf = np.inf
+    lo_x = np.where(ix - ring <= 0, inf, x - (cfg.x0 + (ix - ring) * s))
+    hi_x = np.where(ix + ring >= n - 1, inf, (cfg.x0 + (ix + ring + 1) * s) - x)
+    lo_y = np.where(iy - ring <= 0, inf, y - (cfg.y0 + (iy - ring) * s))
+    hi_y = np.where(iy + ring >= n - 1, inf, (cfg.y0 + (iy + ring + 1) * s) - y)
+    return np.minimum(np.minimum(lo_x, hi_x), np.minimum(lo_y, hi_y))

@@ -87,25 +87,54 @@ def knn(
     for s in range(0, nq, BLOCK):
         e = min(s + BLOCK, nq)
         d = pairwise_sq_2d(q_xy[s:e], r_sorted)
-        if kk < nr:
-            part = np.argpartition(d, kk - 1, axis=1)[:, :kk]
-        else:
-            part = np.broadcast_to(np.arange(nr), (e - s, nr)).copy()
-        rows = np.arange(e - s)[:, None]
-        dd = d[rows, part]
-        # restore id order inside the top slice, then stable-sort by
-        # distance → (distance, id) ordering
-        idsort = np.argsort(part, axis=1, kind="stable")
-        part = np.take_along_axis(part, idsort, axis=1)
-        dd = np.take_along_axis(dd, idsort, axis=1)
-        dsort = np.argsort(dd, axis=1, kind="stable")
-        part = np.take_along_axis(part, dsort, axis=1)
-        dd = np.take_along_axis(dd, dsort, axis=1)
+        part, dd = topk_rows(d, kk)
         span = slice(s * kk, e * kk)
         out_q[span] = np.repeat(np.arange(s, e), kk)
         out_n[span] = ids_sorted[part].ravel()
         out_d[span] = np.sqrt(dd).ravel()
     return out_q, out_n, out_d
+
+
+def topk_rows(d: np.ndarray, kk: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row top-``kk`` of a distance matrix whose COLUMNS are in
+    ascending id order, with exact (distance, id) tie-break.
+
+    argpartition alone picks arbitrarily among exact distance ties at
+    the k-th boundary (a real hazard: lattice fixtures tie massively).
+    Strategy: partition a padded slice (kk + headroom), sort the slice
+    by (distance, column) — column order = id order — and fall back to
+    a full-row sort for the rare rows where ties could extend past the
+    padding (slice max == selected k-th distance).
+    Returns (column_indices, squared_distances), each (rows, kk).
+    """
+    nrows, nr = d.shape
+    if kk >= nr:
+        part = np.broadcast_to(np.arange(nr), (nrows, nr)).copy()
+        dd = d.copy()
+    else:
+        m = min(nr, kk + max(3 * kk, 16))
+        part = np.argpartition(d, m - 1, axis=1)[:, :m]
+        rows = np.arange(nrows)[:, None]
+        dd = d[rows, part]
+    # sort the slice by (distance, column/id): column-ascending first
+    # (stable), then stable distance sort
+    idsort = np.argsort(part, axis=1, kind="stable")
+    part = np.take_along_axis(part, idsort, axis=1)
+    dd = np.take_along_axis(dd, idsort, axis=1)
+    dsort = np.argsort(dd, axis=1, kind="stable")
+    part = np.take_along_axis(part, dsort, axis=1)
+    dd = np.take_along_axis(dd, dsort, axis=1)
+    if kk < d.shape[1]:
+        # rows where the padding may not cover all k-th-distance ties:
+        # slice max distance equals the selected k-th distance AND the
+        # slice is a strict subset of the row
+        if part.shape[1] < d.shape[1]:
+            risky = np.nonzero(dd[:, -1] <= dd[:, kk - 1])[0]
+            for ri in risky:
+                order = np.lexsort((np.arange(d.shape[1]), d[ri]))[:kk]
+                part[ri, :kk] = order
+                dd[ri, :kk] = d[ri, order]
+    return part[:, :kk], dd[:, :kk]
 
 
 def radius_pairs(

@@ -157,30 +157,28 @@ def knn_join(
             F.count(F.lit(1)).alias("n_cand"),
             F.max("dist").alias("kth"),
         )
-        flag = per_q.withColumn(
-            "done",
-            F.lit(covers_all)
-            | ((F.col("n_cand") >= k) & (F.col("kth") < gr)),
-        )
-        flag = flag.persist()
-        n_pending = flag.where(~F.col("done")).count()
-
-        done_q = flag.where(F.col("done")).select("q_id")
+        done_q = per_q.where(
+            F.lit(covers_all) | ((F.col("n_cand") >= k) & (F.col("kth") < gr))
+        ).select("q_id")
+        done_q = done_q.persist()
         done_parts.append(
             topk.join(done_q, "q_id").select("q_id", "r_id", "dist", "rank")
         )
-        if n_pending == 0:
+        # pending from the QUERY set, not the candidate set — a query
+        # with zero candidates this round must stay pending
+        pend_q = pending.join(done_q, "q_id", "left_anti")
+        pend_q = pend_q.persist()
+        if pend_q.count() == 0:
             pending = None
             break
-        pend_q = flag.where(~F.col("done")).select("q_id", "q_x", "q_y", "q_cell")
         survivors = topk.join(pend_q.select("q_id"), "q_id").select(
             "q_id", "q_x", "q_y", "q_cell", "r_id", "dist"
         ).localCheckpoint(eager=False)
-        pending = pend_q.localCheckpoint(eager=False)
+        pending = pend_q.select("q_id", "q_x", "q_y", "q_cell").localCheckpoint(
+            eager=False
+        )
         ring_lo = ring_hi + 1
         ring_hi = min(max_ring, ring_hi * 2)  # geometric expansion
-    else:
-        pending = pending  # stragglers after max_rounds
 
     if pending is not None:
         # brute-force backstop: few queries remain; cross join via

@@ -1,0 +1,52 @@
+"""Text-analysis operators over a (id, text) document table.
+
+Training-data-pipeline extensions (task brief): token counting,
+quality scoring, language ID, document fingerprinting. All pure column
+expressions — WholeStageCodegen end to end, no shuffle except where an
+aggregation is the point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ffcl_spark.functions import text as X
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    toks = X.tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col), F.size(toks).alias("n_tokens")
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / stopword / punctuation quality features. Ratios are a
+    single int/int double division (bit-exact cross-engine)."""
+    t = F.col(text_col)
+    toks = X.tokens(t)
+    n_tok = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda a, s: a + F.length(s))
+    return df.select(
+        F.col(id_col),
+        F.length(t).alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        (sum_len.cast("double") / n_tok.cast("double")).alias("avg_token_len"),
+        (X.stopword_count(toks).cast("double") / n_tok.cast("double")).alias(
+            "stopword_ratio"
+        ),
+        (X.punct_count(t).cast("double") / F.length(t).cast("double")).alias(
+            "punct_ratio"
+        ),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    toks = X.tokens(F.col(text_col))
+    return df.select(F.col(id_col), X.lang_id(toks).alias("lang_pred"))
+
+
+def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    toks = X.tokens(F.col(text_col))
+    return df.select(F.col(id_col), X.rolling_fingerprint(toks).alias("fingerprint"))

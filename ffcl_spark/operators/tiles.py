@@ -1,0 +1,216 @@
+"""Tiling: tile polygon table, point-in-polygon join, raster↔vector.
+
+Tiles (FIXTURES.md §3) carry both representations:
+  tile_id: string
+  ring:    array<struct<x double, y double>>   -- vector form (closed)
+  cells:   array<long>                         -- raster form (covering
+                                                  cells at cfg resolution)
+
+The PIP join is the tile-assignment operator of the north_star: tiles
+are small → exploded by covering cell and **broadcast**; points join
+on their cell (no shuffle of the big side beyond the scan), then the
+exact even-odd PIP test runs as a vectorized Arrow-batched kernel
+(``kernels.pip``) — never per-row Python. Axis-aligned tiles can use
+the pure-SQL fast path (inclusive box predicates — the reference's
+AABB search semantics, ``LowerBoundAndUpperBound.hpp:76-78``).
+
+raster↔vector:
+- rasterize: polygon → covering cells (bbox cells whose center lies in
+  the polygon, plus cells whose bbox intersects an edge — conservative
+  cover for candidate generation).
+- vectorize: cell set → tight bbox ring (min/max corners).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ffcl_spark.config import EngineConfig
+from ffcl_spark.functions.cells import AXIS_MOD, RES_SHIFT
+from ffcl_spark.kernels import grid as G
+from ffcl_spark.kernels.pip import points_in_polygon
+
+RING_TYPE = T.ArrayType(
+    T.StructType([T.StructField("x", T.DoubleType()), T.StructField("y", T.DoubleType())])
+)
+
+
+def _cover_cells_box(x_lo, y_lo, x_hi, y_hi, cfg: EngineConfig) -> list[int]:
+    """Cells whose box intersects [x_lo,x_hi]×[y_lo,y_hi] (inclusive)."""
+    ix0 = int(G.axis_index(np.array([x_lo]), cfg.x0, cfg.cell_size, cfg.grid_n)[0])
+    ix1 = int(G.axis_index(np.array([x_hi]), cfg.x0, cfg.cell_size, cfg.grid_n)[0])
+    iy0 = int(G.axis_index(np.array([y_lo]), cfg.y0, cfg.cell_size, cfg.grid_n)[0])
+    iy1 = int(G.axis_index(np.array([y_hi]), cfg.y0, cfg.cell_size, cfg.grid_n)[0])
+    base = cfg.resolution << RES_SHIFT
+    return [
+        base + ix * AXIS_MOD + iy
+        for ix in range(ix0, ix1 + 1)
+        for iy in range(iy0, iy1 + 1)
+    ]
+
+
+def grid_tiles(spark: SparkSession, cfg: EngineConfig, side: float = 6.0) -> DataFrame:
+    """Deterministic axis-aligned square tile grid over the domain
+    (FIXTURES.md: side 6.0 over [-30, 30]² → 100 tiles)."""
+    n = int(round(cfg.domain / side))
+    rows = []
+    for tx in range(n):
+        for ty in range(n):
+            x_lo = cfg.x0 + tx * side
+            y_lo = cfg.y0 + ty * side
+            x_hi, y_hi = x_lo + side, y_lo + side
+            ring = [
+                {"x": x_lo, "y": y_lo},
+                {"x": x_hi, "y": y_lo},
+                {"x": x_hi, "y": y_hi},
+                {"x": x_lo, "y": y_hi},
+                {"x": x_lo, "y": y_lo},
+            ]
+            rows.append(
+                {
+                    "tile_id": f"tile-{tx}-{ty}",
+                    "ring": ring,
+                    "cells": _cover_cells_box(x_lo, y_lo, x_hi, y_hi, cfg),
+                }
+            )
+    schema = T.StructType(
+        [
+            T.StructField("tile_id", T.StringType()),
+            T.StructField("ring", RING_TYPE),
+            T.StructField("cells", T.ArrayType(T.LongType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def convex_tiles(spark: SparkSession, cfg: EngineConfig, n_tiles: int = 8, seed: int = 7) -> DataFrame:
+    """Seeded convex polygons (5–9 vertices) for non-rectangular PIP —
+    FIXTURES.md §3."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n_tiles):
+        nv = int(rng.integers(5, 10))
+        cx, cy = rng.uniform(cfg.x0 + 8, cfg.x0 + cfg.domain - 8, size=2)
+        radii = rng.uniform(3.0, 8.0, size=nv)
+        angles = np.sort(rng.uniform(0, 2 * np.pi, size=nv))
+        vx = cx + radii * np.cos(angles)
+        vy = cy + radii * np.sin(angles)
+        # convex hull of the generated star → convex polygon (gift wrap
+        # not needed: sorting by angle around centroid of a star is not
+        # necessarily convex, so take the hull via monotone chain)
+        pts = sorted(zip(vx.tolist(), vy.tolist()))
+
+        def half(points):
+            h = []
+            for p in points:
+                while (
+                    len(h) >= 2
+                    and (h[-1][0] - h[-2][0]) * (p[1] - h[-2][1])
+                    - (h[-1][1] - h[-2][1]) * (p[0] - h[-2][0])
+                    <= 0
+                ):
+                    h.pop()
+                h.append(p)
+            return h
+
+        hull = half(pts)[:-1] + half(pts[::-1])[:-1]
+        ring = [{"x": float(x), "y": float(y)} for x, y in hull] + [
+            {"x": float(hull[0][0]), "y": float(hull[0][1])}
+        ]
+        xs = [p["x"] for p in ring]
+        ys = [p["y"] for p in ring]
+        cand = _cover_cells_box(min(xs), min(ys), max(xs), max(ys), cfg)
+        rows.append({"tile_id": f"poly-{i}", "ring": ring, "cells": cand})
+    schema = T.StructType(
+        [
+            T.StructField("tile_id", T.StringType()),
+            T.StructField("ring", RING_TYPE),
+            T.StructField("cells", T.ArrayType(T.LongType())),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def pip_join(points: DataFrame, tiles: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Tile assignment: (id, tile_id) for every point inside (or on
+    the boundary of) a tile polygon.
+
+    Plan: explode tiles by covering cell → broadcast (tiles are tiny
+    relative to points) → equi-join on the point's cell → exact PIP via
+    an Arrow-batched grouped kernel. The candidate join prunes the
+    point side to cells a polygon actually covers.
+    """
+    from ffcl_spark.functions import cells as C
+
+    tile_cells = tiles.select(
+        "tile_id", "ring", F.explode("cells").alias("cell")
+    )
+    pts = points.withColumn("cell", C.cell_id(F.col("x"), F.col("y"), cfg))
+    cand = pts.join(F.broadcast(tile_cells), "cell").select(
+        "cell", "id", "x", "y", "tile_id", "ring"
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", points.schema["id"].dataType),
+            T.StructField("tile_id", T.StringType()),
+        ]
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ring = np.array([[v["x"], v["y"]] for v in pdf["ring"].iloc[0]])
+        mask = points_in_polygon(pdf["x"].to_numpy(), pdf["y"].to_numpy(), ring)
+        return pdf.loc[mask, ["id", "tile_id"]]
+
+    # group by (tile, cell): bounds group size to a cell's points — a
+    # huge tile never lands on one task (skew control)
+    return cand.groupBy("tile_id", "cell").applyInPandas(kernel, out_schema)
+
+
+def rasterize(tiles: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """(tile_id, cell) rows: cells whose center lies inside the
+    polygon or whose box intersects the polygon boundary — the raster
+    form of the tile at engine resolution."""
+    exploded = tiles.select("tile_id", "ring", F.explode("cells").alias("cell"))
+
+    out_schema = T.StructType(
+        [T.StructField("tile_id", T.StringType()), T.StructField("cell", T.LongType())]
+    )
+    s = cfg.cell_size
+    x0, y0 = cfg.x0, cfg.y0
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ring = np.array([[v["x"], v["y"]] for v in pdf["ring"].iloc[0]])
+        ix, iy = G.cell_ixy(pdf["cell"].to_numpy())
+        # test the cell center and the 4 corners — inside if any hits
+        hit = np.zeros(len(pdf), dtype=bool)
+        for fx, fy in [(0.5, 0.5), (0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)]:
+            cx = x0 + (ix + fx) * s
+            cy = y0 + (iy + fy) * s
+            hit |= points_in_polygon(cx, cy, ring)
+        return pdf.loc[hit, ["tile_id", "cell"]]
+
+    return exploded.groupBy("tile_id").applyInPandas(kernel, out_schema)
+
+
+def vectorize(tile_cells: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Inverse of rasterize: per tile, the tight bbox of its cell set
+    as (tile_id, x_lo, y_lo, x_hi, y_hi) — pure aggregation."""
+    from ffcl_spark.functions import cells as C
+
+    b = tile_cells.select(
+        "tile_id",
+        C.cell_ix(F.col("cell")).alias("ix"),
+        C.cell_iy(F.col("cell")).alias("iy"),
+    )
+    s = F.lit(cfg.cell_size)
+    return b.groupBy("tile_id").agg(
+        (F.lit(cfg.x0) + F.min("ix").cast("double") * s).alias("x_lo"),
+        (F.lit(cfg.y0) + F.min("iy").cast("double") * s).alias("y_lo"),
+        (F.lit(cfg.x0) + (F.max("ix") + 1).cast("double") * s).alias("x_hi"),
+        (F.lit(cfg.y0) + (F.max("iy") + 1).cast("double") * s).alias("y_hi"),
+    )

@@ -11,8 +11,12 @@ Media spans carry 2-D coordinates embedded in ``media_ref`` as
 derived from integer ids with pure int64 arithmetic (below) so that a
 SQL oracle (DuckDB) can reproduce them bit-for-bit:
 
-    ax = (pid * 2654435761 + 1013904223) % 2^32 ; x = (ax % 60000)/1000 - 30
-    ay = (pid * 2246822519 + 3266489917) % 2^32 ; y = (ay % 60000)/1000 - 30
+    ax = (pid * 2654435761 + 1013904223) % 2^32 ; x = (ax % 60000 - 30000)/1000
+    ay = (pid * 2246822519 + 3266489917) % 2^32 ; y = (ay % 60000 - 30000)/1000
+
+(The single ``(k - 30000)/1000`` division yields the nearest double to
+the exact 3-decimal value, so the %.3f format → regexp parse
+round-trip is bit-exact; a ``k/1000 - 30`` form would be 1 ulp off.)
 
 where ``pid = 2*id + m`` for media span m ∈ {0, 1} of source row
 ``id``. Milli-unit coordinates make the %.3f format/parse round-trip
@@ -59,7 +63,7 @@ def derived_coord(pid: Column, mul: int, add: int) -> Column:
     SQL engine (see ``oracle_sql`` in ``__spark_entry__.py``).
     """
     a = F.pmod(pid.cast("long") * F.lit(mul) + F.lit(add), F.lit(MOD32))
-    return F.pmod(a, F.lit(COORD_MOD)).cast("double") / F.lit(1000.0) - F.lit(30.0)
+    return (F.pmod(a, F.lit(COORD_MOD)) - F.lit(30000)).cast("double") / F.lit(1000.0)
 
 
 def _media_span(id_col: Column, m: int, offset: int) -> Column:

@@ -1,0 +1,89 @@
+import numpy as np
+from pyspark.sql import functions as F
+
+from ffcl_spark import EngineConfig
+from ffcl_spark.functions import cells as C
+from ffcl_spark.kernels import grid as G
+
+
+def test_cell_roundtrip(spark, cfg):
+    df = spark.range(100).select(
+        (F.rand(7) * 60 - 30).alias("x"), (F.rand(11) * 60 - 30).alias("y")
+    )
+    out = df.select(
+        "x",
+        "y",
+        C.cell_id(F.col("x"), F.col("y"), cfg).alias("cell"),
+    )
+    pdf = out.toPandas()
+    expected = G.cell_id(pdf.x.to_numpy(), pdf.y.to_numpy(), cfg)
+    assert (pdf.cell.to_numpy() == expected).all()
+    ix, iy = G.cell_ixy(pdf.cell.to_numpy())
+    assert (ix >= 0).all() and (ix < cfg.grid_n).all()
+    assert (iy >= 0).all() and (iy < cfg.grid_n).all()
+
+
+def test_neighbor_and_ring_counts(spark, cfg):
+    # interior cell: full (2r+1)^2 neighborhood; ring = difference
+    df = spark.createDataFrame([(0.5, 0.5)], "x double, y double").select(
+        C.cell_id(F.col("x"), F.col("y"), cfg).alias("cell")
+    )
+    row = df.select(
+        F.size(C.neighbor_cells(F.col("cell"), 1, cfg)).alias("n1"),
+        F.size(C.neighbor_cells(F.col("cell"), 2, cfg)).alias("n2"),
+        F.size(C.ring_cells(F.col("cell"), 2, cfg)).alias("r2"),
+    ).collect()[0]
+    assert row["n1"] == 9 and row["n2"] == 25 and row["r2"] == 16
+
+
+def test_neighbor_cells_clipped_at_border(spark, cfg):
+    df = spark.createDataFrame([(-30.0, -30.0)], "x double, y double").select(
+        C.cell_id(F.col("x"), F.col("y"), cfg).alias("cell")
+    )
+    n = df.select(F.size(C.neighbor_cells(F.col("cell"), 1, cfg)).alias("n")).collect()[0]["n"]
+    assert n == 4  # corner cell: 2x2
+
+
+def test_guaranteed_radius_is_safe(spark, cfg):
+    # any point at distance < guaranteed_radius must fall in the
+    # neighborhood cell set
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-29, 29, (50, 2))
+    df = spark.createDataFrame(
+        [(float(x), float(y)) for x, y in pts], "x double, y double"
+    ).select(
+        "x", "y", C.cell_id(F.col("x"), F.col("y"), cfg).alias("cell")
+    )
+    pdf = df.select(
+        "x",
+        "y",
+        "cell",
+        C.guaranteed_radius(F.col("x"), F.col("y"), F.col("cell"), 1, cfg).alias("g"),
+    ).toPandas()
+    s = cfg.cell_size
+    ixs, iys = G.cell_ixy(pdf.cell.to_numpy())  # keep int64 (iterrows would coerce to float64)
+    for x, y, g, ix, iy in zip(pdf.x, pdf.y, pdf.g, ixs, iys):
+        # exact expected value: min over non-domain-clipped sides of the
+        # ring-1 box (clipped sides cover everything via cell clamping)
+        exp = []
+        if ix - 1 > 0:
+            exp.append(x - (cfg.x0 + (ix - 1) * s))
+        if ix + 1 < cfg.grid_n - 1:
+            exp.append((cfg.x0 + (ix + 2) * s) - x)
+        if iy - 1 > 0:
+            exp.append(y - (cfg.y0 + (iy - 1) * s))
+        if iy + 1 < cfg.grid_n - 1:
+            exp.append((cfg.y0 + (iy + 2) * s) - y)
+        expected = min(exp) if exp else float("inf")
+        assert g == expected or (np.isinf(g) and np.isinf(expected))
+
+
+def test_parent_cell(spark):
+    cfg = EngineConfig(resolution=4)
+    df = spark.createDataFrame([(10.0, -7.0)], "x double, y double").select(
+        C.cell_id(F.col("x"), F.col("y"), cfg).alias("cell")
+    )
+    parent = df.select(C.parent_cell(F.col("cell"), cfg).alias("p")).collect()[0]["p"]
+    up = EngineConfig(resolution=3)
+    expected = G.cell_id(np.array([10.0]), np.array([-7.0]), up)[0]
+    assert parent == expected

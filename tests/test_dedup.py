@@ -1,0 +1,63 @@
+import pandas as pd
+from pyspark.sql import functions as F
+
+from ffcl_spark.operators import dedup as DD
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today"),
+        (1, "the quick brown fox jumps over the lazy dog today"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat today"),  # near dup
+        (3, "completely different content about spark shuffles and joins"),
+        (4, "completely different content about spark shuffles and joins maybe"),
+        (5, "unrelated text with nothing shared at all here"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    got = DD.exact_dedup(_docs(spark)).toPandas().set_index("id")
+    assert got.loc[0].canonical_id == 0 and got.loc[1].canonical_id == 0
+    assert got.loc[0].group_size == 2
+    assert got.loc[2].canonical_id == 2 and got.loc[2].group_size == 1
+
+
+def test_ngram_jaccard_finds_near_dups(spark):
+    got = DD.ngram_jaccard_pairs(_docs(spark), 0.3).toPandas()
+    pairs = set(zip(got.id_a, got.id_b))
+    assert (0, 1) in pairs  # identical → jaccard 1.0
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup
+    assert (0, 5) not in pairs
+    j01 = got[(got.id_a == 0) & (got.id_b == 1)].jaccard.iloc[0]
+    assert j01 == 1.0
+
+
+def test_minhash_subset_of_exact_and_finds_identicals(spark):
+    docs = _docs(spark)
+    mh = DD.minhash_dedup_pairs(docs, 0.3).toPandas()
+    exact = DD.ngram_jaccard_pairs(docs, 0.3).toPandas()
+    mh_pairs = set(zip(mh.id_a, mh.id_b))
+    exact_pairs = set(zip(exact.id_a, exact.id_b))
+    assert mh_pairs <= exact_pairs  # verification step guarantees no FPs
+    assert (0, 1) in mh_pairs  # identical docs always collide in LSH
+
+
+def test_minhash_signature_deterministic(spark):
+    docs = _docs(spark)
+    a = DD.minhash_signatures(docs).toPandas().sort_values("id").reset_index(drop=True)
+    b = DD.minhash_signatures(docs).toPandas().sort_values("id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_simhash_identical_docs_hamming_zero(spark):
+    docs = _docs(spark)
+    fps = DD.simhash(docs).toPandas().set_index("id").simhash
+    assert fps.loc[0] == fps.loc[1]
+    pairs = DD.simhash_neardup_pairs(docs, 0).toPandas()
+    assert (0, 1) in set(zip(pairs.id_a, pairs.id_b))
+
+
+def test_simhash_in_32_bits(spark):
+    fps = DD.simhash(_docs(spark)).toPandas()
+    assert (fps.simhash >= 0).all() and (fps.simhash < 2**32).all()
