@@ -19,7 +19,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def run(cpus: int) -> dict:
+def run_once(cpus: int) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=SF_DIR)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -30,6 +30,27 @@ def run(cpus: int) -> dict:
     )
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
+
+
+def run(cpus: int, reps: int = 2) -> dict:
+    """Repeat the bench and take per-query minima — the sandbox shares
+    CPU with neighbors, so min is the best noise-robust estimator."""
+    runs = [run_once(cpus) for _ in range(reps)]
+    best = dict(runs[0])
+    best["queries"] = {
+        q: min(r["queries"][q] for r in runs) for q in runs[0]["queries"]
+    }
+    best["value"] = round(sum(best["queries"].values()), 3)
+    spatial = (
+        best["queries"]["extract_index"]
+        + best["queries"]["knn_join"]
+        + best["queries"]["pip_tiles"]
+    )
+    best["docs_per_sec"] = round(best["n_docs"] / spatial, 1)
+    best["join_rows_per_sec"] = round(
+        (best["knn_rows"] + best["pip_rows"]) / spatial, 1
+    )
+    return best
 
 
 def main() -> None:

@@ -120,6 +120,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pts = _doc_points(spark, sf)
         return knn_join_kernel(pts, pts, K, CFG)
 
+    def q_knn_docs_grid(spark, sf):
+        from ffcl_spark.operators.knn_kernel import knn_join_grid
+
+        pts = _doc_points(spark, sf)
+        return knn_join_grid(pts, pts, K, CFG)
+
     def q_radius_docs(spark, sf):
         pts = _doc_points(spark, sf)
         return S.radius_join(pts, pts, RADIUS, CFG)
@@ -130,10 +136,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_knn_lineitem(spark, sf):
         from ffcl_spark.sources.points import media_points
 
+        from ffcl_spark.operators.knn_kernel import knn_join_grid
+
         refs = media_points(_li_docs(spark, sf))
         qs = media_points(_li_docs(spark, sf, only_queries=True))
         cfg = knn_resolution(refs.count(), K, CFG)
-        return knn_join_kernel(qs, refs, K, cfg)
+        return knn_join_grid(qs, refs, K, cfg)
 
     def q_pip_tiles(spark, sf):
         pts = _doc_points(spark, sf)
@@ -222,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "box_search": q_box_search,
         "knn_docs": q_knn_docs,
         "knn_docs_kernel": q_knn_docs_kernel,
+        "knn_docs_grid": q_knn_docs_grid,
         "radius_docs": q_radius_docs,
         "core_distance": q_core_distance,
         "knn_lineitem": q_knn_lineitem,
@@ -383,6 +392,7 @@ WHERE x BETWEEN {BOX[0]} AND {BOX[2]} AND y BETWEEN {BOX[1]} AND {BOX[3]}
 
     o["knn_docs"] = _knn_sql(_PTS_DOCS, K)
     o["knn_docs_kernel"] = _knn_sql(_PTS_DOCS, K)
+    o["knn_docs_grid"] = _knn_sql(_PTS_DOCS, K)
 
     o["radius_docs"] = f"""
 WITH {_PTS_DOCS}

@@ -77,14 +77,21 @@ def ngram_jaccard_pairs(
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+        # restrict BOTH shingle sides to candidate docs before the
+        # co-shingle join — the candidate filter must hit the join
+        # input, not its (quadratic) output
+        a = a.join(
+            candidates.select(F.col("id_a")).distinct(), "id_a", "left_semi"
+        )
+        b = b.join(
+            candidates.select(F.col("id_b")).distinct(), "id_b", "left_semi"
+        )
+    pair_counts = a.join(b, "shingle").where(F.col("id_a") < F.col("id_b"))
+    if candidates is not None:
+        # pre-aggregation semi-join (AQE picks broadcast when small)
+        pair_counts = pair_counts.join(candidates, ["id_a", "id_b"], "left_semi")
+    inter = pair_counts.groupBy("id_a", "id_b").agg(F.count(F.lit(1)).alias("inter"))
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("na"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("nb"))
     return (

@@ -153,3 +153,209 @@ def knn_join_kernel(
 
     rest = knn_join(pend_q, refs, k, cfg, start_ring=ring + 1)
     return done_rows.unionByName(rest)
+
+
+# ---------------------------------------------------------------------
+# Two-level kernel: coarse groups outside, fine-grid candidates inside.
+
+
+def knn_join_grid(
+    queries: DataFrame,
+    refs: DataFrame,
+    k: int,
+    cfg: EngineConfig,
+    group_delta: int = 2,
+) -> DataFrame:
+    """Scale-tuned kNN join: same contract/result as ``knn_join_kernel``
+    but with a two-level decomposition that minimizes both shuffle
+    volume and per-group overhead:
+
+    - *outside*: grouping happens at the coarse resolution
+      ``cfg.resolution - group_delta`` (16× fewer pandas groups at
+      delta=2). Refs are replicated only to the coarse groups their
+      fine ring-1 neighborhood touches — replication factor ≈
+      1 + perimeter/area (~1.5) instead of the 9× of fine-cell
+      cogrouping.
+    - *inside*: the kernel buckets refs by fine cell (lexsort +
+      searchsorted — the top levels of a local kd-tree) and scans each
+      query fine-cell block against its 3×3 fine neighborhood with the
+      vectorized leaf kernel (``topk_rows``: exact (dist, id) ties).
+
+    Termination is the FFCL sibling-prune rule at fine ring 1
+    (``KDNodeView.hpp:235-243``); stragglers fall back to the JVM
+    ring-expansion join. Known limit: a pathologically hot fine cell
+    lands one coarse group on one task — salt via a deeper resolution
+    or AQE-advisory repartition (tracked for the skew round).
+    """
+    if cfg.resolution < group_delta:
+        return knn_join_kernel(queries, refs, k, cfg, ring=1)
+    id_type = queries.schema["id"].dataType
+    gshift = group_delta
+    n = cfg.grid_n
+
+    fq = C.cell_id(F.col("x"), F.col("y"), cfg)
+    q = queries.select(
+        F.col("id").alias("q_id"),
+        F.col("x").alias("q_x"),
+        F.col("y").alias("q_y"),
+        fq.alias("fcell"),
+    ).withColumn(
+        "grp",
+        F.shiftleft(F.shiftright(C.cell_ix(F.col("fcell")), gshift), 26)
+        + F.shiftright(C.cell_iy(F.col("fcell")), gshift),
+    )
+
+    # serving groups of a ref = parents of its fine ring-1 neighborhood
+    fr = C.cell_id(F.col("x"), F.col("y"), cfg)
+    rix = C.cell_ix(F.col("fcell"))
+    riy = C.cell_iy(F.col("fcell"))
+    gx_lo = F.shiftright(F.greatest(F.lit(0), rix - 1), gshift)
+    gx_hi = F.shiftright(F.least(F.lit(n - 1), rix + 1), gshift)
+    gy_lo = F.shiftright(F.greatest(F.lit(0), riy - 1), gshift)
+    gy_hi = F.shiftright(F.least(F.lit(n - 1), riy + 1), gshift)
+    grps = F.flatten(
+        F.transform(
+            F.sequence(gx_lo, gx_hi),
+            lambda gx: F.transform(F.sequence(gy_lo, gy_hi), lambda gy: F.shiftleft(gx, 26) + gy),
+        )
+    )
+    r = (
+        refs.select(
+            F.col("id").alias("r_id"),
+            F.col("x").alias("r_x"),
+            F.col("y").alias("r_y"),
+            fr.alias("fcell"),
+        )
+        .withColumn("grp", F.explode(grps))
+        .drop("fcell")
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", id_type),
+            T.StructField("r_id", refs.schema["id"].dataType),
+            T.StructField("dist", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+            T.StructField("done", T.BooleanType()),
+        ]
+    )
+    grid_n = cfg.grid_n
+    empty = pd.DataFrame(
+        {"q_id": [], "r_id": [], "dist": [], "rank": [], "done": []}
+    ).astype({"rank": "int32", "done": "bool"})
+
+    def kernel(qpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        nq = len(qpdf)
+        if nq == 0:
+            return empty
+        qx = qpdf["q_x"].to_numpy()
+        qy = qpdf["q_y"].to_numpy()
+        qids = qpdf["q_id"].to_numpy()
+        qfx, qfy = G.cell_ixy(qpdf["fcell"].to_numpy())
+        nr = len(rpdf)
+        if nr == 0:
+            # placeholder rows keep every query represented so the
+            # pending check never needs an anti-join against queries
+            return pd.DataFrame(
+                {
+                    "q_id": qids,
+                    "r_id": qids,
+                    "dist": np.full(nq, np.nan),
+                    "rank": np.zeros(nq, dtype="int32"),
+                    "done": np.zeros(nq, dtype=bool),
+                }
+            )
+        # bucket refs by fine cell; pre-sort by id within cell so the
+        # stable distance sort keeps the smaller id on ties
+        rx = rpdf["r_x"].to_numpy()
+        ry = rpdf["r_y"].to_numpy()
+        rids = rpdf["r_id"].to_numpy()
+        rfx = G.axis_index(rx, cfg.x0, cfg.cell_size, grid_n)
+        rfy = G.axis_index(ry, cfg.y0, cfg.cell_size, grid_n)
+        rkey = rfx * grid_n + rfy
+        order = np.lexsort((rids, rkey))
+        rx, ry, rids, rkey = rx[order], ry[order], rids[order], rkey[order]
+        rfx = rfx[order]
+
+        out = []
+        qkey = qfx * grid_n + qfy
+        qorder = np.argsort(qkey, kind="stable")
+        bounds = np.nonzero(np.diff(qkey[qorder]))[0] + 1
+        blocks = np.split(qorder, bounds)
+        for blk in blocks:
+            a = int(qfx[blk[0]])
+            b = int(qfy[blk[0]])
+            # gather 3 column strips of the fine 3x3 neighborhood
+            slices = []
+            for dxx in (-1, 0, 1):
+                cx = a + dxx
+                if cx < 0 or cx >= grid_n:
+                    continue
+                lo = np.searchsorted(rkey, cx * grid_n + max(0, b - 1), side="left")
+                hi = np.searchsorted(rkey, cx * grid_n + min(grid_n - 1, b + 1), side="right")
+                if hi > lo:
+                    slices.append((lo, hi))
+            if not slices:
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": qids[blk],
+                            "r_id": qids[blk],
+                            "dist": np.full(len(blk), np.nan),
+                            "rank": np.zeros(len(blk), dtype="int32"),
+                            "done": np.zeros(len(blk), dtype=bool),
+                        }
+                    )
+                )
+                continue
+            cand = np.concatenate([np.arange(lo, hi) for lo, hi in slices])
+            crx, cry, crids = rx[cand], ry[cand], rids[cand]
+            # candidate columns must be in ascending id order for the
+            # tie-break: re-sort the (small) candidate set by id
+            cid_order = np.argsort(crids, kind="stable")
+            crx, cry, crids = crx[cid_order], cry[cid_order], crids[cid_order]
+            bqx = qx[blk]
+            bqy = qy[blk]
+            kk = min(k, len(cand))
+            dxm = bqx[:, None] - crx[None, :]
+            dym = bqy[:, None] - cry[None, :]
+            d = dxm * dxm + dym * dym
+            part, dd = topk_rows(d, kk)
+            dd = np.sqrt(dd)
+            gr = G.guaranteed_radius(bqx, bqy, np.full(len(blk), a), np.full(len(blk), b), 1, cfg)
+            done = (grid_n <= 1) | ((kk >= k) & (dd[:, -1] < gr))
+            out.append(
+                pd.DataFrame(
+                    {
+                        "q_id": np.repeat(qids[blk], kk),
+                        "r_id": crids[part].ravel(),
+                        "dist": dd.ravel(),
+                        "rank": np.tile(np.arange(1, kk + 1, dtype="int32"), len(blk)),
+                        "done": np.repeat(done, kk),
+                    }
+                )
+            )
+        if not out:
+            return empty
+        return pd.concat(out, ignore_index=True)
+
+    grouped = (
+        q.groupBy("grp")
+        .cogroup(r.groupBy("grp"))
+        .applyInPandas(kernel, out_schema)
+        .persist()
+    )
+    done_rows = grouped.where(F.col("done")).select("q_id", "r_id", "dist", "rank")
+    # every query is represented in `grouped` (placeholders for the
+    # candidate-less case), so the pending check is a cached scan, no
+    # join — the common case returns immediately
+    not_done = grouped.where(~F.col("done")).select("q_id")
+    if not_done.isEmpty():
+        return done_rows
+    from ffcl_spark.operators.search import knn_join
+
+    pend_q = queries.join(
+        not_done.distinct().withColumnRenamed("q_id", "id"), "id", "left_semi"
+    )
+    rest = knn_join(pend_q, refs, k, cfg, start_ring=2)
+    return done_rows.unionByName(rest)

@@ -48,12 +48,16 @@ def cosine_topk(
         F.col(vec_col).alias("n_vec"),
         _norm(F.col(vec_col)).alias("n_norm"),
     )
+    # compute the similarity, then drop the vectors BEFORE the window —
+    # otherwise every 64-float array rides through the rank shuffle
     sim = (
         F.broadcast(q)
         .crossJoin(r)
         .where(F.col("q_id") != F.col("n_id"))
-        .withColumn(
-            "cos", _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))
+        .select(
+            "q_id",
+            "n_id",
+            (_dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))).alias("cos"),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("n_id"))
@@ -157,7 +161,11 @@ def ivf_topk(
     sim = (
         q_b.join(r_b, "bucket")
         .where(F.col("q_id") != F.col("n_id"))
-        .withColumn("cos", _dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm")))
+        .select(
+            "q_id",
+            "n_id",
+            (_dot(F.col("q_vec"), F.col("n_vec")) / (F.col("q_norm") * F.col("n_norm"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.col("n_id"))
     return (

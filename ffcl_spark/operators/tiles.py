@@ -146,14 +146,21 @@ def pip_join(points: DataFrame, tiles: DataFrame, cfg: EngineConfig) -> DataFram
     """
     from ffcl_spark.functions import cells as C
 
-    tile_cells = tiles.select(
-        "tile_id", "ring", F.explode("cells").alias("cell")
-    )
-    pts = points.withColumn("cell", C.cell_id(F.col("x"), F.col("y"), cfg))
-    cand = pts.join(F.broadcast(tile_cells), "cell").select(
-        "cell", "id", "x", "y", "tile_id", "ring"
-    )
+    # tiles are small by contract → collected once and shipped in the
+    # task closure (the moral equivalent of a broadcast variable); the
+    # big points side never shuffles and never serializes polygon rows
+    local = [
+        (
+            t["tile_id"],
+            np.array([[v["x"], v["y"]] for v in t["ring"]], dtype=np.float64),
+            np.array(t["cells"], dtype=np.int64),
+        )
+        for t in tiles.select("tile_id", "ring", "cells").collect()
+    ]
 
+    pts = points.select(
+        "id", "x", "y", C.cell_id(F.col("x"), F.col("y"), cfg).alias("cell")
+    )
     out_schema = T.StructType(
         [
             T.StructField("id", points.schema["id"].dataType),
@@ -161,14 +168,31 @@ def pip_join(points: DataFrame, tiles: DataFrame, cfg: EngineConfig) -> DataFram
         ]
     )
 
-    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ring = np.array([[v["x"], v["y"]] for v in pdf["ring"].iloc[0]])
-        mask = points_in_polygon(pdf["x"].to_numpy(), pdf["y"].to_numpy(), ring)
-        return pdf.loc[mask, ["id", "tile_id"]]
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cells = pdf["cell"].to_numpy()
+            px = pdf["x"].to_numpy()
+            py = pdf["y"].to_numpy()
+            ids = pdf["id"]
+            outs = []
+            for tile_id, ring, tcells in local:
+                cand = np.isin(cells, tcells)
+                if not cand.any():
+                    continue
+                idx = np.nonzero(cand)[0]
+                mask = points_in_polygon(px[idx], py[idx], ring)
+                if mask.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {"id": ids.iloc[idx[mask]], "tile_id": tile_id}
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
 
-    # group by (tile, cell): bounds group size to a cell's points — a
-    # huge tile never lands on one task (skew control)
-    return cand.groupBy("tile_id", "cell").applyInPandas(kernel, out_schema)
+    return pts.mapInPandas(kernel, out_schema)
 
 
 def rasterize(tiles: DataFrame, cfg: EngineConfig) -> DataFrame:

@@ -125,3 +125,28 @@ def test_knn_kernel_string_ids(spark, cfg):
         pdf.id.to_numpy(), 3,
     )
     assert knn_sets(got) == set(zip(pdf.id.to_numpy()[oq], on))
+
+
+def test_knn_grid_matches_oracle_and_jvm(spark, cfg, blobs, grid_exact, circles):
+    from ffcl_spark.operators.knn_kernel import knn_join_grid
+
+    for df, pdf, k in [(blobs[0], blobs[1], 5), (grid_exact[0], grid_exact[1], 4), (circles[0], circles[1], 7)]:
+        got = knn_join_grid(df, df, k, EngineConfig(resolution=4)).toPandas()
+        oq, on, _ = K.knn(
+            pdf[["x", "y"]].to_numpy(), pdf[["x", "y"]].to_numpy(), pdf.id.to_numpy(), k
+        )
+        assert knn_sets(got) == set(zip(pdf.id.to_numpy()[oq], on))
+
+
+def test_knn_grid_cross_set_and_resolutions(spark, blobs, circles):
+    from ffcl_spark.operators.knn_kernel import knn_join_grid
+
+    dq, pq = circles
+    dr, pr = blobs
+    for res in (0, 1, 3, 6):
+        got = knn_join_grid(
+            dq.where(F.col("id") < 40), dr, 3, EngineConfig(resolution=res)
+        ).toPandas()
+        qp = pq[pq.id < 40]
+        oq, on, _ = K.knn(qp[["x", "y"]].to_numpy(), pr[["x", "y"]].to_numpy(), pr.id.to_numpy(), 3)
+        assert knn_sets(got) == set(zip(qp.id.to_numpy()[oq], on)), res
