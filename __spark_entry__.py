@@ -143,6 +143,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cfg = knn_resolution(refs.count(), K, CFG)
         return knn_join_grid(qs, refs, K, cfg)
 
+    def q_knn_memory(spark, sf):
+        # visited set = the offset-0 media span of every doc (reference
+        # WithMemory.hpp semantics: candidates in the visited set are
+        # skipped)
+        pts = _doc_points(spark, sf)
+        visited = pts.where(F.col("offset") == 0).select("id")
+        return S.knn_with_memory(pts, pts, visited, K, CFG)
+
+    def q_closest_pair(spark, sf):
+        pts = _doc_points(spark, sf)
+        a = pts.where(F.col("offset") == 0)
+        b = pts.where(F.col("offset") != 0)
+        return S.closest_pair(a, b, CFG)
+
+    def q_kmeans(spark, sf):
+        # iterative, float-mean centroids → rows-only; NumPy-Lloyd
+        # parity lives in pytest
+        from ffcl_spark.operators.kmeans import kmeans
+
+        _, _, labels = kmeans(_doc_points(spark, sf), 4, max_iters=10, seed=7)
+        return labels
+
+    def _cluster_subset(spark, sf):
+        # iterative pipelines run O(log n) Spark rounds — the gate uses
+        # a deterministic ~1/3 subset to keep per-query wall time sane;
+        # full-size parity lives in pytest
+        pts = _doc_points(spark, sf)
+        return pts.where(F.crc32(F.col("id")) % 3 == 0)
+
+    def q_mst(spark, sf):
+        # iterative Borůvka (driver union-find) → rows-only; exact
+        # Prim-oracle parity lives in pytest
+        from ffcl_spark.operators.boruvka import minimum_spanning_tree
+
+        edges = minimum_spanning_tree(_cluster_subset(spark, sf), CFG)
+        return spark.createDataFrame(edges, "src string, dst string, w double")
+
+    def q_hdbscan(spark, sf):
+        from ffcl_spark.operators.hdbscan import hdbscan
+
+        return hdbscan(_cluster_subset(spark, sf), CFG, min_cluster_size=8)
+
     def q_pip_tiles(spark, sf):
         pts = _doc_points(spark, sf)
         tiles = TL.grid_tiles(spark, CFG, side=TILE_SIDE)
@@ -234,6 +276,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_docs": q_radius_docs,
         "core_distance": q_core_distance,
         "knn_lineitem": q_knn_lineitem,
+        "knn_memory": q_knn_memory,
+        "closest_pair": q_closest_pair,
+        "kmeans": q_kmeans,
+        "mst": q_mst,
+        "hdbscan": q_hdbscan,
         "pip_tiles": q_pip_tiles,
         "rasterize": q_rasterize,
         "vectorize": q_vectorize,
@@ -413,6 +460,25 @@ SELECT q_id AS id, max(dist) AS core_distance FROM nn GROUP BY q_id
     o["knn_lineitem"] = _knn_sql(
         _PTS_LI, K, query_filter=f"WHERE q.d % {LI_QMOD} = 0"
     )
+
+    # kNN with memory: refs exclude the visited set (offset-0 spans)
+    o["knn_memory"] = f"""
+WITH {_PTS_DOCS}
+SELECT q.id AS q_id, r.id AS r_id, {_DIST} AS dist,
+       CAST(row_number() OVER (
+         PARTITION BY q.id ORDER BY {_DIST}, r.id) AS INTEGER) AS rank
+FROM pts q CROSS JOIN pts r
+WHERE r.off != 0
+QUALIFY rank <= {K}
+"""
+
+    o["closest_pair"] = f"""
+WITH {_PTS_DOCS}
+SELECT q.id AS src, r.id AS dst, {_DIST} AS dist
+FROM pts q CROSS JOIN pts r
+WHERE q.off = 0 AND r.off != 0 AND {_DIST} > 0
+ORDER BY dist, src, dst LIMIT 1
+"""
 
     o["pip_tiles"] = f"""
 WITH {_PTS_DOCS},

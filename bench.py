@@ -27,9 +27,17 @@ from ffcl_spark import EngineConfig, get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# deterministic input multiplier (scaling runs use MULT>1 so per-core
+# work dominates fixed overheads) and optional stage subset
+MULT = int(os.environ.get("SPARK_GRAFT_MULT", "1"))
+STAGES = os.environ.get("SPARK_GRAFT_STAGES", "all")
 K = 5
 RADIUS = 0.25
 TILE_SIDE = 6.0
+
+
+def _enabled(stage: str) -> bool:
+    return STAGES == "all" or stage in STAGES.split(",")
 
 
 def main() -> None:
@@ -55,6 +63,15 @@ def main() -> None:
         .select((F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("pid"))
         .distinct()
     )
+    if MULT > 1:
+        li = li.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(MULT - 1)),
+                    lambda j: F.col("pid") * MULT + j,
+                )
+            ).alias("pid")
+        )
     docs = synth_docs(li, "pid", None).persist()
     n_docs = docs.count()
     cfg0 = EngineConfig()
@@ -92,27 +109,31 @@ def main() -> None:
     extras["pip_rows_per_sec"] = pip_rows / timings["pip_tiles"]
 
     # --- q4: radius join (strict < r) ---
-    t0 = time.time()
-    radius_rows = radius_join(pts_xy, pts_xy, RADIUS, cfg).count()
-    timings["radius_join"] = time.time() - t0
-    extras["radius_rows_per_sec"] = radius_rows / timings["radius_join"]
+    radius_rows = 0
+    if _enabled("radius_join"):
+        t0 = time.time()
+        radius_rows = radius_join(pts_xy, pts_xy, RADIUS, cfg).count()
+        timings["radius_join"] = time.time() - t0
+        extras["radius_rows_per_sec"] = radius_rows / timings["radius_join"]
 
     # spatial intermediates are no longer needed — drop cached blocks so
     # the text/embedding stages measure themselves, not GC pressure
     spark.catalog.clearCache()
 
     # --- q5: MinHash-LSH near-dup over documents ---
-    t0 = time.time()
-    documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    DD.minhash_dedup_pairs(documents, 0.05).count()
-    timings["minhash_dedup"] = time.time() - t0
+    if _enabled("minhash_dedup"):
+        t0 = time.time()
+        documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        DD.minhash_dedup_pairs(documents, 0.05).count()
+        timings["minhash_dedup"] = time.time() - t0
 
     # --- q6: brute-force cosine top-k over embeddings ---
-    t0 = time.time()
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    qs = emb.where(F.col("vec_id") % 10 == 0)
-    SIM.cosine_topk(emb, qs, 10).count()
-    timings["embed_topk"] = time.time() - t0
+    if _enabled("embed_topk"):
+        t0 = time.time()
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        qs = emb.where(F.col("vec_id") % 10 == 0)
+        SIM.cosine_topk(emb, qs, 10).count()
+        timings["embed_topk"] = time.time() - t0
 
     total = sum(timings.values())
     # the north_star throughput: docs through the spatial-join+tiling

@@ -27,12 +27,11 @@ BLOCK = 2048
 def neighbor_counts_and_adj(xy: np.ndarray, radius: float):
     """Per-point neighbor count (self included) and adjacency lists."""
     n = len(xy)
-    r2 = float(radius) ** 2
     adj: list[np.ndarray] = []
     for s in range(0, n, BLOCK):
         e = min(s + BLOCK, n)
-        d = pairwise_sq_2d(xy[s:e], xy)
-        for row in d < r2:
+        d = np.sqrt(pairwise_sq_2d(xy[s:e], xy))  # sqrt'd: match SQL strictness
+        for row in d < radius:
             adj.append(np.nonzero(row)[0])
     counts = np.array([len(a) for a in adj], dtype=np.int64)
     return counts, adj

@@ -86,12 +86,16 @@ def knn(
     out_d = np.empty(nq * kk, dtype=np.float64)
     for s in range(0, nq, BLOCK):
         e = min(s + BLOCK, nq)
-        d = pairwise_sq_2d(q_xy[s:e], r_sorted)
+        # rank on the FINAL distance (sqrt applied before sorting):
+        # sqrt rounding can collapse distinct squared distances into an
+        # exact tie, and the (dist, id) tie-break is defined on the
+        # sqrt'd value — the same one the SQL expression produces
+        d = np.sqrt(pairwise_sq_2d(q_xy[s:e], r_sorted))
         part, dd = topk_rows(d, kk)
         span = slice(s * kk, e * kk)
         out_q[span] = np.repeat(np.arange(s, e), kk)
         out_n[span] = ids_sorted[part].ravel()
-        out_d[span] = np.sqrt(dd).ravel()
+        out_d[span] = dd.ravel()
     return out_q, out_n, out_d
 
 
@@ -147,14 +151,15 @@ def radius_pairs(
     """All pairs with dist < radius (strict). Self-pairs included at
     distance 0 when ids coincide (FFCL includes the query point)."""
     out_a, out_b, out_d = [], [], []
-    r2 = float(radius) ** 2
     for s in range(0, len(q_xy), BLOCK):
         e = min(s + BLOCK, len(q_xy))
-        d = pairwise_sq_2d(q_xy[s:e], r_xy)
-        qi, ri = np.nonzero(d < r2)
+        # strict < on the sqrt'd distance — matches the SQL filter
+        # exactly (a squared compare differs at 1-ulp boundaries)
+        d = np.sqrt(pairwise_sq_2d(q_xy[s:e], r_xy))
+        qi, ri = np.nonzero(d < radius)
         out_a.append(np.asarray(q_ids)[s:e][qi])
         out_b.append(np.asarray(r_ids)[ri])
-        out_d.append(np.sqrt(d[qi, ri]))
+        out_d.append(d[qi, ri])
     if not out_a:
         return np.array([]), np.array([]), np.array([])
     return np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_d)

@@ -1,0 +1,178 @@
+"""Distributed Borůvka minimum spanning tree (exact), with the
+mutual-reachability variant used by HDBSCAN.
+
+Reference ``BoruvkasAlgorithm.hpp:239-460``: per round, every
+component finds its minimum outgoing edge via per-point nearest-
+neighbor queries that skip same-component candidates
+(``WithUnionFind.hpp:47-77``); all found edges merge at once
+(union-find); repeat until one component remains.
+
+Distributed form — exact, with the reference's prune translated:
+
+- per round, every point gets a k-NN list (``knn_join_grid``). If the
+  list contains any cross-component candidate, the closest such is
+  that point's *exact* nearest-other-component neighbor (everything
+  closer is in the list and same-component).
+- points whose whole list is same-component only matter if they could
+  beat their component's current best candidate; their unseen
+  neighbors are all farther than the list's k-th distance, so the
+  component-level prune is ``kth ≥ comp_best`` (for mutual
+  reachability: ``max(core_p, kth) ≥ comp_best``, since
+  mreach ≥ max(core_p, d)). Survivors escalate with doubled k —
+  exactly the buffer-bound prune of ``KDNodeView.hpp:235-243`` lifted
+  to components.
+- the ≤ n_components found edges are merged on the driver
+  (``UnionFind.hpp`` semantics); components at least halve per round →
+  O(log n) rounds.
+
+Edge weights: Euclidean distance, or mutual reachability
+``max(core_a, core_b, dist)`` (``BoruvkasAlgorithm.hpp:307-308``) when
+``core_k`` is given. Ties broken by (weight, src, dst) so the MST is
+deterministic even on tie-heavy lattices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ffcl_spark.config import EngineConfig
+from ffcl_spark.operators.dbscan import UnionFind
+from ffcl_spark.operators.knn_kernel import knn_join_grid
+from ffcl_spark.operators.search import core_distances
+
+
+def minimum_spanning_tree(
+    points: DataFrame,
+    cfg: EngineConfig,
+    core_k: int | None = None,
+    k0: int = 8,
+) -> list[tuple]:
+    """Exact MST edges [(src, dst, weight), ...] (n−1 edges, collected:
+    the MST is O(n) rows — driver-sized by definition for the scales
+    where a *tree over every point* is itself the requested output).
+    """
+    pts = points.select("id", "x", "y").persist()
+    n = pts.count()
+    if n <= 1:
+        return []
+
+    core = None
+    if core_k is not None:
+        core = core_distances(pts, core_k, cfg).persist()
+        core.count()
+
+    # driver-side component map (id -> comp). Components are the
+    # anti-scale piece: the map halves in distinct values each round;
+    # the broadcast join ships it compactly.
+    uf = UnionFind()
+    ids = [r["id"] for r in pts.select("id").collect()]
+    for i in ids:
+        uf.find(i)
+
+    spark = points.sparkSession
+    edges: list[tuple] = []
+    id_type = points.schema["id"].dataType
+
+    while True:
+        comp_rows = [(i, uf.find(i)) for i in ids]
+        n_comp = len({c for _, c in comp_rows})
+        if n_comp <= 1:
+            break
+        comp_df = spark.createDataFrame(comp_rows, schema=f"id {id_type.simpleString()}, comp {id_type.simpleString()}")
+
+        k = min(k0, n)
+        pend = pts
+        best: dict = {}  # comp -> (w, src, dst)
+        while True:
+            nn = knn_join_grid(pend, pts, k, cfg).where(F.col("q_id") != F.col("r_id"))
+            nn = (
+                nn.join(
+                    F.broadcast(comp_df.select(F.col("id").alias("q_id"), F.col("comp").alias("q_comp"))),
+                    "q_id",
+                )
+                .join(
+                    F.broadcast(comp_df.select(F.col("id").alias("r_id"), F.col("comp").alias("r_comp"))),
+                    "r_id",
+                )
+            )
+            if core is not None:
+                nn = (
+                    nn.join(
+                        F.broadcast(core.select(F.col("id").alias("q_id"), F.col("core_distance").alias("core_q"))), "q_id"
+                    )
+                    .join(
+                        F.broadcast(core.select(F.col("id").alias("r_id"), F.col("core_distance").alias("core_r"))), "r_id"
+                    )
+                    .withColumn("w", F.greatest("core_q", "core_r", "dist"))
+                )
+            else:
+                nn = nn.withColumn("w", F.col("dist"))
+
+            cross = nn.where(F.col("q_comp") != F.col("r_comp"))
+            # exact per-point best cross edge, then per-component best
+            cand = (
+                cross.groupBy("q_comp")
+                .agg(F.min(F.struct("w", "q_id", "r_id")).alias("e"))
+                .select("q_comp", "e.w", "e.q_id", "e.r_id")
+                .collect()
+            )
+            for row in cand:
+                cur = best.get(row["q_comp"])
+                e = (row["w"], row["q_id"], row["r_id"])
+                if cur is None or e < cur:
+                    best[row["q_comp"]] = e
+
+            if k >= n:
+                break
+            # escalation: points whose whole list was same-component AND
+            # whose unseen-neighbor lower bound could beat their
+            # component's best
+            per_q = nn.groupBy("q_id", "q_comp").agg(
+                F.max("dist").alias("kth"),
+                F.max(F.when(F.col("q_comp") != F.col("r_comp"), 1).otherwise(0)).alias("has_cross"),
+                F.max(F.col("core_q") if core is not None else F.lit(0.0)).alias("core_q"),
+            )
+            best_rows = [(c, w) for c, (w, _, _) in best.items()]
+            if best_rows:
+                best_df = spark.createDataFrame(
+                    best_rows, schema=f"q_comp {id_type.simpleString()}, comp_best double"
+                )
+                per_q = per_q.join(F.broadcast(best_df), "q_comp", "left")
+            else:
+                per_q = per_q.withColumn("comp_best", F.lit(None).cast("double"))
+            if core is not None:
+                # mreach: even a point WITH a cross candidate can be
+                # beaten by an unseen farther point with smaller core —
+                # escalate whenever the unseen lower bound
+                # max(core_p, kth) could still beat the component best
+                lb = F.greatest("core_q", "kth")
+                pend_cond = F.col("comp_best").isNull() | (lb < F.col("comp_best"))
+            else:
+                # distance: a found cross candidate is the point's exact
+                # nearest-other-component neighbor; only all-same-comp
+                # lists can improve
+                pend_cond = (F.col("has_cross") == 0) & (
+                    F.col("comp_best").isNull() | (F.col("kth") < F.col("comp_best"))
+                )
+            pend_ids = per_q.where(pend_cond).select(F.col("q_id").alias("id"))
+            pend = pts.join(F.broadcast(pend_ids), "id", "left_semi")
+            if pend.isEmpty():
+                break
+            k = min(n, k * 2)
+
+        # merge all found edges (dedupe by canonical pair)
+        round_edges = set()
+        for comp, (w, src, dst) in best.items():
+            a, b = (src, dst) if src < dst else (dst, src)
+            round_edges.add((w, a, b))
+        merged_any = False
+        for w, a, b in sorted(round_edges):
+            if uf.find(a) != uf.find(b):
+                uf.merge(a, b)
+                edges.append((a, b, w))
+                merged_any = True
+        if not merged_any:
+            break
+
+    return edges

@@ -1,0 +1,116 @@
+"""Distributed k-means (Lloyd) — reference semantics.
+
+Reference ``Lloyd.hpp:91-166``: assign → per-cluster position sum →
+divide by count; an empty cluster keeps its previous centroid
+(``Lloyd.hpp:114-118``). Init = kmeans++ (``KMeansPlusPlus.hpp:40-65``)
+on a seeded driver sample; ``n_init`` restarts keep the min-loss run
+(``KMeans.hpp:153-230``); early stop when every centroid moves less
+than ``tol`` (``KMeans.hpp:202-215``).
+
+Spark shape: centroids are a tiny literal array → the assignment is a
+pure column expression (sort_array over (dist, cid) structs — JVM,
+codegen); the update is one ``groupBy(label).agg(avg, count)`` with
+automatic partial aggregation; the driver loop touches k rows per
+iteration. Hamerly's per-row bound caching (``Hamerly.hpp``) is an
+optimization the reference itself treats as optional — Lloyd is the
+semantic contract (SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def kmeanspp_init(
+    sample: np.ndarray, k: int, seed: int
+) -> np.ndarray:
+    """kmeans++ seeding on a local sample (reference
+    ``KMeansPlusPlus.hpp:40-65``): first centroid uniform, then
+    D²-weighted picks. Deterministic under the seed."""
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    cents = [sample[int(rng.integers(n))]]
+    for _ in range(1, min(k, n)):
+        d2 = np.min(
+            [np.sum((sample - c) ** 2, axis=1) for c in cents], axis=0
+        )
+        total = d2.sum()
+        if total == 0:
+            cents.append(sample[int(rng.integers(n))])
+            continue
+        probs = d2 / total
+        cents.append(sample[int(rng.choice(n, p=probs))])
+    return np.array(cents, dtype=np.float64)
+
+
+def _assign_expr(cents: np.ndarray):
+    """Argmin-distance label as a pure column expression."""
+    structs = [
+        F.struct(
+            (
+                (F.col("x") - float(cx)) * (F.col("x") - float(cx))
+                + (F.col("y") - float(cy)) * (F.col("y") - float(cy))
+            ).alias("d2"),
+            F.lit(ci).alias("cid"),
+        )
+        for ci, (cx, cy) in enumerate(cents)
+    ]
+    return F.sort_array(F.array(*structs))[0]
+
+
+def lloyd_once(
+    points: DataFrame,
+    init: np.ndarray,
+    max_iters: int,
+    tol: float,
+) -> tuple[np.ndarray, float, DataFrame]:
+    """One Lloyd run from ``init``. Returns (centroids, loss, labels)."""
+    cents = init.copy()
+    for _ in range(max_iters):
+        best = _assign_expr(cents)
+        agg = (
+            points.select(best["cid"].alias("label"), "x", "y")
+            .groupBy("label")
+            .agg(F.avg("x").alias("mx"), F.avg("y").alias("my"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new_cents = cents.copy()  # empty cluster keeps previous centroid
+        for row in agg:
+            new_cents[row["label"]] = (row["mx"], row["my"])
+        move = float(np.max(np.sqrt(np.sum((new_cents - cents) ** 2, axis=1))))
+        cents = new_cents
+        if move < tol:
+            break
+    best = _assign_expr(cents)
+    loss = points.select(F.sqrt(best["d2"]).alias("d")).agg(F.sum("d")).collect()[0][0]
+    labels = points.select("id", _assign_expr(cents)["cid"].alias("label"))
+    return cents, float(loss), labels
+
+
+def kmeans(
+    points: DataFrame,
+    k: int,
+    n_init: int = 1,
+    max_iters: int = 20,
+    tol: float = 1e-6,
+    seed: int = 7,
+    sample_rows: int = 50_000,
+) -> tuple[np.ndarray, float, DataFrame]:
+    """Full k-means: n_init kmeans++ restarts, keep the min-loss run.
+    Returns (centroids, loss, labels DataFrame (id, label))."""
+    sample = (
+        points.select("x", "y")
+        .orderBy("x", "y")  # deterministic sample basis
+        .limit(sample_rows)
+        .toPandas()
+        .to_numpy()
+    )
+    best = None
+    for trial in range(n_init):
+        init = kmeanspp_init(sample, k, seed + trial)
+        cents, loss, labels = lloyd_once(points, init, max_iters, tol)
+        if best is None or loss < best[1]:
+            best = (cents, loss, labels)
+    return best

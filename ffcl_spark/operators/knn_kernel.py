@@ -117,9 +117,11 @@ def knn_join_kernel(
             e = min(s + block, nq)
             dx = qx[s:e, None] - rx[None, :]
             dy = qy[s:e, None] - ry[None, :]
-            d = dx * dx + dy * dy
+            # sqrt BEFORE ranking: the (dist, id) tie-break is defined
+            # on the sqrt'd distance (sqrt rounding can create ties the
+            # squared values don't have)
+            d = np.sqrt(dx * dx + dy * dy)
             part, dd = topk_rows(d, kk)  # exact (distance, id) tie-break
-            dd = np.sqrt(dd)
             kth = dd[:, -1]
             done = covers_all | ((kk >= k) & (kth < gr[s:e]))
             out.append(
@@ -265,27 +267,35 @@ def knn_join_grid(
                     "done": np.zeros(nq, dtype=bool),
                 }
             )
-        # bucket refs by fine cell; pre-sort by id within cell so the
-        # stable distance sort keeps the smaller id on ties
+        # bucket refs by fine cell. Ids are ranked into integer codes
+        # ONCE per group (one object sort) so all per-block tie-break
+        # work is integer-only.
         rx = rpdf["r_x"].to_numpy()
         ry = rpdf["r_y"].to_numpy()
         rids = rpdf["r_id"].to_numpy()
+        id_rank = np.empty(nr, dtype=np.int64)
+        id_rank[np.argsort(rids, kind="stable")] = np.arange(nr)
         rfx = G.axis_index(rx, cfg.x0, cfg.cell_size, grid_n)
         rfy = G.axis_index(ry, cfg.y0, cfg.cell_size, grid_n)
         rkey = rfx * grid_n + rfy
-        order = np.lexsort((rids, rkey))
+        order = np.lexsort((id_rank, rkey))
         rx, ry, rids, rkey = rx[order], ry[order], rids[order], rkey[order]
-        rfx = rfx[order]
+        rcode = id_rank[order]
 
-        out = []
         qkey = qfx * grid_n + qfy
         qorder = np.argsort(qkey, kind="stable")
         bounds = np.nonzero(np.diff(qkey[qorder]))[0] + 1
         blocks = np.split(qorder, bounds)
+
+        # accumulate flat numpy arrays; build ONE frame per group
+        acc_q: list[np.ndarray] = []
+        acc_r: list[np.ndarray] = []
+        acc_d: list[np.ndarray] = []
+        acc_rank: list[np.ndarray] = []
+        acc_done: list[np.ndarray] = []
         for blk in blocks:
             a = int(qfx[blk[0]])
             b = int(qfy[blk[0]])
-            # gather 3 column strips of the fine 3x3 neighborhood
             slices = []
             for dxx in (-1, 0, 1):
                 cx = a + dxx
@@ -296,48 +306,47 @@ def knn_join_grid(
                 if hi > lo:
                     slices.append((lo, hi))
             if not slices:
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "q_id": qids[blk],
-                            "r_id": qids[blk],
-                            "dist": np.full(len(blk), np.nan),
-                            "rank": np.zeros(len(blk), dtype="int32"),
-                            "done": np.zeros(len(blk), dtype=bool),
-                        }
-                    )
-                )
+                acc_q.append(qids[blk])
+                acc_r.append(qids[blk])
+                acc_d.append(np.full(len(blk), np.nan))
+                acc_rank.append(np.zeros(len(blk), dtype="int32"))
+                acc_done.append(np.zeros(len(blk), dtype=bool))
                 continue
-            cand = np.concatenate([np.arange(lo, hi) for lo, hi in slices])
-            crx, cry, crids = rx[cand], ry[cand], rids[cand]
-            # candidate columns must be in ascending id order for the
-            # tie-break: re-sort the (small) candidate set by id
-            cid_order = np.argsort(crids, kind="stable")
-            crx, cry, crids = crx[cid_order], cry[cid_order], crids[cid_order]
+            cand = (
+                np.arange(*slices[0])
+                if len(slices) == 1
+                else np.concatenate([np.arange(lo, hi) for lo, hi in slices])
+            )
+            # candidate columns in ascending id-code order (int sort)
+            cid_order = np.argsort(rcode[cand], kind="stable")
+            cand = cand[cid_order]
+            crx, cry = rx[cand], ry[cand]
             bqx = qx[blk]
             bqy = qy[blk]
             kk = min(k, len(cand))
             dxm = bqx[:, None] - crx[None, :]
             dym = bqy[:, None] - cry[None, :]
-            d = dxm * dxm + dym * dym
+            # sqrt before ranking — tie-break is on the final distance
+            d = np.sqrt(dxm * dxm + dym * dym)
             part, dd = topk_rows(d, kk)
-            dd = np.sqrt(dd)
             gr = G.guaranteed_radius(bqx, bqy, np.full(len(blk), a), np.full(len(blk), b), 1, cfg)
             done = (grid_n <= 1) | ((kk >= k) & (dd[:, -1] < gr))
-            out.append(
-                pd.DataFrame(
-                    {
-                        "q_id": np.repeat(qids[blk], kk),
-                        "r_id": crids[part].ravel(),
-                        "dist": dd.ravel(),
-                        "rank": np.tile(np.arange(1, kk + 1, dtype="int32"), len(blk)),
-                        "done": np.repeat(done, kk),
-                    }
-                )
-            )
-        if not out:
+            acc_q.append(np.repeat(qids[blk], kk))
+            acc_r.append(rids[cand[part.ravel()]])
+            acc_d.append(dd.ravel())
+            acc_rank.append(np.tile(np.arange(1, kk + 1, dtype="int32"), len(blk)))
+            acc_done.append(np.repeat(done, kk))
+        if not acc_q:
             return empty
-        return pd.concat(out, ignore_index=True)
+        return pd.DataFrame(
+            {
+                "q_id": np.concatenate(acc_q),
+                "r_id": np.concatenate(acc_r),
+                "dist": np.concatenate(acc_d),
+                "rank": np.concatenate(acc_rank),
+                "done": np.concatenate(acc_done),
+            }
+        )
 
     grouped = (
         q.groupBy("grp")

@@ -222,3 +222,49 @@ def mutual_reachability(
         .withColumn("mreach", F.greatest("core_q", "core_r", "dist"))
         .select("q_id", "r_id", "dist", "mreach")
     )
+
+
+def knn_with_memory(
+    queries: DataFrame,
+    refs: DataFrame,
+    visited: DataFrame,
+    k: int,
+    cfg: EngineConfig,
+) -> DataFrame:
+    """kNN excluding an explicit visited set — reference
+    ``WithMemory.hpp:90-120`` (candidate skipped if in
+    visited_indices). Distributed form: LEFT ANTI JOIN of the refs
+    against ``visited`` (column ``id``) before the search — the
+    anti-join runs JVM-side and prunes before any shuffle."""
+    from ffcl_spark.operators.knn_kernel import knn_join_grid
+
+    pruned = refs.join(visited.select("id"), "id", "left_anti")
+    return knn_join_grid(queries, pruned, k, cfg)
+
+
+def closest_pair(
+    queries: DataFrame,
+    refs: DataFrame,
+    cfg: EngineConfig,
+) -> DataFrame:
+    """Globally shortest edge between two sets — reference dual-tree
+    shortest edge (``Search.hpp:169-194``); zero-distance self pairs
+    are skipped like the brute-force reference oracle
+    (``ClosestPairOfSamples.hpp:54`` ``samples_distance > 0``).
+    Returns one row (src, dst, dist); ties broken by (dist, src, dst).
+
+    Plan: per-query exact 1-NN (cell-pruned — the dual-tree pruning is
+    replaced by grid locality), then a global top-1 — an O(n) →
+    O(1)-row aggregation, no full pair materialization."""
+    from ffcl_spark.operators.knn_kernel import knn_join_grid
+
+    # k=2 so a query that collides with its own zero-distance twin
+    # still surfaces a positive edge
+    nn = knn_join_grid(queries, refs, 2, cfg).where(F.col("dist") > 0)
+    return (
+        nn.orderBy("dist", "q_id", "r_id")
+        .limit(1)
+        .select(
+            F.col("q_id").alias("src"), F.col("r_id").alias("dst"), F.col("dist")
+        )
+    )

@@ -1,0 +1,119 @@
+"""Feature statistics + silhouette score.
+
+- ``feature_stats``: per-cell (or global) mean/variance per feature —
+  the reference's axis-selection statistics (``Statistics.hpp:137-330``,
+  variance-argmax axis selection ``AxisSelectionPolicy.hpp:77-109``).
+  One partial-aggregating groupBy.
+- ``silhouette_samples`` / ``silhouette_score``: per-sample silhouette
+  (reference ``SilhouetteMethod.hpp:69-114``): cohesion a(i) = mean
+  distance to own cluster (self excluded), separation b(i) = min over
+  other clusters of mean distance, s = (b−a)/max(a,b); points alone in
+  their cluster get s = 0.
+
+  The pairwise form is quadratic by definition; this implementation
+  shuffles (point × cluster) partial sums, so cost is
+  O(pairs within + across clusters) with map-side partial aggregation,
+  and is intended for evaluation-sized inputs or sampled data — the
+  same position the reference takes (silhouette is a model-selection
+  metric, not a data-path operator).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ffcl_spark.config import EngineConfig
+from ffcl_spark.functions import cells as C
+
+
+def feature_stats(points: DataFrame, cfg: EngineConfig | None = None) -> DataFrame:
+    """mean/variance per feature, optionally per cell. Variance is the
+    sample variance (unbiased), matching ``var_samp``."""
+    aggs = [
+        F.avg("x").alias("mean_x"),
+        F.avg("y").alias("mean_y"),
+        F.var_samp("x").alias("var_x"),
+        F.var_samp("y").alias("var_y"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    if cfg is None:
+        return points.agg(*aggs)
+    return (
+        points.withColumn("cell", C.cell_id(F.col("x"), F.col("y"), cfg))
+        .groupBy("cell")
+        .agg(*aggs)
+    )
+
+
+def argmax_variance_axis(points: DataFrame, sampling_rate: float = 0.1, seed: int = 7) -> str:
+    """Highest-variance axis on a sample — the reference's default
+    axis-selection policy (``AxisSelectionPolicy.hpp:77-109``,
+    sampling_rate=0.1)."""
+    row = (
+        points.sample(sampling_rate, seed=seed)
+        .agg(F.var_samp("x").alias("vx"), F.var_samp("y").alias("vy"))
+        .collect()[0]
+    )
+    return "x" if (row["vx"] or 0.0) >= (row["vy"] or 0.0) else "y"
+
+
+def silhouette_samples(points: DataFrame, labels: DataFrame) -> DataFrame:
+    """(id, label, a, b, silhouette) per sample. ``labels``: (id, label)."""
+    p = points.join(labels, "id").select("id", "x", "y", "label")
+    a = p.select(
+        F.col("id").alias("i"),
+        F.col("x").alias("xi"),
+        F.col("y").alias("yi"),
+        F.col("label").alias("li"),
+    )
+    b = p.select(
+        F.col("id").alias("j"),
+        F.col("x").alias("xj"),
+        F.col("y").alias("yj"),
+        F.col("label").alias("lj"),
+    )
+    pair = (
+        a.crossJoin(b)
+        .where(F.col("i") != F.col("j"))
+        .select(
+            "i",
+            "li",
+            "lj",
+            F.sqrt(
+                (F.col("xi") - F.col("xj")) * (F.col("xi") - F.col("xj"))
+                + (F.col("yi") - F.col("yj")) * (F.col("yi") - F.col("yj"))
+            ).alias("d"),
+        )
+    )
+    per_cluster = pair.groupBy("i", "li", "lj").agg(
+        F.avg("d").alias("mean_d"), F.count(F.lit(1)).alias("n")
+    )
+    own = per_cluster.where(F.col("li") == F.col("lj")).select(
+        "i", F.col("mean_d").alias("a")
+    )
+    other = (
+        per_cluster.where(F.col("li") != F.col("lj"))
+        .groupBy("i")
+        .agg(F.min("mean_d").alias("b"))
+    )
+    out = (
+        p.select(F.col("id").alias("i"), "label")
+        .join(own, "i", "left")
+        .join(other, "i", "left")
+        .withColumn(
+            "silhouette",
+            F.when(
+                F.col("a").isNull() | F.col("b").isNull(), F.lit(0.0)
+            ).otherwise((F.col("b") - F.col("a")) / F.greatest("a", "b")),
+        )
+        .select(F.col("i").alias("id"), "label", "a", "b", "silhouette")
+    )
+    return out
+
+
+def silhouette_score(points: DataFrame, labels: DataFrame) -> float:
+    """Mean silhouette (reference ``get_average_silhouette``)."""
+    return float(
+        silhouette_samples(points, labels).agg(F.avg("silhouette")).collect()[0][0]
+    )

@@ -69,25 +69,25 @@ def main(sf_dir: str, only: set[str] | None):
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as ex:
             results[name] = f"SPARK ERROR: {ex}"
-            print(f"{name:18s} SPARK ERROR: {str(ex)[:200]}")
+            print(f"{name:18s} SPARK ERROR: {str(ex)[:200]}", flush=True)
             continue
         t_spark = time.time() - t0
         if name not in oracles:
             results[name] = f"rows-only ({len(sdf)} rows)"
-            print(f"{name:18s} rows-only: {len(sdf)} rows  [spark {t_spark:.1f}s]")
+            print(f"{name:18s} rows-only: {len(sdf)} rows  [spark {t_spark:.1f}s]", flush=True)
             continue
         t0 = time.time()
         try:
             odf = con.cursor().sql(oracles[name]).df()
         except Exception as ex:
             results[name] = f"ORACLE ERROR: {ex}"
-            print(f"{name:18s} ORACLE ERROR: {str(ex)[:200]}")
+            print(f"{name:18s} ORACLE ERROR: {str(ex)[:200]}", flush=True)
             continue
         t_oracle = time.time() - t0
         problems = compare(sdf, odf)
         status = "PASS" if not problems else "FAIL " + "; ".join(problems)
         results[name] = status
-        print(f"{name:18s} {status}  ({len(sdf)} rows) [spark {t_spark:.1f}s duck {t_oracle:.1f}s]")
+        print(f"{name:18s} {status}  ({len(sdf)} rows) [spark {t_spark:.1f}s duck {t_oracle:.1f}s]", flush=True)
     n_fail = sum(1 for v in results.values() if "FAIL" in v or "ERROR" in v)
     print(f"\n{len(results)} checked, {n_fail} failing")
     spark.stop()

@@ -1,0 +1,169 @@
+"""k-means / Borůvka MST / single-linkage / HDBSCAN — oracle parity.
+
+Oracle style mirrors the reference's own gold standard
+(SearchTest.cpp:814-1016): the distributed result must equal a local
+NumPy/pure-Python brute-force computation exactly (MSTs are unique on
+tie-free float fixtures; weights compared to 1e-9)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from ffcl_spark import EngineConfig
+from ffcl_spark.kernels.hierarchy import cut_tree, hdbscan_labels, single_linkage_tree
+from ffcl_spark.operators.boruvka import minimum_spanning_tree
+from ffcl_spark.operators.dbscan import dbscan
+from ffcl_spark.operators.kmeans import kmeans, kmeanspp_init
+from tests.conftest import points_pdf
+
+
+def prim_mst(xy: np.ndarray, weights: np.ndarray | None = None) -> list[tuple]:
+    """O(n²) Prim oracle over a dense weight matrix."""
+    n = len(xy)
+    if weights is None:
+        d = np.sqrt(
+            ((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1)
+        )
+    else:
+        d = weights
+    in_tree = np.zeros(n, dtype=bool)
+    in_tree[0] = True
+    best = d[0].copy()
+    best_src = np.zeros(n, dtype=np.int64)
+    edges = []
+    for _ in range(n - 1):
+        cand = np.where(in_tree, np.inf, best)
+        j = int(cand.argmin())
+        edges.append((int(best_src[j]), j, float(best[j])))
+        in_tree[j] = True
+        upd = d[j] < best
+        best[upd] = d[j][upd]
+        best_src[upd] = j
+    return edges
+
+
+def mreach_matrix(xy: np.ndarray, k: int) -> np.ndarray:
+    d = np.sqrt(((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1))
+    core = np.sort(d, axis=1)[:, k - 1]  # self included (d[i,i]=0 is col 0)
+    m = np.maximum(d, np.maximum(core[:, None], core[None, :]))
+    np.fill_diagonal(m, 0.0)
+    return m
+
+
+def _edge_key(edges):
+    return sorted((min(a, b), max(a, b)) for a, b, _ in edges)
+
+
+def test_mst_matches_prim(spark):
+    pdf = points_pdf("blobs", 150)
+    df = spark.createDataFrame(pdf)
+    got = minimum_spanning_tree(df, EngineConfig(resolution=3))
+    exp = prim_mst(pdf[["x", "y"]].to_numpy())
+    assert len(got) == len(pdf) - 1
+    assert _edge_key(got) == _edge_key(exp)
+    assert abs(sum(w for *_, w in got) - sum(w for *_, w in exp)) < 1e-9
+
+
+def test_mst_mutual_reachability_matches_prim(spark):
+    pdf = points_pdf("noisy_moons", 120)
+    df = spark.createDataFrame(pdf)
+    k = 4
+    got = minimum_spanning_tree(df, EngineConfig(resolution=3), core_k=k)
+    m = mreach_matrix(pdf[["x", "y"]].to_numpy(), k)
+    exp = prim_mst(pdf[["x", "y"]].to_numpy(), weights=m)
+    assert abs(sum(w for *_, w in got) - sum(w for *_, w in exp)) < 1e-9
+
+
+def test_single_linkage_cut_equals_dbscan_m0(spark):
+    # SLT cut at level r == DBSCAN(r, min_samples=0) canonical labels
+    # (every point is core when min_samples=0; radius graph components)
+    from ffcl_spark.operators.hdbscan import single_linkage_cut
+
+    pdf = points_pdf("noisy_circles", 150)
+    df = spark.createDataFrame(pdf)
+    r = 2.0
+    slt = single_linkage_cut(df, EngineConfig(resolution=3), cut_level=r).toPandas()
+    db = dbscan(df, r, 0, EngineConfig(resolution=3)).toPandas()
+    assert dict(zip(slt.id, slt.label)) == dict(zip(db.id, db.label))
+
+
+def test_hdbscan_blobs_finds_three_clusters(spark):
+    pdf = points_pdf("blobs", 200)
+    df = spark.createDataFrame(pdf)
+    got = hdb = None
+    from ffcl_spark.operators.hdbscan import hdbscan
+
+    hdb = hdbscan(df, EngineConfig(resolution=3), min_cluster_size=10,
+                  allow_single_cluster=False).toPandas()
+    # the seeded blob centers may overlap → ≥2 real clusters; the exact
+    # assertion is oracle parity below
+    n_clusters = len(set(hdb.label) - {0})
+    assert n_clusters >= 2
+    # clusters must be internally consistent with the local oracle
+    ids = pdf.id.tolist()
+    m = mreach_matrix(pdf[["x", "y"]].to_numpy(), 1)
+    exp_edges = prim_mst(pdf[["x", "y"]].to_numpy())
+    exp = hdbscan_labels(ids, exp_edges, 10, allow_single_cluster=False)
+    got_map = dict(zip(hdb.id, hdb.label))
+    assert got_map == exp
+
+
+def test_hierarchy_kernels_deterministic():
+    pdf = points_pdf("unbalanced_blobs", 150)
+    edges = prim_mst(pdf[["x", "y"]].to_numpy())
+    ids = pdf.id.tolist()
+    a = hdbscan_labels(ids, edges, 8)
+    b = hdbscan_labels(ids, edges, 8)
+    assert a == b
+    root = single_linkage_tree(ids, edges)
+    assert root.size == len(ids)
+    labs = cut_tree(root, 3.0, 5)
+    assert set(labs) == set(ids)
+
+
+def test_kmeans_blobs_matches_numpy_lloyd(spark):
+    pdf = points_pdf("blobs", 300)
+    df = spark.createDataFrame(pdf).cache()
+    cents, loss, labels = kmeans(df, 3, n_init=2, seed=7)
+    got = labels.toPandas().set_index("id").label
+
+    # NumPy Lloyd from the same deterministic init
+    xy = pdf.sort_values(["x", "y"])[["x", "y"]].to_numpy()
+    best = None
+    for trial in range(2):
+        c = kmeanspp_init(xy[:50_000], 3, 7 + trial)
+        pts = pdf[["x", "y"]].to_numpy()
+        for _ in range(20):
+            d = ((pts[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            lab = d.argmin(axis=1)
+            newc = c.copy()
+            for j in range(3):
+                if (lab == j).any():
+                    newc[j] = pts[lab == j].mean(axis=0)
+            if np.max(np.sqrt(((newc - c) ** 2).sum(1))) < 1e-6:
+                c = newc
+                break
+            c = newc
+        d = ((pts[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        l_ = np.sqrt(d.min(axis=1)).sum()
+        if best is None or l_ < best[1]:
+            best = (c, l_, d.argmin(axis=1))
+    exp_lab = best[2]
+    # compare as partitions (label ids may differ)
+    got_part = {}
+    for i, lab in got.items():
+        got_part.setdefault(lab, set()).add(i)
+    exp_part = {}
+    for i, lab in zip(pdf.id, exp_lab):
+        exp_part.setdefault(lab, set()).add(i)
+    assert sorted(map(frozenset, got_part.values())) == sorted(map(frozenset, exp_part.values()))
+    assert abs(loss - best[1]) < 1e-6 * max(1.0, best[1])
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # k > distinct points: extra centroids stay at init, no crash
+    pdf = points_pdf("blobs", 12)
+    df = spark.createDataFrame(pdf)
+    cents, loss, labels = kmeans(df, 8, seed=3)
+    assert len(cents) == 8
+    assert labels.count() == 12

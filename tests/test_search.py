@@ -150,3 +150,30 @@ def test_knn_grid_cross_set_and_resolutions(spark, blobs, circles):
         qp = pq[pq.id < 40]
         oq, on, _ = K.knn(qp[["x", "y"]].to_numpy(), pr[["x", "y"]].to_numpy(), pr.id.to_numpy(), 3)
         assert knn_sets(got) == set(zip(qp.id.to_numpy()[oq], on)), res
+
+
+def test_knn_with_memory_excludes_visited(spark, cfg, blobs):
+    df, pdf = blobs
+    visited = df.where(F.col("id") % 3 == 0).select("id")
+    got = S.knn_with_memory(df, df, visited, 4, cfg).toPandas()
+    assert not (got.r_id % 3 == 0).any()
+    keep = pdf[pdf.id % 3 != 0]
+    oq, on, _ = K.knn(
+        pdf[["x", "y"]].to_numpy(), keep[["x", "y"]].to_numpy(), keep.id.to_numpy(), 4
+    )
+    assert knn_sets(got) == set(zip(pdf.id.to_numpy()[oq], on))
+
+
+def test_closest_pair_matches_bruteforce(spark, cfg, blobs, circles):
+    da, pa = blobs
+    db, pb = circles
+    got = S.closest_pair(da, db, cfg).toPandas()
+    assert len(got) == 1
+    axy = pa[["x", "y"]].to_numpy()
+    bxy = pb[["x", "y"]].to_numpy()
+    d = np.sqrt(((axy[:, None, :] - bxy[None, :, :]) ** 2).sum(-1))
+    d[d == 0] = np.inf
+    i, j = np.unravel_index(d.argmin(), d.shape)
+    assert got.src[0] == pa.id.to_numpy()[i]
+    assert got.dst[0] == pb.id.to_numpy()[j]
+    assert abs(got.dist[0] - d[i, j]) < 1e-12

@@ -1,0 +1,55 @@
+import numpy as np
+from pyspark.sql import functions as F
+
+from ffcl_spark.operators import stats as ST
+
+
+def test_feature_stats_matches_numpy(spark, cfg, blobs):
+    df, pdf = blobs
+    row = ST.feature_stats(df).collect()[0]
+    assert abs(row["mean_x"] - pdf.x.mean()) < 1e-9
+    assert abs(row["var_y"] - pdf.y.var(ddof=1)) < 1e-9
+    per_cell = ST.feature_stats(df, cfg).toPandas()
+    assert per_cell.n.sum() == len(pdf)
+
+
+def test_argmax_variance_axis(spark, blobs):
+    df, pdf = blobs
+    stretched = df.select("id", (F.col("x") * 100).alias("x"), "y")
+    assert ST.argmax_variance_axis(stretched, sampling_rate=1.0) == "x"
+
+
+def silhouette_oracle(xy, labels):
+    n = len(xy)
+    d = np.sqrt(((xy[:, None, :] - xy[None, :, :]) ** 2).sum(-1))
+    s = np.zeros(n)
+    for i in range(n):
+        own = (labels == labels[i]) & (np.arange(n) != i)
+        if not own.any():
+            continue
+        a = d[i][own].mean()
+        bs = [
+            d[i][labels == l].mean()
+            for l in set(labels)
+            if l != labels[i]
+        ]
+        if not bs:
+            continue
+        b = min(bs)
+        s[i] = (b - a) / max(a, b)
+    return s
+
+
+def test_silhouette_matches_oracle(spark, blobs):
+    df, pdf = blobs
+    labels_pdf = pdf.copy()
+    labels_pdf["label"] = (labels_pdf.x > 0).astype(int)
+    labels = spark.createDataFrame(labels_pdf[["id", "label"]])
+    got = ST.silhouette_samples(df, labels).toPandas().sort_values("id")
+    exp = silhouette_oracle(
+        pdf.sort_values("id")[["x", "y"]].to_numpy(),
+        labels_pdf.sort_values("id")["label"].to_numpy(),
+    )
+    assert np.allclose(got.silhouette.to_numpy(), exp, atol=1e-9)
+    score = ST.silhouette_score(df, labels)
+    assert abs(score - exp.mean()) < 1e-9
