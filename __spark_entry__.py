@@ -177,13 +177,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Prim-oracle parity lives in pytest
         from ffcl_spark.operators.boruvka import minimum_spanning_tree
 
-        edges = minimum_spanning_tree(_cluster_subset(spark, sf), CFG)
+        edges = minimum_spanning_tree(_cluster_subset(spark, sf), CFG, local_cutoff=2000)
         return spark.createDataFrame(edges, "src string, dst string, w double")
 
     def q_hdbscan(spark, sf):
         from ffcl_spark.operators.hdbscan import hdbscan
 
-        return hdbscan(_cluster_subset(spark, sf), CFG, min_cluster_size=8)
+        return hdbscan(_cluster_subset(spark, sf), CFG, min_cluster_size=8, local_cutoff=2000)
 
     def q_pip_tiles(spark, sf):
         pts = _doc_points(spark, sf)
@@ -251,6 +251,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_id", "n_id", "rank"
         )
 
+    def q_feature_stats(spark, sf):
+        # float mean/variance aggregations are summation-order dependent
+        # → rows-only; NumPy parity in pytest
+        from ffcl_spark.operators.stats import feature_stats
+
+        return feature_stats(_doc_points(spark, sf), CFG)
+
+    def q_silhouette(spark, sf):
+        from ffcl_spark.operators.stats import silhouette_samples
+
+        pts = _cluster_subset(spark, sf)
+        labels = pts.select("id", (F.crc32(F.col("id")) % 2).alias("label"))
+        return silhouette_samples(pts, labels)
+
     def q_multimodal_meta(spark, sf):
         media = MM.media_binary(_docs(spark, sf))
         return MM.extract_features(media).select("doc_id", "offset", "n_bytes")
@@ -298,6 +312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
         "embed_ivf": q_embed_ivf,
+        "feature_stats": q_feature_stats,
+        "silhouette": q_silhouette,
         "multimodal_meta": q_multimodal_meta,
         "events_hourly": q_events_hourly,
     }

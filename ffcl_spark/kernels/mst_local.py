@@ -1,0 +1,51 @@
+"""Local exact MST (Prim) — the small-input fast path of
+``operators.boruvka.minimum_spanning_tree``.
+
+Semantics identical to the distributed Borůvka: Euclidean or
+mutual-reachability (``max(core_a, core_b, d)``, self-counted k-th-NN
+core distances) edge weights; deterministic under ties via (w, src,
+dst) edge ordering at extraction. O(n²) — used only below the
+operator's ``local_cutoff``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _dist_matrix(xy: np.ndarray) -> np.ndarray:
+    dx = xy[:, 0][:, None] - xy[:, 0][None, :]
+    dy = xy[:, 1][:, None] - xy[:, 1][None, :]
+    return np.sqrt(dx * dx + dy * dy)
+
+
+def prim_mst(
+    xy: np.ndarray, ids: np.ndarray, core_k: int | None = None
+) -> list[tuple]:
+    """[(src_id, dst_id, weight)] — n−1 edges."""
+    n = len(xy)
+    if n <= 1:
+        return []
+    d = _dist_matrix(xy)
+    if core_k is not None:
+        kk = min(core_k, n)
+        core = np.sort(d, axis=1)[:, kk - 1]  # self included (column 0 is 0)
+        d = np.maximum(d, np.maximum(core[:, None], core[None, :]))
+        np.fill_diagonal(d, 0.0)
+    # deterministic start: smallest id
+    order = np.argsort(ids, kind="stable")
+    start = order[0]
+    in_tree = np.zeros(n, dtype=bool)
+    in_tree[start] = True
+    best = d[start].copy()
+    best_src = np.full(n, start, dtype=np.int64)
+    edges = []
+    for _ in range(n - 1):
+        cand = np.where(in_tree, np.inf, best)
+        j = int(cand.argmin())
+        edges.append((ids[best_src[j]], ids[j], float(best[j])))
+        in_tree[j] = True
+        upd = d[j] < best
+        best[upd] = d[j][upd]
+        best_src[upd] = j
+    return edges

@@ -47,15 +47,31 @@ def minimum_spanning_tree(
     cfg: EngineConfig,
     core_k: int | None = None,
     k0: int = 8,
+    local_cutoff: int = 0,
 ) -> list[tuple]:
     """Exact MST edges [(src, dst, weight), ...] (n−1 edges, collected:
     the MST is O(n) rows — driver-sized by definition for the scales
     where a *tree over every point* is itself the requested output).
+
+    ``local_cutoff``: inputs at or below this size skip the distributed
+    rounds and run the identical-semantics local Prim kernel — the
+    small-relation local-execution optimization (each Borůvka round
+    costs O(1) Spark jobs of latency; below a few thousand points the
+    latency dwarfs the O(n²) local solve).
     """
     pts = points.select("id", "x", "y").persist()
     n = pts.count()
     if n <= 1:
         return []
+    if n <= local_cutoff:
+        import numpy as np
+
+        from ffcl_spark.kernels.mst_local import prim_mst
+
+        pdf = pts.toPandas().sort_values("id").reset_index(drop=True)
+        return prim_mst(
+            pdf[["x", "y"]].to_numpy(), pdf["id"].to_numpy(), core_k=core_k
+        )
 
     core = None
     if core_k is not None:
@@ -73,6 +89,7 @@ def minimum_spanning_tree(
     spark = points.sparkSession
     edges: list[tuple] = []
     id_type = points.schema["id"].dataType
+    base_nn = None  # k0-NN lists, shared across rounds
 
     while True:
         comp_rows = [(i, uf.find(i)) for i in ids]
@@ -84,8 +101,22 @@ def minimum_spanning_tree(
         k = min(k0, n)
         pend = pts
         best: dict = {}  # comp -> (w, src, dst)
+        first_pass = True
         while True:
-            nn = knn_join_grid(pend, pts, k, cfg).where(F.col("q_id") != F.col("r_id"))
+            if first_pass:
+                # the base k-NN lists are component-independent — computed
+                # once before round 1 and reused every round
+                if base_nn is None:
+                    base_nn = (
+                        knn_join_grid(pts, pts, k, cfg)
+                        .where(F.col("q_id") != F.col("r_id"))
+                        .persist()
+                    )
+                    base_nn.count()
+                nn = base_nn
+            else:
+                nn = knn_join_grid(pend, pts, k, cfg).where(F.col("q_id") != F.col("r_id"))
+            first_pass = False
             nn = (
                 nn.join(
                     F.broadcast(comp_df.select(F.col("id").alias("q_id"), F.col("comp").alias("q_comp"))),
@@ -175,4 +206,6 @@ def minimum_spanning_tree(
         if not merged_any:
             break
 
+    if base_nn is not None:
+        base_nn.unpersist()
     return edges

@@ -24,12 +24,13 @@ def hdbscan(
     k_nearest_neighbors: int = 1,
     min_cluster_size: int = 5,
     allow_single_cluster: bool = True,
+    local_cutoff: int = 0,
 ) -> DataFrame:
     """(id, label): HDBSCAN flat labels, canonical (min member id per
     cluster), noise 0."""
     ids = [r["id"] for r in points.select("id").collect()]
     core_k = k_nearest_neighbors if k_nearest_neighbors > 1 else None
-    edges = minimum_spanning_tree(points, cfg, core_k=core_k)
+    edges = minimum_spanning_tree(points, cfg, core_k=core_k, local_cutoff=local_cutoff)
     labels = hdbscan_labels(ids, edges, min_cluster_size, allow_single_cluster)
     spark = points.sparkSession
     id_sql = points.schema["id"].dataType.simpleString()
@@ -43,11 +44,12 @@ def single_linkage_cut(
     cfg: EngineConfig,
     cut_level: float,
     min_cluster_size: int = 1,
+    local_cutoff: int = 0,
 ) -> DataFrame:
     """Flat single-linkage clustering at ``cut_level`` over the plain-
     distance MST (reference ``SingleLinkageClusterTree.hpp:151-175``)."""
     ids = [r["id"] for r in points.select("id").collect()]
-    edges = minimum_spanning_tree(points, cfg)
+    edges = minimum_spanning_tree(points, cfg, local_cutoff=local_cutoff)
     root = single_linkage_tree(ids, edges)
     labels = cut_tree(root, cut_level, min_cluster_size) if root else {i: 0 for i in ids}
     spark = points.sparkSession
