@@ -56,6 +56,7 @@ def radius_join(
     refs: DataFrame,
     radius: float,
     cfg: EngineConfig,
+    salt_hot_cells: bool = True,
 ) -> DataFrame:
     """All (q_id, r_id, dist) with dist < radius (strict).
 
@@ -63,6 +64,15 @@ def radius_join(
     cover an L2 radius r is ceil(r / cell_size), known a priori, so no
     iteration. Self-pairs appear when queries is refs (FFCL includes
     the query point at distance 0).
+
+    Skew: cells whose ref count exceeds ``cfg.hot_cell_rows`` are
+    salted explicitly — refs in a hot cell scatter over
+    ``cfg.salt_buckets`` sub-keys (hash of id), queries fan out to all
+    sub-keys of hot cells only — so one hot key becomes
+    ``salt_buckets`` evenly-sized keys instead of one straggler task
+    (AQE skew-join splitting remains on as the second line of
+    defense). The hot-cell set is a broadcast of cell counts — per-cell
+    metadata, not data.
     """
     rings = max(1, math.ceil(radius / cfg.cell_size))
     q = _tag(queries, "q").withColumn(
@@ -74,9 +84,35 @@ def radius_join(
     r = _tag(refs, "r").withColumn(
         "cell", C.cell_id(F.col("r_x"), F.col("r_y"), cfg)
     )
+    if salt_hot_cells:
+        hot = (
+            r.groupBy("cell")
+            .count()
+            .where(F.col("count") > cfg.hot_cell_rows)
+            .select("cell", F.lit(True).alias("is_hot"))
+        )
+        nbuckets = cfg.salt_buckets
+        r = r.join(F.broadcast(hot), "cell", "left").withColumn(
+            "salt",
+            F.when(
+                F.col("is_hot").isNotNull(),
+                F.pmod(F.xxhash64(F.col("r_id")), F.lit(nbuckets)),
+            ).otherwise(F.lit(0)),
+        ).drop("is_hot")
+        q = q.join(F.broadcast(hot), "cell", "left").withColumn(
+            "salt",
+            F.explode(
+                F.when(
+                    F.col("is_hot").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(nbuckets - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        ).drop("is_hot")
+        joined = q.join(r, ["cell", "salt"])
+    else:
+        joined = q.join(r, "cell")
     return (
-        q.join(r, "cell")
-        .withColumn("dist", F.expr(DIST))
+        joined.withColumn("dist", F.expr(DIST))
         .where(F.col("dist") < radius)
         .select("q_id", "r_id", "dist")
     )
