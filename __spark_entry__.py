@@ -143,6 +143,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cfg = knn_resolution(refs.count(), K, CFG)
         return knn_join_grid(qs, refs, K, cfg)
 
+    def q_knn_manhattan(spark, sf):
+        pts = _doc_points(spark, sf)
+        return S.knn_join(pts, pts, K, CFG, metric="manhattan")
+
+    def q_radius_manhattan(spark, sf):
+        pts = _doc_points(spark, sf)
+        return S.radius_join(pts, pts, RADIUS, CFG, metric="manhattan")
+
     def q_knn_memory(spark, sf):
         # visited set = the offset-0 media span of every doc (reference
         # WithMemory.hpp semantics: candidates in the visited set are
@@ -290,6 +298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_docs": q_radius_docs,
         "core_distance": q_core_distance,
         "knn_lineitem": q_knn_lineitem,
+        "knn_manhattan": q_knn_manhattan,
+        "radius_manhattan": q_radius_manhattan,
         "knn_memory": q_knn_memory,
         "closest_pair": q_closest_pair,
         "kmeans": q_kmeans,
@@ -363,6 +373,7 @@ def _cell_expr(x: str, y: str) -> str:
 
 
 _DIST = "sqrt((q.x - r.x) * (q.x - r.x) + (q.y - r.y) * (q.y - r.y))"
+_DIST_L1 = "(abs(q.x - r.x) + abs(q.y - r.y))"
 
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
 
@@ -471,6 +482,22 @@ nn AS (
          row_number() OVER (PARTITION BY q.id ORDER BY {_DIST}, r.id) AS rnk
   FROM pts q CROSS JOIN pts r QUALIFY rnk <= {K})
 SELECT q_id AS id, max(dist) AS core_distance FROM nn GROUP BY q_id
+"""
+
+    o["knn_manhattan"] = f"""
+WITH {_PTS_DOCS}
+SELECT q.id AS q_id, r.id AS r_id, {_DIST_L1} AS dist,
+       CAST(row_number() OVER (
+         PARTITION BY q.id ORDER BY {_DIST_L1}, r.id) AS INTEGER) AS rank
+FROM pts q CROSS JOIN pts r
+QUALIFY rank <= {K}
+"""
+
+    o["radius_manhattan"] = f"""
+WITH {_PTS_DOCS}
+SELECT q.id AS q_id, r.id AS r_id, {_DIST_L1} AS dist
+FROM pts q CROSS JOIN pts r
+WHERE {_DIST_L1} < {RADIUS}
 """
 
     o["knn_lineitem"] = _knn_sql(

@@ -34,6 +34,17 @@ from ffcl_spark.config import EngineConfig
 from ffcl_spark.functions import cells as C
 
 DIST = "sqrt((q_x - r_x) * (q_x - r_x) + (q_y - r_y) * (q_y - r_y))"
+# Manhattan — the reference's auto_distance dispatches L1 for integral
+# data (Distances.hpp:94-117, 261-300)
+DIST_L1 = "abs(q_x - r_x) + abs(q_y - r_y)"
+
+
+def dist_expr(metric: str) -> str:
+    if metric == "euclidean":
+        return DIST
+    if metric == "manhattan":
+        return DIST_L1
+    raise ValueError(f"unknown metric {metric!r}")
 
 
 def box_search(points: DataFrame, x_lo: float, y_lo: float, x_hi: float, y_hi: float) -> DataFrame:
@@ -57,8 +68,13 @@ def radius_join(
     radius: float,
     cfg: EngineConfig,
     salt_hot_cells: bool = True,
+    metric: str = "euclidean",
 ) -> DataFrame:
     """All (q_id, r_id, dist) with dist < radius (strict).
+
+    ``metric``: 'euclidean' (default) or 'manhattan'. The cell-cover
+    bound is metric-safe: an L1 (or L2) ball of radius r fits inside
+    the L∞ box of radius r, so the same Chebyshev ring cover applies.
 
     One shuffle on the cell key; the Chebyshev ring radius needed to
     cover an L2 radius r is ceil(r / cell_size), known a priori, so no
@@ -112,7 +128,7 @@ def radius_join(
     else:
         joined = q.join(r, "cell")
     return (
-        joined.withColumn("dist", F.expr(DIST))
+        joined.withColumn("dist", F.expr(dist_expr(metric)))
         .where(F.col("dist") < radius)
         .select("q_id", "r_id", "dist")
     )
@@ -124,6 +140,7 @@ def knn_join(
     k: int,
     cfg: EngineConfig,
     start_ring: int = 1,
+    metric: str = "euclidean",
 ) -> DataFrame:
     """k nearest refs per query: (q_id, r_id, dist, rank).
 
@@ -140,6 +157,10 @@ def knn_join(
       covers the whole grid.
       Pending queries search only the *incremental* ring(s) next round;
       survivors' top-k candidate sets carry forward.
+
+    ``metric``: 'euclidean' or 'manhattan' — the guaranteed-radius
+    termination bound is the L∞ distance to the searched box border,
+    and L1 ≥ L∞, so the same rule is valid for both metrics.
 
     Each round = one shuffle join on cell for the pending queries only.
     At sane resolutions (cfg.auto_resolution) almost all queries finish
@@ -177,7 +198,7 @@ def knn_join(
         )
         cand = (
             probe.join(r, "cell")
-            .withColumn("dist", F.expr(DIST))
+            .withColumn("dist", F.expr(dist_expr(metric)))
             .select("q_id", "q_x", "q_y", "q_cell", "r_id", "dist")
         )
         if survivors is not None:
@@ -221,7 +242,7 @@ def knn_join(
         # cell-less join against all refs
         brute = (
             pending.crossJoin(r.drop("cell"))
-            .withColumn("dist", F.expr(DIST))
+            .withColumn("dist", F.expr(dist_expr(metric)))
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("q_id", "r_id", "dist", "rank")

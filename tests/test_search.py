@@ -177,3 +177,23 @@ def test_closest_pair_matches_bruteforce(spark, cfg, blobs, circles):
     assert got.src[0] == pa.id.to_numpy()[i]
     assert got.dst[0] == pb.id.to_numpy()[j]
     assert abs(got.dist[0] - d[i, j]) < 1e-12
+
+
+def test_manhattan_radius_and_knn(spark, cfg, blobs):
+    df, pdf = blobs
+    xy = pdf[["x", "y"]].to_numpy()
+    d1 = np.abs(xy[:, None, :] - xy[None, :, :]).sum(-1)
+
+    r = 4.0
+    got = S.radius_join(df, df, r, cfg, metric="manhattan").toPandas()
+    qi, ri = np.nonzero(d1 < r)
+    ids = pdf.id.to_numpy()
+    assert set(zip(got.q_id, got.r_id)) == set(zip(ids[qi], ids[ri]))
+
+    k = 4
+    nn = S.knn_join(df, df, k, cfg, metric="manhattan").toPandas()
+    expected = set()
+    for i in range(len(xy)):
+        order = np.lexsort((ids, d1[i]))[:k]
+        expected |= {(ids[i], ids[j]) for j in order}
+    assert knn_sets(nn) == expected
