@@ -53,15 +53,24 @@ def rolling_fingerprint(toks: Column) -> Column:
 
 
 def shingles(toks: Column, n: int = 3) -> Column:
-    """Distinct n-gram token shingles (space-joined)."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0)))
+    """Distinct n-gram token shingles (space-joined).
+
+    Docs with fewer than ``n`` tokens yield an EMPTY array — guarded
+    explicitly, because ``sequence(1, size-(n-1))`` would otherwise
+    produce the descending sequence [1, 0] and ``element_at(toks, 0)``
+    throws. Matches the DuckDB oracle, where
+    ``generate_series(1, -1)`` is empty.
+    """
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
     grams = F.transform(
         idx,
         lambda i: F.concat_ws(
             " ", *[F.element_at(toks, i + j) for j in range(n)]
         ),
     )
-    return F.array_distinct(grams)
+    return F.when(F.size(toks) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def stopword_count(toks: Column) -> Column:

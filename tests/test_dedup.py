@@ -61,3 +61,34 @@ def test_simhash_identical_docs_hamming_zero(spark):
 def test_simhash_in_32_bits(spark):
     fps = DD.simhash(_docs(spark)).toPandas()
     assert (fps.simhash >= 0).all() and (fps.simhash < 2**32).all()
+
+
+def test_short_docs_do_not_crash_shingle_pipelines(spark):
+    # docs with < n tokens used to make sequence(1,0) → element_at(,0)
+    # throw; they must instead contribute zero shingles (like the
+    # DuckDB oracle's empty generate_series)
+    rows = [
+        (0, "hi"),
+        (1, "two tokens"),
+        (2, ""),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = DD.ngram_jaccard_pairs(docs, 0.3).toPandas()
+    assert set(zip(got.id_a, got.id_b)) == {(3, 4)}
+    sigs = DD.minhash_signatures(docs).toPandas()
+    assert set(sigs.id) == {3, 4}  # shingle-less docs have no signature
+    mh = DD.minhash_dedup_pairs(docs, 0.3).toPandas()
+    assert set(zip(mh.id_a, mh.id_b)) == {(3, 4)}
+
+
+def test_max_doc_freq_caps_candidate_generation_only(spark):
+    docs = _docs(spark)
+    full = DD.ngram_jaccard_pairs(docs, 0.3).toPandas()
+    capped = DD.ngram_jaccard_pairs(docs, 0.3, max_doc_freq=10).toPandas()
+    # cap above every shingle's document frequency → identical output,
+    # with exact (uncapped) jaccard values
+    a = full.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    b = capped.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
