@@ -64,7 +64,8 @@ def single_linkage_tree(point_ids: list, edges: list[tuple]) -> SLNode:
 def cut_tree(root: SLNode, cut_level: float, min_cluster_size: int = 1) -> dict:
     """Flat labels: clusters = maximal subtrees fully merged strictly
     below ``cut_level`` with size ≥ min_cluster_size; everything else
-    noise (0). Cluster label = min member id."""
+    noise (``None`` — unambiguous even when a cluster's min member id
+    is 0). Cluster label = min member id."""
     labels: dict = {}
 
     def assign(node: SLNode):
@@ -75,7 +76,7 @@ def cut_tree(root: SLNode, cut_level: float, min_cluster_size: int = 1) -> dict:
                     labels[m] = lab
             else:
                 for m in node.members:
-                    labels[m] = 0
+                    labels[m] = None
             return
         assign(node.left)
         assign(node.right)
@@ -192,14 +193,14 @@ def hdbscan_labels(
 ) -> dict:
     """Flat HDBSCAN labels from a (mutual-reachability) MST: shallowest
     selected condensed nodes become clusters (labels = min member id,
-    noise 0) — reference ``HDBSCAN.hpp:91-116`` composition."""
+    noise ``None``) — reference ``HDBSCAN.hpp:91-116`` composition."""
     root = single_linkage_tree(point_ids, mst_edges)
     if root is None:
-        return {p: 0 for p in point_ids}
+        return {p: None for p in point_ids}
     top = condense_tree(root, min_cluster_size)
     compute_stability(top)
     select_clusters(top, allow_single_cluster)
-    labels = {p: 0 for p in point_ids}
+    labels = {p: None for p in point_ids}
 
     def collect_points(c: CondensedNode) -> list:
         pts = [m for m, _ in c.members]

@@ -24,6 +24,11 @@ Distributed form — exact, with the reference's prune translated:
 - the ≤ n_components found edges are merged on the driver
   (``UnionFind.hpp`` semantics); components at least halve per round →
   O(log n) rounds.
+- the id → component map is a *persisted DataFrame*, never collected:
+  each round it is updated by a broadcast join against the (≤ 2×merges
+  rows) relabel map derived from the merged edges. Only edges and the
+  relabel map ever reach the driver — the driver's memory footprint is
+  O(MST edges), which is the size of the requested output itself.
 
 Edge weights: Euclidean distance, or mutual reachability
 ``max(core_a, core_b, dist)`` (``BoruvkasAlgorithm.hpp:307-308``) when
@@ -78,29 +83,23 @@ def minimum_spanning_tree(
         core = core_distances(pts, core_k, cfg).persist()
         core.count()
 
-    # driver-side component map (id -> comp). Components are the
-    # anti-scale piece: the map halves in distinct values each round;
-    # the broadcast join ships it compactly.
-    uf = UnionFind()
-    ids = [r["id"] for r in pts.select("id").collect()]
-    for i in ids:
-        uf.find(i)
-
+    # distributed component map (id -> comp), never collected. Plain
+    # (non-hinted) joins everywhere it is used: AQE broadcasts it while
+    # small-enough and shuffles otherwise — at 100× the map is n rows
+    # and must not be forced through the driver or a broadcast.
     spark = points.sparkSession
-    edges: list[tuple] = []
     id_type = points.schema["id"].dataType
+    id_sql = id_type.simpleString()
+    comp_df = pts.select("id", F.col("id").alias("comp")).persist()
+    comp_df.count()
+    n_comp = n
+    edges: list[tuple] = []
     base_nn = None  # k0-NN lists, shared across rounds
 
-    while True:
-        comp_rows = [(i, uf.find(i)) for i in ids]
-        n_comp = len({c for _, c in comp_rows})
-        if n_comp <= 1:
-            break
-        comp_df = spark.createDataFrame(comp_rows, schema=f"id {id_type.simpleString()}, comp {id_type.simpleString()}")
-
+    while n_comp > 1:
         k = min(k0, n)
         pend = pts
-        best: dict = {}  # comp -> (w, src, dst)
+        best: dict = {}  # q_comp -> (w, src_id, dst_id, dst_comp)
         first_pass = True
         while True:
             if first_pass:
@@ -119,21 +118,21 @@ def minimum_spanning_tree(
             first_pass = False
             nn = (
                 nn.join(
-                    F.broadcast(comp_df.select(F.col("id").alias("q_id"), F.col("comp").alias("q_comp"))),
+                    comp_df.select(F.col("id").alias("q_id"), F.col("comp").alias("q_comp")),
                     "q_id",
                 )
                 .join(
-                    F.broadcast(comp_df.select(F.col("id").alias("r_id"), F.col("comp").alias("r_comp"))),
+                    comp_df.select(F.col("id").alias("r_id"), F.col("comp").alias("r_comp")),
                     "r_id",
                 )
             )
             if core is not None:
                 nn = (
                     nn.join(
-                        F.broadcast(core.select(F.col("id").alias("q_id"), F.col("core_distance").alias("core_q"))), "q_id"
+                        core.select(F.col("id").alias("q_id"), F.col("core_distance").alias("core_q")), "q_id"
                     )
                     .join(
-                        F.broadcast(core.select(F.col("id").alias("r_id"), F.col("core_distance").alias("core_r"))), "r_id"
+                        core.select(F.col("id").alias("r_id"), F.col("core_distance").alias("core_r")), "r_id"
                     )
                     .withColumn("w", F.greatest("core_q", "core_r", "dist"))
                 )
@@ -144,14 +143,14 @@ def minimum_spanning_tree(
             # exact per-point best cross edge, then per-component best
             cand = (
                 cross.groupBy("q_comp")
-                .agg(F.min(F.struct("w", "q_id", "r_id")).alias("e"))
-                .select("q_comp", "e.w", "e.q_id", "e.r_id")
+                .agg(F.min(F.struct("w", "q_id", "r_id", "r_comp")).alias("e"))
+                .select("q_comp", "e.w", "e.q_id", "e.r_id", "e.r_comp")
                 .collect()
             )
             for row in cand:
                 cur = best.get(row["q_comp"])
-                e = (row["w"], row["q_id"], row["r_id"])
-                if cur is None or e < cur:
+                e = (row["w"], row["q_id"], row["r_id"], row["r_comp"])
+                if cur is None or e[:3] < cur[:3]:
                     best[row["q_comp"]] = e
 
             if k >= n:
@@ -164,12 +163,14 @@ def minimum_spanning_tree(
                 F.max(F.when(F.col("q_comp") != F.col("r_comp"), 1).otherwise(0)).alias("has_cross"),
                 F.max(F.col("core_q") if core is not None else F.lit(0.0)).alias("core_q"),
             )
-            best_rows = [(c, w) for c, (w, _, _) in best.items()]
+            best_rows = [(c, e[0]) for c, e in best.items()]
             if best_rows:
+                # plain join: AQE broadcasts while the per-component
+                # best list is small, shuffles when it is O(n) (round 1)
                 best_df = spark.createDataFrame(
-                    best_rows, schema=f"q_comp {id_type.simpleString()}, comp_best double"
+                    best_rows, schema=f"q_comp {id_sql}, comp_best double"
                 )
-                per_q = per_q.join(F.broadcast(best_df), "q_comp", "left")
+                per_q = per_q.join(best_df, "q_comp", "left")
             else:
                 per_q = per_q.withColumn("comp_best", F.lit(None).cast("double"))
             if core is not None:
@@ -192,20 +193,51 @@ def minimum_spanning_tree(
                 break
             k = min(n, k * 2)
 
-        # merge all found edges (dedupe by canonical pair)
+        # merge all found edges on a FRESH per-round union-find over
+        # component labels only (≤ 2×|round edges| entries), then push
+        # the relabel map back into the distributed component map
         round_edges = set()
-        for comp, (w, src, dst) in best.items():
+        for q_comp, (w, src, dst, r_comp) in best.items():
             a, b = (src, dst) if src < dst else (dst, src)
-            round_edges.add((w, a, b))
+            ca, cb = (q_comp, r_comp) if src < dst else (r_comp, q_comp)
+            round_edges.add((w, a, b, ca, cb))
+        uf = UnionFind()
         merged_any = False
-        for w, a, b in sorted(round_edges):
-            if uf.find(a) != uf.find(b):
-                uf.merge(a, b)
+        n_merges = 0
+        for w, a, b, ca, cb in sorted(round_edges):
+            if uf.find(ca) != uf.find(cb):
+                uf.merge(ca, cb)
                 edges.append((a, b, w))
                 merged_any = True
+                n_merges += 1
         if not merged_any:
             break
+        # canonical new label per merged group = min old comp label
+        touched = {c for *_, ca, cb in round_edges for c in (ca, cb)}
+        canon: dict = {}
+        for c in touched:
+            r = uf.find(c)
+            if r not in canon or c < canon[r]:
+                canon[r] = c
+        mapping = [(c, canon[uf.find(c)]) for c in touched if canon[uf.find(c)] != c]
+        if mapping:
+            relabel = spark.createDataFrame(
+                mapping, schema=f"comp {id_sql}, newc {id_sql}"
+            )
+            new_comp = (
+                comp_df.join(F.broadcast(relabel), "comp", "left")
+                .select("id", F.coalesce("newc", "comp").alias("comp"))
+                .persist()
+            )
+            new_comp.count()
+            comp_df.unpersist()
+            comp_df = new_comp
+        n_comp -= n_merges
 
+    comp_df.unpersist()
+    pts.unpersist()
+    if core is not None:
+        core.unpersist()
     if base_nn is not None:
         base_nn.unpersist()
     return edges

@@ -77,9 +77,11 @@ def dbscan(
     min_samples: int,
     cfg: EngineConfig,
 ) -> DataFrame:
-    """(id, label): canonical DBSCAN labels; noise label is NULL-free 0
-    encoded as the string "0" when ids are strings (label dtype follows
-    the id column so canonical labels are min point ids)."""
+    """(id, label, is_noise): canonical DBSCAN labels; noise label is
+    NULL-free 0 (the string "0" when ids are strings — label dtype
+    follows the id column so canonical labels are min point ids), and
+    ``is_noise`` is the unambiguous flag (a cluster whose min member id
+    is 0 would otherwise collide with the sentinel)."""
     pairs = radius_join(points, points, radius, cfg).persist()
 
     # 1. core flags: strict count > min_samples, self pair included
@@ -112,20 +114,27 @@ def dbscan(
     )
 
     def local_components(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        uf = UnionFind()
-        for a, b in zip(pdf["q_id"], pdf["r_id"]):
-            uf.merge(a, b)
-        ids = pd.unique(pd.concat([pdf["q_id"], pdf["r_id"]]))
-        roots = {i: uf.find(i) for i in ids}
-        # canonical local component = min member id
-        comp_min: dict = {}
-        for i, r in roots.items():
-            m = comp_min.get(r)
-            if m is None or i < m:
-                comp_min[r] = i
-        return pd.DataFrame(
-            {"id": list(roots.keys()), "comp": [comp_min[roots[i]] for i in roots]}
-        )
+        # fully vectorized connected components: min-label propagation
+        # with pointer jumping (Shiloach–Vishkin style) — no per-edge
+        # Python loop, so a dense hot cell stays NumPy-bound.
+        # factorize(sort=True) ranks ids, so the min label IS the min id.
+        both = pd.concat([pdf["q_id"], pdf["r_id"]], ignore_index=True)
+        codes, uniq = pd.factorize(both, sort=True)
+        n_nodes = len(uniq)
+        m_edges = len(pdf)
+        qi = codes[:m_edges].astype(np.int64)
+        ri = codes[m_edges:].astype(np.int64)
+        lab = np.arange(n_nodes, dtype=np.int64)
+        while True:
+            nxt = lab.copy()
+            np.minimum.at(nxt, qi, lab[ri])
+            np.minimum.at(nxt, ri, lab[qi])
+            nxt = np.minimum(nxt[nxt], nxt)  # pointer jump (path halving)
+            if np.array_equal(nxt, lab):
+                break
+            lab = nxt
+        uniq = np.asarray(uniq)
+        return pd.DataFrame({"id": uniq, "comp": uniq[lab]})
 
     same_cell = cc_cells.where(F.col("q_cell") == F.col("r_cell")).select(
         "q_cell", "q_id", "r_id"
@@ -190,10 +199,17 @@ def dbscan(
     )
 
     labeled = core_label.unionByName(border)
+    # noise keeps the 0 sentinel for backward compatibility, but the
+    # explicit is_noise flag disambiguates a cluster whose canonical
+    # (min member) id happens to BE 0 — ids may start at 0
     noise_label = F.lit(0).cast(id_type)
     out = (
         points.select("id")
         .join(labeled, "id", "left")
-        .select("id", F.coalesce("label", noise_label).alias("label"))
+        .select(
+            "id",
+            F.coalesce("label", noise_label).alias("label"),
+            F.col("label").isNull().alias("is_noise"),
+        )
     )
     return out

@@ -26,17 +26,34 @@ def hdbscan(
     allow_single_cluster: bool = True,
     local_cutoff: int = 0,
 ) -> DataFrame:
-    """(id, label): HDBSCAN flat labels, canonical (min member id per
-    cluster), noise 0."""
-    ids = [r["id"] for r in points.select("id").collect()]
+    """(id, label, is_noise): HDBSCAN flat labels, canonical (min
+    member id per cluster), noise label 0 with ``is_noise`` true —
+    the explicit flag disambiguates a cluster whose min member id IS
+    the noise sentinel (ids may legitimately start at 0)."""
     core_k = k_nearest_neighbors if k_nearest_neighbors > 1 else None
     edges = minimum_spanning_tree(points, cfg, core_k=core_k, local_cutoff=local_cutoff)
+    # the MST spans every point, so its endpoints ARE the id universe —
+    # no separate all-ids collect (the edge list is the O(n) driver
+    # artifact this pipeline outputs by contract)
+    if edges:
+        ids = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    else:
+        ids = [r["id"] for r in points.select("id").limit(2).collect()]
     labels = hdbscan_labels(ids, edges, min_cluster_size, allow_single_cluster)
     spark = points.sparkSession
     id_sql = points.schema["id"].dataType.simpleString()
+    rows = [
+        (i, labels[i] if labels[i] is not None else _zero(ids), labels[i] is None)
+        for i in ids
+    ]
     return spark.createDataFrame(
-        [(i, labels[i]) for i in ids], schema=f"id {id_sql}, label {id_sql}"
+        rows, schema=f"id {id_sql}, label {id_sql}, is_noise boolean"
     )
+
+
+def _zero(ids):
+    """Noise sentinel in the id's type (0, or "0" for string ids)."""
+    return "0" if ids and isinstance(ids[0], str) else 0
 
 
 def single_linkage_cut(
@@ -47,13 +64,21 @@ def single_linkage_cut(
     local_cutoff: int = 0,
 ) -> DataFrame:
     """Flat single-linkage clustering at ``cut_level`` over the plain-
-    distance MST (reference ``SingleLinkageClusterTree.hpp:151-175``)."""
-    ids = [r["id"] for r in points.select("id").collect()]
+    distance MST (reference ``SingleLinkageClusterTree.hpp:151-175``).
+    Returns (id, label, is_noise); noise label 0 with is_noise true."""
     edges = minimum_spanning_tree(points, cfg, local_cutoff=local_cutoff)
+    if edges:
+        ids = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    else:
+        ids = [r["id"] for r in points.select("id").limit(2).collect()]
     root = single_linkage_tree(ids, edges)
-    labels = cut_tree(root, cut_level, min_cluster_size) if root else {i: 0 for i in ids}
+    labels = cut_tree(root, cut_level, min_cluster_size) if root else {i: None for i in ids}
     spark = points.sparkSession
     id_sql = points.schema["id"].dataType.simpleString()
+    rows = [
+        (i, labels[i] if labels[i] is not None else _zero(ids), labels[i] is None)
+        for i in ids
+    ]
     return spark.createDataFrame(
-        [(i, labels[i]) for i in ids], schema=f"id {id_sql}, label {id_sql}"
+        rows, schema=f"id {id_sql}, label {id_sql}, is_noise boolean"
     )

@@ -18,6 +18,8 @@ semantic contract (SURVEY.md §2.9).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -99,13 +101,26 @@ def kmeans(
     sample_rows: int = 50_000,
 ) -> tuple[np.ndarray, float, DataFrame]:
     """Full k-means: n_init kmeans++ restarts, keep the min-loss run.
-    Returns (centroids, loss, labels DataFrame (id, label))."""
+    Returns (centroids, loss, labels DataFrame (id, label)).
+
+    The init sample is a SEEDED HASH FILTER (pmod(xxhash64(id, seed),
+    m) == 0) — deterministic at any partitioning/AQE plan, and never a
+    global sort of the full table (a total orderBy to seed centroids
+    is a scale-killer at 100×). The filtered sample is sorted locally
+    so the kmeans++ draw order is stable."""
+    n = points.count()
+    m = max(1, math.ceil(n / sample_rows))
+    basis = points
+    if m > 1:
+        basis = points.where(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(m)) == 0
+        )
     sample = (
-        points.select("x", "y")
-        .orderBy("x", "y")  # deterministic sample basis
-        .limit(sample_rows)
+        basis.select("x", "y")
         .toPandas()
-        .to_numpy()
+        .sort_values(["x", "y"])
+        .reset_index(drop=True)
+        .to_numpy()[:sample_rows]
     )
     best = None
     for trial in range(n_init):

@@ -141,19 +141,29 @@ def knn_join_kernel(
         kernel, out_schema
     )
     grouped = grouped.persist()
-    done_rows = grouped.where(F.col("done")).select("q_id", "r_id", "dist", "rank")
+    # checkpoint final rows off the cached kernel output, then drop the
+    # cache — repeated callers must not accumulate cached partitions
+    done_rows = (
+        grouped.where(F.col("done"))
+        .select("q_id", "r_id", "dist", "rank")
+        .localCheckpoint()
+    )
     # pending = queries without a done result (covers the not-done flag
     # AND queries whose cell had zero serving refs)
     pend_q = queries.join(
         done_rows.select(F.col("q_id").alias("id")).distinct(), "id", "left_anti"
     ).persist()
-    if pend_q.count() == 0:
+    n_pend = pend_q.count()
+    grouped.unpersist()
+    if n_pend == 0:
+        pend_q.unpersist()
         return done_rows
     # fallback: iterative JVM ring expansion for the stragglers (their
     # count is tiny — dense areas always terminate in ring 1)
     from ffcl_spark.operators.search import knn_join
 
     rest = knn_join(pend_q, refs, k, cfg, start_ring=ring + 1)
+    pend_q.unpersist()
     return done_rows.unionByName(rest)
 
 
@@ -354,17 +364,26 @@ def knn_join_grid(
         .applyInPandas(kernel, out_schema)
         .persist()
     )
-    done_rows = grouped.where(F.col("done")).select("q_id", "r_id", "dist", "rank")
+    # checkpoint final rows off the cached kernel output, then drop the
+    # cache — Borůvka calls this per escalation round and must not
+    # accumulate cached partitions (ADVICE: cache-leak fix)
+    done_rows = (
+        grouped.where(F.col("done"))
+        .select("q_id", "r_id", "dist", "rank")
+        .localCheckpoint()
+    )
     # every query is represented in `grouped` (placeholders for the
     # candidate-less case), so the pending check is a cached scan, no
     # join — the common case returns immediately
     not_done = grouped.where(~F.col("done")).select("q_id")
     if not_done.isEmpty():
+        grouped.unpersist()
         return done_rows
     from ffcl_spark.operators.search import knn_join
 
     pend_q = queries.join(
         not_done.distinct().withColumnRenamed("q_id", "id"), "id", "left_semi"
-    )
+    ).localCheckpoint()
+    grouped.unpersist()
     rest = knn_join(pend_q, refs, k, cfg, start_ring=2)
     return done_rows.unionByName(rest)

@@ -168,6 +168,14 @@ def knn_join(
     back to a brute-force join against all refs — the correctness
     backstop; at that point they are few, so the broadcast of the
     pending queries is small.
+
+    Cache discipline: the per-round top-k is persisted for the round
+    only (the driver actions and the done-rows checkpoint both read it
+    once), each round's done rows are locally checkpointed (they are
+    final output rows — without this the final materialization would
+    re-execute every round's shuffle join), and every intermediate is
+    unpersisted before return, so repeated callers (Borůvka escalation
+    rounds) do not accumulate cached partitions.
     """
     w = Window.partitionBy("q_id").orderBy("dist", "r_id")
 
@@ -206,7 +214,7 @@ def knn_join(
         topk = (
             cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
-        )
+        ).persist()
 
         gr = C.guaranteed_radius(F.col("q_x"), F.col("q_y"), F.col("q_cell"), ring_hi, cfg)
         covers_all = ring_hi >= max_ring
@@ -217,23 +225,28 @@ def knn_join(
         done_q = per_q.where(
             F.lit(covers_all) | ((F.col("n_cand") >= k) & (F.col("kth") < gr))
         ).select("q_id")
-        done_q = done_q.persist()
+        # done rows are final output — checkpoint them (reads the cached
+        # topk once) so the final union never re-executes round joins
         done_parts.append(
-            topk.join(done_q, "q_id").select("q_id", "r_id", "dist", "rank")
+            topk.join(done_q, "q_id")
+            .select("q_id", "r_id", "dist", "rank")
+            .localCheckpoint()
         )
         # pending from the QUERY set, not the candidate set — a query
         # with zero candidates this round must stay pending
-        pend_q = pending.join(done_q, "q_id", "left_anti")
-        pend_q = pend_q.persist()
-        if pend_q.count() == 0:
+        pend_q = pending.join(done_q, "q_id", "left_anti").persist()
+        n_pend = pend_q.count()
+        if n_pend == 0:
+            pend_q.unpersist()
+            topk.unpersist()
             pending = None
             break
         survivors = topk.join(pend_q.select("q_id"), "q_id").select(
             "q_id", "q_x", "q_y", "q_cell", "r_id", "dist"
-        ).localCheckpoint(eager=False)
-        pending = pend_q.select("q_id", "q_x", "q_y", "q_cell").localCheckpoint(
-            eager=False
-        )
+        ).localCheckpoint()
+        pending = pend_q.select("q_id", "q_x", "q_y", "q_cell").localCheckpoint()
+        pend_q.unpersist()
+        topk.unpersist()
         ring_lo = ring_hi + 1
         ring_hi = min(max_ring, ring_hi * 2)  # geometric expansion
 
@@ -246,9 +259,11 @@ def knn_join(
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("q_id", "r_id", "dist", "rank")
+            .localCheckpoint()
         )
         done_parts.append(brute)
 
+    r.unpersist()
     out = done_parts[0]
     for p in done_parts[1:]:
         out = out.unionByName(p)

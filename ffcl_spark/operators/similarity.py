@@ -95,14 +95,25 @@ def train_ivf_centroids(
     sample_rows: int = 20_000,
     iters: int = 10,
     seed: int = 7,
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """k-means-lite (Lloyd, reference ``Lloyd.hpp:91-166`` semantics:
     assign → mean; empty cluster keeps its old centroid) on a bounded
-    driver-side sample. Deterministic: seeded init from sample rows."""
-    sample = np.array(
-        df.select(vec_col).limit(sample_rows).toPandas()[vec_col].tolist(),
-        dtype=np.float64,
-    )
+    driver-side sample. The sample is a seeded hash filter on the id
+    (pmod(xxhash64(id, seed), m) == 0), sorted by id locally — fully
+    deterministic at any partitioning (an unordered ``limit`` is
+    plan/partition-order dependent)."""
+    import math
+
+    n = df.count()
+    m = max(1, math.ceil(n / sample_rows))
+    basis = df
+    if m > 1:
+        basis = df.where(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m)) == 0
+        )
+    pdf = basis.select(id_col, vec_col).toPandas().sort_values(id_col)
+    sample = np.array(pdf[vec_col].tolist()[:sample_rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     cents = sample[rng.choice(len(sample), size=min(n_centroids, len(sample)), replace=False)]
     for _ in range(iters):

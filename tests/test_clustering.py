@@ -105,7 +105,10 @@ def test_hdbscan_blobs_finds_three_clusters(spark):
     exp_edges = prim_mst(pdf[["x", "y"]].to_numpy())
     exp = hdbscan_labels(ids, exp_edges, 10, allow_single_cluster=False)
     got_map = dict(zip(hdb.id, hdb.label))
-    assert got_map == exp
+    # kernel noise is None; operator encodes it as label 0 + is_noise
+    assert got_map == {k: (0 if v is None else v) for k, v in exp.items()}
+    noise_map = dict(zip(hdb.id, hdb.is_noise))
+    assert noise_map == {k: v is None for k, v in exp.items()}
 
 
 def test_hierarchy_kernels_deterministic():
