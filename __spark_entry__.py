@@ -42,6 +42,7 @@ EMB_K = 10
 EMB_QMOD = 10
 NEARDUP_COS = 0.42
 JACCARD_T = 0.05
+K_EDGES = 5
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -165,6 +166,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         b = pts.where(F.col("offset") != 0)
         return S.closest_pair(a, b, CFG)
 
+    def q_kth_closest_pairs(spark, sf):
+        # k globally shortest edges — reference Search.hpp:169-194
+        # k-edge priority-queue semantics
+        pts = _doc_points(spark, sf)
+        a = pts.where(F.col("offset") == 0)
+        b = pts.where(F.col("offset") != 0)
+        return S.closest_pair(a, b, CFG, k=K_EDGES)
+
     def q_kmeans(spark, sf):
         # iterative, float-mean centroids → rows-only; NumPy-Lloyd
         # parity lives in pytest
@@ -228,6 +237,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_fingerprint(spark, sf):
         return TO.fingerprints(_documents(spark, sf))
+
+    def q_edit_distance(spark, sf):
+        # SimHash-banded candidates verified by exact Levenshtein
+        # (reference Distances.hpp:195-237) — JVM built-in, no Python
+        return TO.edit_distance_pairs(_documents(spark, sf)).select(
+            "id_a", "id_b", F.col("hamming").cast("int").alias("hamming"), "edit_dist"
+        )
 
     def q_ngram_jaccard(spark, sf):
         return DD.ngram_jaccard_pairs(_documents(spark, sf), JACCARD_T)
@@ -302,6 +318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_manhattan": q_radius_manhattan,
         "knn_memory": q_knn_memory,
         "closest_pair": q_closest_pair,
+        "kth_closest_pairs": q_kth_closest_pairs,
         "kmeans": q_kmeans,
         "mst": q_mst,
         "hdbscan": q_hdbscan,
@@ -315,6 +332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "edit_distance": q_edit_distance,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_sigs": q_minhash_sigs,
         "minhash_pairs": q_minhash_pairs,
@@ -523,6 +541,18 @@ WHERE q.off = 0 AND r.off != 0 AND {_DIST} > 0
 ORDER BY dist, src, dst LIMIT 1
 """
 
+    o["kth_closest_pairs"] = f"""
+WITH {_PTS_DOCS},
+edges AS (
+  SELECT q.id AS src, r.id AS dst, {_DIST} AS dist
+  FROM pts q CROSS JOIN pts r
+  WHERE q.off = 0 AND r.off != 0 AND {_DIST} > 0)
+SELECT src, dst, dist,
+       CAST(row_number() OVER (ORDER BY dist, src, dst) AS INTEGER) AS rank
+FROM edges
+ORDER BY dist, src, dst LIMIT {K_EDGES}
+"""
+
     o["pip_tiles"] = f"""
 WITH {_PTS_DOCS},
 tiles AS (
@@ -693,6 +723,28 @@ WITH tk AS (SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM documents),
 h AS (SELECT id, {hh} AS hh FROM tk),
 v AS (SELECT id, {votes} FROM h GROUP BY id)
 SELECT id, {bits} AS simhash FROM v
+"""
+
+    o["edit_distance"] = f"""
+WITH tk AS (SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM documents),
+h AS (SELECT id, {hh} AS hh FROM tk),
+v AS (SELECT id, {votes} FROM h GROUP BY id),
+sims AS (SELECT id, {bits} AS simhash FROM v),
+bands AS (
+  SELECT id, simhash, b.band, (simhash >> (b.band * 8)) & 255 AS key
+  FROM sims CROSS JOIN (VALUES (0), (1), (2), (3)) b(band)),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         a.simhash AS fa, b.simhash AS fb
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+ham AS (
+  SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
+  FROM cand WHERE bit_count(xor(fa, fb)) <= 3)
+SELECT m.id_a, m.id_b, m.hamming,
+       CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist
+FROM ham m
+JOIN documents da ON da.doc_id = m.id_a
+JOIN documents db ON db.doc_id = m.id_b
 """
 
     o["embed_topk"] = f"""

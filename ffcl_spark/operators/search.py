@@ -101,29 +101,41 @@ def radius_join(
         "cell", C.cell_id(F.col("r_x"), F.col("r_y"), cfg)
     )
     if salt_hot_cells:
-        hot = (
+        # The hot set is per-cell METADATA (bounded by grid_n², not by
+        # data): materialize it eagerly to the driver once, so the refs
+        # plan is not re-executed through an unpersisted groupBy
+        # lineage on every downstream action (ADVICE: radius_join
+        # double-scan). The literal isin() keeps both sides' salting a
+        # pure column expression — no extra join, no cached lineage to
+        # manage.
+        hot_rows = (
             r.groupBy("cell")
             .count()
             .where(F.col("count") > cfg.hot_cell_rows)
-            .select("cell", F.lit(True).alias("is_hot"))
+            .select("cell")
+            .collect()
         )
+        hot_cells = [row["cell"] for row in hot_rows]
         nbuckets = cfg.salt_buckets
-        r = r.join(F.broadcast(hot), "cell", "left").withColumn(
-            "salt",
-            F.when(
-                F.col("is_hot").isNotNull(),
-                F.pmod(F.xxhash64(F.col("r_id")), F.lit(nbuckets)),
-            ).otherwise(F.lit(0)),
-        ).drop("is_hot")
-        q = q.join(F.broadcast(hot), "cell", "left").withColumn(
-            "salt",
-            F.explode(
+        if hot_cells:
+            is_hot = F.col("cell").isin(hot_cells)
+            r = r.withColumn(
+                "salt",
                 F.when(
-                    F.col("is_hot").isNotNull(),
-                    F.sequence(F.lit(0), F.lit(nbuckets - 1)),
-                ).otherwise(F.array(F.lit(0)))
-            ),
-        ).drop("is_hot")
+                    is_hot, F.pmod(F.xxhash64(F.col("r_id")), F.lit(nbuckets))
+                ).otherwise(F.lit(0)),
+            )
+            q = q.withColumn(
+                "salt",
+                F.explode(
+                    F.when(
+                        is_hot, F.sequence(F.lit(0), F.lit(nbuckets - 1))
+                    ).otherwise(F.array(F.lit(0)))
+                ),
+            )
+        else:
+            r = r.withColumn("salt", F.lit(0))
+            q = q.withColumn("salt", F.lit(0))
         joined = q.join(r, ["cell", "salt"])
     else:
         joined = q.join(r, "cell")
@@ -318,25 +330,33 @@ def closest_pair(
     queries: DataFrame,
     refs: DataFrame,
     cfg: EngineConfig,
+    k: int = 1,
 ) -> DataFrame:
-    """Globally shortest edge between two sets — reference dual-tree
-    shortest edge (``Search.hpp:169-194``); zero-distance self pairs
-    are skipped like the brute-force reference oracle
-    (``ClosestPairOfSamples.hpp:54`` ``samples_distance > 0``).
-    Returns one row (src, dst, dist); ties broken by (dist, src, dst).
+    """The ``k`` globally shortest edges between two sets — reference
+    dual-tree k-th-shortest-edge search (``Search.hpp:169-194``: a
+    k-bounded edge priority queue, ``IndicesToBuffersMap.hpp:393-459``);
+    zero-distance self pairs are skipped like the brute-force reference
+    oracle (``ClosestPairOfSamples.hpp:54`` ``samples_distance > 0``).
+    Returns ``k`` rows (src, dst, dist, rank); ordered / tie-broken by
+    (dist, src, dst).
 
-    Plan: per-query exact 1-NN (cell-pruned — the dual-tree pruning is
-    replaced by grid locality), then a global top-1 — an O(n) →
-    O(1)-row aggregation, no full pair materialization."""
+    Plan: per-query exact (k+1)-NN (cell-pruned — the dual-tree pruning
+    is replaced by grid locality; k+1 so a zero-distance twin cannot
+    crowd out a positive edge), then a global top-k — an O(n·k) →
+    O(k)-row aggregation, no full pair materialization. Every one of
+    the k globally shortest edges is one of its own query's k nearest
+    positive-distance refs, so the per-query buffer bound is exact."""
     from ffcl_spark.operators.knn_kernel import knn_join_grid
 
-    # k=2 so a query that collides with its own zero-distance twin
-    # still surfaces a positive edge
-    nn = knn_join_grid(queries, refs, 2, cfg).where(F.col("dist") > 0)
-    return (
+    nn = knn_join_grid(queries, refs, k + 1, cfg).where(F.col("dist") > 0)
+    out = (
         nn.orderBy("dist", "q_id", "r_id")
-        .limit(1)
+        .limit(k)
         .select(
             F.col("q_id").alias("src"), F.col("r_id").alias("dst"), F.col("dist")
         )
     )
+    if k == 1:
+        return out
+    w = Window.orderBy("dist", "src", "dst")
+    return out.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -50,3 +50,35 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 def fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     toks = X.tokens(F.col(text_col))
     return df.select(F.col(id_col), X.rolling_fingerprint(toks).alias("fingerprint"))
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id_a, id_b, edit_dist): exact Levenshtein distance between the
+    texts of SimHash near-dup candidate pairs — reference
+    ``Distances.hpp:195-237`` (classic two-row DP edit distance), run
+    as the verification stage of a banded blocking plan.
+
+    Scale shape: the quadratic edit-distance DP runs ONLY on pairs the
+    SimHash banding proposes (hamming ≤ ``max_hamming``), never
+    all-pairs; ``F.levenshtein`` is a JVM built-in, so the hot path
+    stays codegen — no Python per row."""
+    from ffcl_spark.operators.dedup import simhash_neardup_pairs
+
+    pairs = simhash_neardup_pairs(df, max_hamming, id_col, text_col)
+    ta = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("text_a"))
+    tb = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("text_b"))
+    return (
+        pairs.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "hamming",
+            F.levenshtein(F.col("text_a"), F.col("text_b")).cast("int").alias("edit_dist"),
+        )
+    )

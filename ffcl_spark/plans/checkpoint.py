@@ -36,8 +36,20 @@ from pyspark.sql import functions as F
 CKPT_SCHEMA = "job_id string, chunk int, rows_in long, rows_out long, wall_ms long, status string, finished_at string"
 
 
+def _path_exists(spark: SparkSession, path: str) -> bool:
+    """Existence check through the Hadoop FileSystem API — correct on
+    HDFS/S3/anything Spark can read, where a driver-local
+    ``os.path.exists`` would always be False and silently defeat
+    resume (exactly-once-per-chunk contract)."""
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf).exists(p)
+
+
 def _done_chunks(spark: SparkSession, ckpt_dir: str, job_id: str) -> set[int]:
-    if not os.path.exists(ckpt_dir):
+    if not _path_exists(spark, ckpt_dir):
         return set()
     ck = spark.read.schema(CKPT_SCHEMA).parquet(ckpt_dir)
     rows = ck.where(
