@@ -44,6 +44,14 @@ NEARDUP_COS = 0.42
 JACCARD_T = 0.05
 K_EDGES = 5
 
+# n-D operator gates: 8-D dyadic-exact fixture (sources.vectors) —
+# every distance is exactly representable, so value hashes match the
+# DuckDB oracle regardless of either engine's summation order
+DIMS_ND = 8
+RADIUS_ND = 7.0
+CFG_ND = EngineConfig(x0=-8.0, y0=-8.0, domain=16.0, resolution=3)
+BOX_ND = (-6.0, 6.0)
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ffcl_spark.sources.docs import synth_docs
@@ -71,6 +79,12 @@ def _li_docs(spark: SparkSession, sf_dir: str, only_queries: bool = False) -> Da
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _nd_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ffcl_spark.sources.vectors import synth_features
+
+    return synth_features(_documents(spark, sf_dir), "doc_id", DIMS_ND)
 
 
 # ------------------------------------------------------------- entry
@@ -202,6 +216,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return hdbscan(_cluster_subset(spark, sf), CFG, min_cluster_size=8, local_cutoff=2000)
 
+    def q_knn_nd(spark, sf):
+        from ffcl_spark.operators.search_nd import knn_join_nd
+
+        pts = _nd_points(spark, sf)
+        return knn_join_nd(pts, pts, K, CFG_ND)
+
+    def q_knn_nd_manhattan(spark, sf):
+        from ffcl_spark.operators.search_nd import knn_join_nd
+
+        pts = _nd_points(spark, sf)
+        return knn_join_nd(pts, pts, K, CFG_ND, metric="manhattan")
+
+    def q_radius_nd(spark, sf):
+        from ffcl_spark.operators.search_nd import radius_join_nd
+
+        pts = _nd_points(spark, sf)
+        return radius_join_nd(pts, pts, RADIUS_ND, CFG_ND)
+
+    def q_core_distance_nd(spark, sf):
+        from ffcl_spark.operators.search_nd import core_distances_nd
+
+        return core_distances_nd(_nd_points(spark, sf), K, CFG_ND)
+
+    def q_box_nd(spark, sf):
+        from ffcl_spark.operators.search_nd import box_search_nd
+
+        pts = _nd_points(spark, sf)
+        return box_search_nd(pts, [BOX_ND] * DIMS_ND).select("id")
+
+    def q_kmeans_nd(spark, sf):
+        # iterative float-mean centroids → rows-only; NumPy-Lloyd
+        # parity lives in pytest (tests/test_nd.py)
+        from ffcl_spark.operators.kmeans import kmeans_nd
+
+        _, _, labels = kmeans_nd(_nd_points(spark, sf), 4, max_iters=8, seed=7)
+        return labels
+
+    def q_dbscan_nd(spark, sf):
+        from ffcl_spark.operators.dbscan import dbscan_nd
+
+        return dbscan_nd(_nd_points(spark, sf), RADIUS_ND, K, CFG_ND)
+
+    def q_mst_nd(spark, sf):
+        # iterative Borůvka over n-D features → rows-only; exact Prim
+        # parity lives in pytest (tests/test_nd.py)
+        from ffcl_spark.operators.boruvka import minimum_spanning_tree
+
+        pts = _nd_points(spark, sf).where(F.crc32(F.col("id").cast("string")) % 3 == 0)
+        edges = minimum_spanning_tree(pts, CFG_ND, features_col="features")
+        return spark.createDataFrame(edges, "src long, dst long, w double")
+
+    def q_kmedoids(spark, sf):
+        # CLARA/FasterPAM medoids (KMedoids.hpp pipeline) → rows-only;
+        # swap-optimality + driver-PAM parity live in pytest
+        from ffcl_spark.operators.kmedoids import kmedoids
+
+        _, _, labels = kmedoids(_doc_points(spark, sf), 4, sample_rows=5_000)
+        return labels
+
+    def q_kmedoids_cells(spark, sf):
+        from ffcl_spark.operators.kmedoids import kmedoids_per_cell
+
+        return kmedoids_per_cell(_doc_points(spark, sf), 2, CFG).select(
+            "cell", "medoid_id"
+        )
+
     def q_pip_tiles(spark, sf):
         pts = _doc_points(spark, sf)
         tiles = TL.grid_tiles(spark, CFG, side=TILE_SIDE)
@@ -322,6 +402,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "mst": q_mst,
         "hdbscan": q_hdbscan,
+        "knn_nd": q_knn_nd,
+        "knn_nd_manhattan": q_knn_nd_manhattan,
+        "radius_nd": q_radius_nd,
+        "core_distance_nd": q_core_distance_nd,
+        "box_nd": q_box_nd,
+        "kmeans_nd": q_kmeans_nd,
+        "dbscan_nd": q_dbscan_nd,
+        "mst_nd": q_mst_nd,
+        "kmedoids": q_kmedoids,
+        "kmedoids_cells": q_kmedoids_cells,
         "pip_tiles": q_pip_tiles,
         "rasterize": q_rasterize,
         "vectorize": q_vectorize,
@@ -552,6 +642,54 @@ SELECT src, dst, dist,
 FROM edges
 ORDER BY dist, src, dst LIMIT {K_EDGES}
 """
+
+    # ---- n-D gates: shared dyadic-exact fixture CTE
+    from ffcl_spark.sources.vectors import oracle_cte
+
+    nd_cte = oracle_cte(DIMS_ND)
+    dist_nd = "sqrt(" + " + ".join(
+        f"(q.f{j}-r.f{j})*(q.f{j}-r.f{j})" for j in range(DIMS_ND)
+    ) + ")"
+    dist_nd_l1 = " + ".join(f"abs(q.f{j}-r.f{j})" for j in range(DIMS_ND))
+
+    o["knn_nd"] = f"""
+WITH {nd_cte}
+SELECT q.id AS q_id, r.id AS r_id, {dist_nd} AS dist,
+       CAST(row_number() OVER (
+         PARTITION BY q.id ORDER BY {dist_nd}, r.id) AS INTEGER) AS rank
+FROM vecs q CROSS JOIN vecs r
+QUALIFY rank <= {K}
+"""
+
+    o["knn_nd_manhattan"] = f"""
+WITH {nd_cte}
+SELECT q.id AS q_id, r.id AS r_id, {dist_nd_l1} AS dist,
+       CAST(row_number() OVER (
+         PARTITION BY q.id ORDER BY {dist_nd_l1}, r.id) AS INTEGER) AS rank
+FROM vecs q CROSS JOIN vecs r
+QUALIFY rank <= {K}
+"""
+
+    o["radius_nd"] = f"""
+WITH {nd_cte}
+SELECT q.id AS q_id, r.id AS r_id, {dist_nd} AS dist
+FROM vecs q CROSS JOIN vecs r
+WHERE {dist_nd} < {RADIUS_ND}
+"""
+
+    o["core_distance_nd"] = f"""
+WITH {nd_cte},
+nn AS (
+  SELECT q.id AS q_id, {dist_nd} AS dist,
+         row_number() OVER (PARTITION BY q.id ORDER BY {dist_nd}, r.id) AS rnk
+  FROM vecs q CROSS JOIN vecs r QUALIFY rnk <= {K})
+SELECT q_id AS id, max(dist) AS core_distance FROM nn GROUP BY q_id
+"""
+
+    box_pred = " AND ".join(
+        f"f{j} BETWEEN {BOX_ND[0]} AND {BOX_ND[1]}" for j in range(DIMS_ND)
+    )
+    o["box_nd"] = f"WITH {nd_cte} SELECT id FROM vecs WHERE {box_pred}"
 
     o["pip_tiles"] = f"""
 WITH {_PTS_DOCS},

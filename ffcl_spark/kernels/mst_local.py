@@ -14,9 +14,14 @@ import numpy as np
 
 
 def _dist_matrix(xy: np.ndarray) -> np.ndarray:
-    dx = xy[:, 0][:, None] - xy[:, 0][None, :]
-    dy = xy[:, 1][:, None] - xy[:, 1][None, :]
-    return np.sqrt(dx * dx + dy * dy)
+    # fold-order accumulation over dimensions — bit-identical to the
+    # distributed distance (2-D SQL expression AND the n-D JVM fold,
+    # see kernels.neighbors.pairwise_fold_nd); works for any n_features
+    acc = np.zeros((len(xy), len(xy)), dtype=np.float64)
+    for j in range(xy.shape[1]):
+        d = xy[:, j][:, None] - xy[:, j][None, :]
+        acc = acc + d * d
+    return np.sqrt(acc)
 
 
 def prim_mst(

@@ -61,6 +61,82 @@ def pairwise_sq(q: np.ndarray, r: np.ndarray) -> np.ndarray:
     return d
 
 
+def pairwise_fold_nd(q: np.ndarray, r: np.ndarray, metric: str = "euclidean") -> np.ndarray:
+    """n-D distances in LEFT-FOLD accumulation order — the identical
+    IEEE operation sequence as the engine's SQL expression
+    ``aggregate(zip_with(q, r, (a,b) -> (a-b)*(a-b)), 0.0, acc+v)``
+    (a sequential fold over dimensions), so the NumPy oracle and the
+    all-JVM n-D path produce bit-equal distances. Returns the final
+    (sqrt'd for euclidean) distance matrix, shape (len(q), len(r)).
+
+    Reference n-features contract: ``KDTree.hpp:137`` (ctor takes
+    n_features; all distance kernels are dimension-generic,
+    ``Distances.hpp:44-117``)."""
+    q = np.asarray(q, dtype=np.float64)
+    r = np.asarray(r, dtype=np.float64)
+    acc = np.zeros((q.shape[0], r.shape[0]), dtype=np.float64)
+    if metric == "euclidean":
+        for j in range(q.shape[1]):
+            d = q[:, j][:, None] - r[:, j][None, :]
+            acc = acc + d * d  # fold order: ((0 + d0²) + d1²) + …
+        return np.sqrt(acc)
+    if metric == "manhattan":
+        for j in range(q.shape[1]):
+            acc = acc + np.abs(q[:, j][:, None] - r[:, j][None, :])
+        return acc
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def knn_nd(
+    q_vec: np.ndarray,
+    r_vec: np.ndarray,
+    r_ids: np.ndarray,
+    k: int,
+    metric: str = "euclidean",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Brute-force n-D kNN oracle with the engine's (dist, id)
+    tie-break; distances in fold order (bit-equal to the SQL path)."""
+    nq, nr = len(q_vec), len(r_vec)
+    kk = min(k, nr)
+    order_ids = np.argsort(r_ids, kind="stable")
+    r_sorted = np.asarray(r_vec, dtype=np.float64)[order_ids]
+    ids_sorted = np.asarray(r_ids)[order_ids]
+    out_q = np.empty(nq * kk, dtype=np.int64)
+    out_n = np.empty(nq * kk, dtype=ids_sorted.dtype)
+    out_d = np.empty(nq * kk, dtype=np.float64)
+    for s in range(0, nq, BLOCK):
+        e = min(s + BLOCK, nq)
+        d = pairwise_fold_nd(q_vec[s:e], r_sorted, metric)
+        part, dd = topk_rows(d, kk)
+        span = slice(s * kk, e * kk)
+        out_q[span] = np.repeat(np.arange(s, e), kk)
+        out_n[span] = ids_sorted[part].ravel()
+        out_d[span] = dd.ravel()
+    return out_q, out_n, out_d
+
+
+def radius_pairs_nd(
+    q_vec: np.ndarray,
+    q_ids: np.ndarray,
+    r_vec: np.ndarray,
+    r_ids: np.ndarray,
+    radius: float,
+    metric: str = "euclidean",
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """n-D all pairs with dist < radius (strict), fold-order distances."""
+    out_a, out_b, out_d = [], [], []
+    for s in range(0, len(q_vec), BLOCK):
+        e = min(s + BLOCK, len(q_vec))
+        d = pairwise_fold_nd(q_vec[s:e], r_vec, metric)
+        qi, ri = np.nonzero(d < radius)
+        out_a.append(np.asarray(q_ids)[s:e][qi])
+        out_b.append(np.asarray(r_ids)[ri])
+        out_d.append(d[qi, ri])
+    if not out_a:
+        return np.array([]), np.array([]), np.array([])
+    return np.concatenate(out_a), np.concatenate(out_b), np.concatenate(out_d)
+
+
 def knn(
     q_xy: np.ndarray,
     r_xy: np.ndarray,

@@ -1,0 +1,151 @@
+"""Local k-medoids kernels: PAM BUILD init + FasterPAM eager swap.
+
+Reference: ``PAMBuild.hpp:16-82`` (greedy BUILD — first medoid is the
+sample minimizing total deviation, each next medoid maximizes the TD
+reduction; NOTE the reference's selection comparator at
+``PAMBuild.hpp:68`` minimizes the accumulated positive reduction,
+which inverts the published BUILD step [Kaufman & Rousseeuw 1990;
+Schubert & Rousseeuw 2019 Alg. 1] — this kernel follows the published
+algorithm and maximizes the reduction) and ``FasterPAM.hpp:137-201``
+(eager swap: for each non-medoid candidate x_c, ΔTD(x_c, m_i) is
+computed for ALL medoids i in one O(n) sweep via nearest/second-nearest
+buffers; the best (most negative) swap is applied immediately —
+``step()`` applies swaps inside the candidate loop, not once per pass).
+
+Deterministic: all argmin/argmax tie-breaks take the lowest index
+(same as the reference's ``get_min_index_value_pair`` first-minimum),
+and samples are pre-sorted by id by the callers.
+
+Used as (a) the driver kernel of the CLARA-style distributed operator
+(``operators.kmedoids``) and (b) the per-cell Arrow kernel — never in
+a per-row Python path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def distance_matrix(mat: np.ndarray, metric: str = "euclidean") -> np.ndarray:
+    """Fold-order pairwise distances (bit-equal to the engine's SQL
+    fold — see ``kernels.neighbors.pairwise_fold_nd``)."""
+    from ffcl_spark.kernels.neighbors import pairwise_fold_nd
+
+    return pairwise_fold_nd(mat, mat, metric)
+
+
+def pam_build(d: np.ndarray, k: int) -> list[int]:
+    """Greedy BUILD medoid initialization (published PAM semantics;
+    see module docstring re the reference's comparator). Returns k
+    row indices."""
+    n = d.shape[0]
+    k = min(k, n)
+    # first medoid: minimum total deviation (PAMBuild.hpp:25-26,
+    # first_medoid_td_index_pair)
+    m0 = int(d.sum(axis=1).argmin())
+    medoids = [m0]
+    nearest = d[m0].copy()
+    in_medoids = np.zeros(n, dtype=bool)
+    in_medoids[m0] = True
+    for _ in range(1, k):
+        # reduction[c] = Σ_o max(0, nearest[o] − d[c, o]), o ∉ medoids ∪ {c}
+        red = np.maximum(nearest[None, :] - d, 0.0)
+        red[:, in_medoids] = 0.0
+        np.fill_diagonal(red, 0.0)
+        gains = red.sum(axis=1)
+        gains[in_medoids] = -np.inf
+        c = int(gains.argmax())
+        medoids.append(c)
+        in_medoids[c] = True
+        nearest = np.minimum(nearest, d[c])
+    return medoids
+
+
+def _buffers(d: np.ndarray, medoids: list[int]):
+    """nearest / second-nearest medoid (list-index) and distances per
+    sample — FasterPAM.hpp Buffers."""
+    dm = d[medoids]  # (k, n)
+    order = np.argsort(dm, axis=0, kind="stable")
+    n = d.shape[0]
+    cols = np.arange(n)
+    i1 = order[0]
+    d1 = dm[i1, cols]
+    if len(medoids) > 1:
+        i2 = order[1]
+        d2 = dm[i2, cols]
+    else:
+        i2 = i1.copy()
+        d2 = np.full(n, np.inf)
+    return i1, d1, i2, d2
+
+
+def fasterpam(
+    d: np.ndarray, medoids: list[int], max_passes: int = 100
+) -> tuple[list[int], float, int]:
+    """Eager-swap FasterPAM loop (``FasterPAM.hpp:137-201``).
+    Returns (medoids, total_deviation, n_swaps). A pass scans every
+    non-medoid candidate; accepted swaps apply immediately (buffers
+    rebuilt); stops when a full pass makes no swap."""
+    medoids = list(medoids)
+    k = len(medoids)
+    n = d.shape[0]
+    i1, d1, i2, d2 = _buffers(d, medoids)
+    n_swaps = 0
+    for _ in range(max_passes):
+        swapped = False
+        for xc in range(n):
+            if xc in medoids:
+                continue
+            doc = d[xc]
+            lt1 = doc < d1
+            lt2 = ~lt1 & (doc < d2)
+            # ΔTD contribution per removed medoid i (FasterPAM paper /
+            # find_best_swap): o with doc<d1 → 0 net for nearest(o);
+            # d1≤doc<d2 → doc−d1; doc≥d2 → d2−d1 (pure removal loss)
+            dl = np.zeros(k)
+            np.add.at(dl, i1[lt2], (doc - d1)[lt2])
+            rest = ~lt1 & ~lt2
+            np.add.at(dl, i1[rest], (d2 - d1)[rest])
+            delta_xc = float((doc - d1)[lt1].sum())
+            best_i = int(dl.argmin())
+            delta = delta_xc + float(dl[best_i])
+            if delta < 0:  # FasterPAM.hpp:147 strict
+                medoids[best_i] = xc
+                i1, d1, i2, d2 = _buffers(d, medoids)
+                swapped = True
+                n_swaps += 1
+        if not swapped:
+            break
+    return medoids, float(d1.sum()), n_swaps
+
+
+def pam(
+    mat: np.ndarray,
+    k: int,
+    metric: str = "euclidean",
+    init: str = "build",
+    seed: int = 7,
+    max_passes: int = 100,
+) -> tuple[np.ndarray, float]:
+    """BUILD (or seeded-random, ``KMedoids.hpp:166-171``) init +
+    FasterPAM swaps. Returns (medoid row indices sorted ascending,
+    total deviation)."""
+    d = distance_matrix(mat, metric)
+    n = len(mat)
+    k = min(k, n)
+    if init == "build":
+        med0 = pam_build(d, k)
+    elif init == "random":
+        rng = np.random.default_rng(seed)
+        med0 = list(rng.choice(n, size=k, replace=False))
+    else:
+        raise ValueError(f"unknown init {init!r}")
+    medoids, td, _ = fasterpam(d, med0, max_passes)
+    return np.array(sorted(medoids), dtype=np.int64), td
+
+
+def total_deviation(mat: np.ndarray, medoid_rows: np.ndarray, metric: str = "euclidean") -> float:
+    from ffcl_spark.kernels.neighbors import pairwise_fold_nd
+
+    d = pairwise_fold_nd(mat, mat[medoid_rows], metric)
+    return float(d.min(axis=1).sum())

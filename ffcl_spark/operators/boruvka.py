@@ -53,6 +53,8 @@ def minimum_spanning_tree(
     core_k: int | None = None,
     k0: int = 8,
     local_cutoff: int = 0,
+    features_col: str | None = None,
+    axes: tuple[int, int] = (0, 1),
 ) -> list[tuple]:
     """Exact MST edges [(src, dst, weight), ...] (n−1 edges, collected:
     the MST is O(n) rows — driver-sized by definition for the scales
@@ -63,24 +65,53 @@ def minimum_spanning_tree(
     small-relation local-execution optimization (each Borůvka round
     costs O(1) Spark jobs of latency; below a few thousand points the
     latency dwarfs the O(n²) local solve).
+
+    ``features_col``: when given, points carry an n-D
+    ``array<double>`` feature column instead of (x, y) — the reference
+    n-features contract (``KDTree.hpp:137``). Neighbor queries route
+    through the n-D ring-expansion join (grid on ``axes``); distances
+    are the full n-D metric, bit-equal between the distributed fold and
+    the local Prim kernel.
     """
-    pts = points.select("id", "x", "y").persist()
+    import numpy as np
+
+    if features_col is None:
+        pts = points.select("id", "x", "y").persist()
+
+        def _knn(q, r_, k_):
+            return knn_join_grid(q, r_, k_, cfg)
+
+        def _core(p, k_):
+            return core_distances(p, k_, cfg)
+
+        def _matrix(pdf):
+            return pdf[["x", "y"]].to_numpy()
+    else:
+        from ffcl_spark.operators.search_nd import core_distances_nd, knn_join_nd
+
+        pts = points.select("id", F.col(features_col).alias("features")).persist()
+
+        def _knn(q, r_, k_):
+            return knn_join_nd(q, r_, k_, cfg, "features", axes)
+
+        def _core(p, k_):
+            return core_distances_nd(p, k_, cfg, "features", axes)
+
+        def _matrix(pdf):
+            return np.array(pdf["features"].tolist(), dtype=np.float64)
+
     n = pts.count()
     if n <= 1:
         return []
     if n <= local_cutoff:
-        import numpy as np
-
         from ffcl_spark.kernels.mst_local import prim_mst
 
         pdf = pts.toPandas().sort_values("id").reset_index(drop=True)
-        return prim_mst(
-            pdf[["x", "y"]].to_numpy(), pdf["id"].to_numpy(), core_k=core_k
-        )
+        return prim_mst(_matrix(pdf), pdf["id"].to_numpy(), core_k=core_k)
 
     core = None
     if core_k is not None:
-        core = core_distances(pts, core_k, cfg).persist()
+        core = _core(pts, core_k).persist()
         core.count()
 
     # distributed component map (id -> comp), never collected. Plain
@@ -107,14 +138,14 @@ def minimum_spanning_tree(
                 # once before round 1 and reused every round
                 if base_nn is None:
                     base_nn = (
-                        knn_join_grid(pts, pts, k, cfg)
+                        _knn(pts, pts, k)
                         .where(F.col("q_id") != F.col("r_id"))
                         .persist()
                     )
                     base_nn.count()
                 nn = base_nn
             else:
-                nn = knn_join_grid(pend, pts, k, cfg).where(F.col("q_id") != F.col("r_id"))
+                nn = _knn(pend, pts, k).where(F.col("q_id") != F.col("r_id"))
             first_pass = False
             nn = (
                 nn.join(

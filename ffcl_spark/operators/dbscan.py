@@ -83,6 +83,48 @@ def dbscan(
     ``is_noise`` is the unambiguous flag (a cluster whose min member id
     is 0 would otherwise collide with the sentinel)."""
     pairs = radius_join(points, points, radius, cfg).persist()
+    pts_cell = points.select(
+        "id", C.cell_id(F.col("x"), F.col("y"), cfg).alias("cell")
+    )
+    return _dbscan_from_pairs(points.select("id"), pairs, pts_cell, min_samples)
+
+
+def dbscan_nd(
+    points: DataFrame,
+    radius: float,
+    min_samples: int,
+    cfg: EngineConfig,
+    vec_col: str = "features",
+    axes: tuple[int, int] = (0, 1),
+    metric: str = "euclidean",
+) -> DataFrame:
+    """n-D DBSCAN over an ``array<double>`` feature column — identical
+    decomposition, pairs from the n-D radius join (full-metric
+    distances), cells on the projected grid axes. Reference
+    ``DBSCAN.hpp:103-191`` is dimension-generic; this is its n-features
+    form."""
+    from ffcl_spark.operators.search_nd import _proj, radius_join_nd
+
+    pairs = radius_join_nd(
+        points, points, radius, cfg, vec_col, axes, metric
+    ).persist()
+    v = F.col(vec_col)
+    pts_cell = points.select(
+        "id", C.cell_id(_proj(v, axes[0]), _proj(v, axes[1]), cfg).alias("cell")
+    )
+    return _dbscan_from_pairs(points.select("id"), pairs, pts_cell, min_samples)
+
+
+def _dbscan_from_pairs(
+    ids_df: DataFrame,
+    pairs: DataFrame,
+    pts_cell: DataFrame,
+    min_samples: int,
+) -> DataFrame:
+    """Shared label machinery: (all ids, in-radius pairs, id→cell) →
+    canonical labels. Dimension-agnostic — everything downstream of the
+    radius join operates on ids, cells, and counts only."""
+    points = ids_df
 
     # 1. core flags: strict count > min_samples, self pair included
     counts = pairs.groupBy("q_id").agg(F.count(F.lit(1)).alias("n"))
@@ -98,9 +140,6 @@ def dbscan(
         pairs.join(core_q, "q_id")
         .join(core_r, "r_id")
         .where(F.col("q_id") < F.col("r_id"))
-    )
-    pts_cell = points.select(
-        "id", C.cell_id(F.col("x"), F.col("y"), cfg).alias("cell")
     )
     cc_cells = (
         cc.join(pts_cell.withColumnRenamed("id", "q_id").withColumnRenamed("cell", "q_cell"), "q_id")

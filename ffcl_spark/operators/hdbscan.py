@@ -25,13 +25,18 @@ def hdbscan(
     min_cluster_size: int = 5,
     allow_single_cluster: bool = True,
     local_cutoff: int = 0,
+    features_col: str | None = None,
 ) -> DataFrame:
     """(id, label, is_noise): HDBSCAN flat labels, canonical (min
     member id per cluster), noise label 0 with ``is_noise`` true —
     the explicit flag disambiguates a cluster whose min member id IS
-    the noise sentinel (ids may legitimately start at 0)."""
+    the noise sentinel (ids may legitimately start at 0).
+    ``features_col``: n-D ``array<double>`` input (reference
+    n-features contract) — routed through the n-D MST."""
     core_k = k_nearest_neighbors if k_nearest_neighbors > 1 else None
-    edges = minimum_spanning_tree(points, cfg, core_k=core_k, local_cutoff=local_cutoff)
+    edges = minimum_spanning_tree(
+        points, cfg, core_k=core_k, local_cutoff=local_cutoff, features_col=features_col
+    )
     # the MST spans every point, so its endpoints ARE the id universe —
     # no separate all-ids collect (the edge list is the O(n) driver
     # artifact this pipeline outputs by contract)

@@ -129,3 +129,93 @@ def kmeans(
         if best is None or loss < best[1]:
             best = (cents, loss, labels)
     return best
+
+
+# --------------------------------------------------------------- n-D
+
+
+def _assign_expr_nd(cents: np.ndarray, vec_col: str):
+    """n-D argmin-distance label — JVM fold per centroid, no Python.
+    Reference distance kernels are dimension-generic
+    (``Distances.hpp:44-117``)."""
+    v = F.col(vec_col)
+    structs = []
+    for ci, c in enumerate(cents):
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        d2 = F.aggregate(
+            F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        # named_struct, not struct: alias-derived field names on
+        # lambda-bearing expressions are unreliable under Catalyst
+        # canonicalization (observed col1/col2 renames)
+        structs.append(F.named_struct(F.lit("d2"), d2, F.lit("cid"), F.lit(ci)))
+    return F.sort_array(F.array(*structs))[0]
+
+
+def lloyd_once_nd(
+    points: DataFrame,
+    init: np.ndarray,
+    max_iters: int,
+    tol: float,
+    vec_col: str = "features",
+) -> tuple[np.ndarray, float, DataFrame]:
+    """One n-D Lloyd run (``Lloyd.hpp:91-166`` semantics: assign →
+    per-cluster per-dimension mean; empty cluster keeps its previous
+    centroid). The update is one posexplode + groupBy(label, dim) —
+    partial aggregation applies, the driver touches k·dims rows."""
+    cents = init.copy()
+    for _ in range(max_iters):
+        best = _assign_expr_nd(cents, vec_col)
+        agg = (
+            points.select(
+                best["cid"].alias("label"),
+                F.posexplode(F.col(vec_col)).alias("pos", "val"),
+            )
+            .groupBy("label", "pos")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        new_cents = cents.copy()  # empty cluster keeps previous centroid
+        for row in agg:
+            new_cents[row["label"], row["pos"]] = row["m"]
+        move = float(np.max(np.sqrt(np.sum((new_cents - cents) ** 2, axis=1))))
+        cents = new_cents
+        if move < tol:
+            break
+    best = _assign_expr_nd(cents, vec_col)
+    loss = points.select(F.sqrt(best["d2"]).alias("d")).agg(F.sum("d")).collect()[0][0]
+    labels = points.select("id", _assign_expr_nd(cents, vec_col)["cid"].alias("label"))
+    return cents, float(loss), labels
+
+
+def kmeans_nd(
+    points: DataFrame,
+    k: int,
+    n_init: int = 1,
+    max_iters: int = 20,
+    tol: float = 1e-6,
+    seed: int = 7,
+    sample_rows: int = 50_000,
+    vec_col: str = "features",
+) -> tuple[np.ndarray, float, DataFrame]:
+    """n-D k-means over an ``array<double>`` feature column — same
+    contract as :func:`kmeans` (kmeans++ seeded on a deterministic
+    hash-filtered sample, n_init restarts, min-loss run kept)."""
+    n = points.count()
+    m = max(1, math.ceil(n / sample_rows))
+    basis = points
+    if m > 1:
+        basis = points.where(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(m)) == 0
+        )
+    pdf = basis.select("id", vec_col).toPandas().sort_values("id")
+    sample = np.array(pdf[vec_col].tolist()[:sample_rows], dtype=np.float64)
+    best = None
+    for trial in range(n_init):
+        init = kmeanspp_init(sample, k, seed + trial)
+        cents, loss, labels = lloyd_once_nd(points, init, max_iters, tol, vec_col)
+        if best is None or loss < best[1]:
+            best = (cents, loss, labels)
+    return best

@@ -1,0 +1,171 @@
+"""Distributed k-medoids (PAM BUILD + FasterPAM swaps).
+
+Reference pipeline: ``KMedoids.hpp:153-230`` (n_init tries, FasterPAM
+``step()`` per iteration, min-loss run kept), ``FasterPAM.hpp:137-201``
+(eager swap), ``PAMBuild.hpp`` (greedy init). The reference is a
+single-process solver over an in-memory pairwise-distance matrix; the
+distributed form is the standard CLARA decomposition [Kaufman &
+Rousseeuw 1990, ch. 3]:
+
+- solve PAM exactly on a DETERMINISTIC seeded-hash sample on the
+  driver (``kernels.pam`` — the reference-semantics kernel). When the
+  sample covers the whole input this IS exact PAM;
+- broadcast the k medoids as literal expressions; assignment and the
+  full-data total deviation are pure JVM column expressions (one scan,
+  partial aggregation — no shuffle of the big side);
+- ``n_init`` tries draw disjoint hash strata; the run with the lowest
+  FULL-DATA total deviation wins (CLARA's selection rule, mirroring
+  ``KMedoids.hpp:204-230``).
+
+Medoids are actual data points, so labels are canonical (the medoid's
+own id) — deterministic at any parallelism.
+
+``kmedoids_per_cell`` is the partitioned variant: an Arrow-batched
+per-cell kernel (grid cell = the engine's partitioning unit) emitting
+k local medoids per cell — the building block for coreset-style
+two-level medoid pipelines at 100 TB (cell medoids → global PAM over
+the ≤ k·cells summary).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ffcl_spark.config import EngineConfig
+from ffcl_spark.kernels.pam import pam
+
+
+def _matrix_of(pdf: pd.DataFrame, vec_col: str | None) -> np.ndarray:
+    if vec_col is None:
+        return pdf[["x", "y"]].to_numpy(dtype=np.float64)
+    return np.array(pdf[vec_col].tolist(), dtype=np.float64)
+
+
+def _assign_expr(med_coords: np.ndarray, med_ids: list, id_type, vec_col: str | None):
+    """Argmin-distance medoid id as a pure column expression; ties at
+    equal distance break toward the smaller medoid id (engine
+    determinism rule)."""
+    structs = []
+    for mid, c in sorted(zip(med_ids, med_coords.tolist())):
+        if vec_col is None:
+            d2 = (F.col("x") - float(c[0])) * (F.col("x") - float(c[0])) + (
+                F.col("y") - float(c[1])
+            ) * (F.col("y") - float(c[1]))
+        else:
+            lit = F.array(*[F.lit(float(v)) for v in c])
+            d2 = F.aggregate(
+                F.zip_with(F.col(vec_col), lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        # named_struct: alias-derived field names on lambda-bearing
+        # expressions are unreliable under Catalyst canonicalization
+        structs.append(
+            F.named_struct(
+                F.lit("d2"), d2, F.lit("mid"), F.lit(mid).cast(id_type)
+            )
+        )
+    return F.sort_array(F.array(*structs))[0]
+
+
+def kmedoids(
+    points: DataFrame,
+    k: int,
+    n_init: int = 1,
+    sample_rows: int = 20_000,
+    seed: int = 7,
+    metric: str = "euclidean",
+    init: str = "build",
+    max_passes: int = 100,
+    vec_col: str | None = None,
+) -> tuple[list, float, DataFrame]:
+    """Returns (medoid ids, full-data total deviation, labels
+    DataFrame (id, label) with label = assigned medoid's id)."""
+    id_type = points.schema["id"].dataType
+    cols = ["id", "x", "y"] if vec_col is None else ["id", vec_col]
+    pts = points.select(*cols)
+    n = pts.count()
+    m = max(1, math.ceil(n / sample_rows))
+    best = None
+    for trial in range(n_init):
+        basis = pts
+        if m > 1:
+            # disjoint deterministic strata per trial (CLARA draws a
+            # fresh sample per try, KMedoids.hpp:166-171)
+            basis = pts.where(
+                F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(m))
+                == trial % m
+            )
+        pdf = basis.toPandas().sort_values("id").reset_index(drop=True)
+        mat = _matrix_of(pdf, vec_col)[:sample_rows]
+        ids = pdf["id"].to_numpy()[:sample_rows]
+        med_rows, _ = pam(mat, k, metric=metric, init=init, seed=seed + trial, max_passes=max_passes)
+        med_ids = [ids[r].item() if hasattr(ids[r], "item") else ids[r] for r in med_rows]
+        med_coords = mat[med_rows]
+        # full-data total deviation, one JVM scan
+        assign = _assign_expr(med_coords, med_ids, id_type, vec_col)
+        td = pts.select(F.sqrt(assign["d2"]).alias("d")).agg(F.sum("d")).collect()[0][0]
+        if best is None or td < best[1]:
+            best = (med_ids, float(td), med_coords)
+    med_ids, td, med_coords = best
+    assign = _assign_expr(med_coords, med_ids, id_type, vec_col)
+    labels = pts.select("id", assign["mid"].alias("label"))
+    return med_ids, td, labels
+
+
+def kmedoids_per_cell(
+    points: DataFrame,
+    k: int,
+    cfg: EngineConfig,
+    metric: str = "euclidean",
+    vec_col: str | None = None,
+    axes: tuple[int, int] = (0, 1),
+) -> DataFrame:
+    """(cell, medoid_id, local_td): k PAM medoids per grid cell —
+    Arrow-batched kernel, reference semantics per cell. The output is
+    per-cell metadata (≤ k rows/cell), the coreset for a two-level
+    global solve."""
+    from ffcl_spark.functions import cells as C
+
+    id_type = points.schema["id"].dataType
+    if vec_col is None:
+        sel = points.select(
+            "id", "x", "y", C.cell_id(F.col("x"), F.col("y"), cfg).alias("cell")
+        )
+    else:
+        from ffcl_spark.operators.search_nd import _proj
+
+        v = F.col(vec_col)
+        sel = points.select(
+            "id",
+            F.col(vec_col).cast("array<double>").alias(vec_col),
+            C.cell_id(_proj(v, axes[0]), _proj(v, axes[1]), cfg).alias("cell"),
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("cell", T.LongType()),
+            T.StructField("medoid_id", id_type),
+            T.StructField("local_td", T.DoubleType()),
+        ]
+    )
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        mat = _matrix_of(pdf, vec_col)
+        med_rows, td = pam(mat, k, metric=metric, init="build")
+        return pd.DataFrame(
+            {
+                "cell": key[0],
+                "medoid_id": pdf["id"].to_numpy()[med_rows],
+                "local_td": td,
+            }
+        )
+
+    return sel.groupBy("cell").applyInPandas(kernel, out_schema)

@@ -1,0 +1,301 @@
+"""n-dimensional spatial search over an ``array<double>`` feature
+column — the reference's n-features contract made distributed.
+
+The reference kd-tree is dimension-generic (``KDTree.hpp:137`` takes
+``n_features``; distance kernels ``Distances.hpp:44-117`` loop over
+features; MNIST 784-d in ``KMeansTest.cpp``). The 2-D operators in
+``operators.search`` hard-wire (x, y); this module generalizes the
+same physical plans to ``(id, features: array<double>)`` inputs:
+
+- the GRID lives on two selected axes (default (0, 1); the
+  MaximumSpread policy of ``AxisSelectionPolicy.hpp:46-71`` is
+  available via :func:`select_axes`) — the distributed analogue of the
+  kd-tree's top-level split axes;
+- DISTANCE is the full n-D metric, evaluated JVM-side as a sequential
+  fold ``aggregate(zip_with(q, r, (a,b)->(a-b)*(a-b)), 0.0, acc+v)``
+  — bit-equal to the NumPy oracle ``kernels.neighbors.pairwise_fold_nd``.
+
+Correctness of the projection pruning (both metrics): the projected
+2-D distance never exceeds the full n-D distance, so
+  * radius: full-dist < r ⇒ projected dist < r ⇒ the candidate lies in
+    the Chebyshev-``ceil(r/s)`` cell cover of the query → complete;
+  * kNN termination: every point with full-dist < gr has projected
+    dist < gr and is therefore inside the searched region → the FFCL
+    sibling-prune rule (``KDNodeView.hpp:235-243``) remains exact. The
+    prune weakens as dimensionality grows (curse of dimensionality:
+    the projection covers more candidates), but never admits a wrong
+    answer — stragglers fall through to the brute backstop.
+
+Scale shape: arrays ride the shuffle only up to the moment the
+distance is computed; the rank/window and every iterative round
+operate on (id, id, dist) scalars.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ffcl_spark.config import EngineConfig
+from ffcl_spark.functions import cells as C
+
+
+def dist_nd(q: Column, r: Column, metric: str = "euclidean") -> Column:
+    """Full n-D distance as a JVM fold (no Python per row)."""
+    if metric == "euclidean":
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(q, r, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+    if metric == "manhattan":
+        return F.aggregate(
+            F.zip_with(q, r, lambda a, b: F.abs(a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def select_axes(
+    df: DataFrame, dims: int, vec_col: str = "features", policy: str = "max_spread"
+) -> tuple[int, int]:
+    """Grid-axis selection — reference ``AxisSelectionPolicy.hpp``:
+    ``max_spread`` = MaximumSpread (46-71): the two axes with the
+    largest (max − min) extent; ``cycle`` = CycleThroughAxes (115-140):
+    axes (0, 1). One aggregation over the table; per-axis metadata only.
+    (HighestVariance has its analogue in ``stats.argmax_variance_axis``.)
+    """
+    if policy == "cycle":
+        return (0, 1 % dims)
+    aggs = []
+    for j in range(dims):
+        e = F.element_at(F.col(vec_col), j + 1)
+        aggs.append((F.max(e) - F.min(e)).alias(f"s_{j}"))
+    row = df.agg(*aggs).collect()[0]
+    spreads = sorted(range(dims), key=lambda j: (-row[f"s_{j}"], j))
+    a0, a1 = sorted(spreads[:2])
+    return (a0, a1)
+
+
+def _proj(vec: Column, axis: int) -> Column:
+    return F.element_at(vec, axis + 1).cast("double")
+
+
+def _tag_nd(df: DataFrame, prefix: str, vec_col: str) -> DataFrame:
+    # cast to array<double> up front: float32 inputs (e.g. parquet
+    # embeddings) must not run the distance fold in float32 arithmetic
+    return df.select(
+        F.col("id").alias(f"{prefix}_id"),
+        F.col(vec_col).cast("array<double>").alias(f"{prefix}_vec"),
+    )
+
+
+def box_search_nd(
+    df: DataFrame, bounds: list[tuple[float, float]], vec_col: str = "features"
+) -> DataFrame:
+    """All points inside the axis-aligned n-D box, bounds inclusive per
+    dimension (reference AABB semantics,
+    ``LowerBoundAndUpperBound.hpp:76-78``). Pure column predicates."""
+    cond = F.lit(True)
+    for j, (lo, hi) in enumerate(bounds):
+        cond = cond & F.element_at(F.col(vec_col), j + 1).between(lo, hi)
+    return df.where(cond)
+
+
+def radius_join_nd(
+    queries: DataFrame,
+    refs: DataFrame,
+    radius: float,
+    cfg: EngineConfig,
+    vec_col: str = "features",
+    axes: tuple[int, int] = (0, 1),
+    metric: str = "euclidean",
+    salt_hot_cells: bool = True,
+) -> DataFrame:
+    """All (q_id, r_id, dist) with full n-D dist < radius (strict).
+    One shuffle on the projected cell key; same a-priori Chebyshev
+    cover and literal hot-cell salting as the 2-D plan."""
+    a0, a1 = axes
+    rings = max(1, math.ceil(radius / cfg.cell_size))
+    q = _tag_nd(queries, "q", vec_col).withColumn(
+        "cell",
+        F.explode(
+            C.neighbor_cells(
+                C.cell_id(_proj(F.col("q_vec"), a0), _proj(F.col("q_vec"), a1), cfg),
+                rings,
+                cfg,
+            )
+        ),
+    )
+    r = _tag_nd(refs, "r", vec_col).withColumn(
+        "cell", C.cell_id(_proj(F.col("r_vec"), a0), _proj(F.col("r_vec"), a1), cfg)
+    )
+    if salt_hot_cells:
+        hot_rows = (
+            r.groupBy("cell")
+            .count()
+            .where(F.col("count") > cfg.hot_cell_rows)
+            .select("cell")
+            .collect()
+        )
+        hot_cells = [row["cell"] for row in hot_rows]
+        nbuckets = cfg.salt_buckets
+        if hot_cells:
+            is_hot = F.col("cell").isin(hot_cells)
+            r = r.withColumn(
+                "salt",
+                F.when(
+                    is_hot, F.pmod(F.xxhash64(F.col("r_id")), F.lit(nbuckets))
+                ).otherwise(F.lit(0)),
+            )
+            q = q.withColumn(
+                "salt",
+                F.explode(
+                    F.when(
+                        is_hot, F.sequence(F.lit(0), F.lit(nbuckets - 1))
+                    ).otherwise(F.array(F.lit(0)))
+                ),
+            )
+            joined = q.join(r, ["cell", "salt"])
+        else:
+            joined = q.join(r, "cell")
+    else:
+        joined = q.join(r, "cell")
+    return (
+        joined.withColumn("dist", dist_nd(F.col("q_vec"), F.col("r_vec"), metric))
+        .where(F.col("dist") < radius)
+        .select("q_id", "r_id", "dist")
+    )
+
+
+def knn_join_nd(
+    queries: DataFrame,
+    refs: DataFrame,
+    k: int,
+    cfg: EngineConfig,
+    vec_col: str = "features",
+    axes: tuple[int, int] = (0, 1),
+    metric: str = "euclidean",
+    start_ring: int = 1,
+) -> DataFrame:
+    """Exact n-D kNN join (q_id, r_id, dist, rank) — FFCL result-set
+    semantics (k smallest full-metric distances, ties by r_id, self
+    included when queries ⊆ refs). Iterative ring expansion on the
+    projected grid; the guaranteed-covered radius of the searched
+    projection region is a valid full-metric termination bound (see
+    module docstring). Arrays are dropped the moment the distance is
+    computed — every window/aggregation and all survivor state is
+    (id, id, dist) + two projected scalars."""
+    a0, a1 = axes
+    w = Window.partitionBy("q_id").orderBy("dist", "r_id")
+
+    r = _tag_nd(refs, "r", vec_col).withColumn(
+        "cell", C.cell_id(_proj(F.col("r_vec"), a0), _proj(F.col("r_vec"), a1), cfg)
+    ).persist()
+
+    pending = _tag_nd(queries, "q", vec_col).withColumn(
+        "q_px", _proj(F.col("q_vec"), a0)
+    ).withColumn("q_py", _proj(F.col("q_vec"), a1)).withColumn(
+        "q_cell", C.cell_id(F.col("q_px"), F.col("q_py"), cfg)
+    )
+    done_parts: list[DataFrame] = []
+    survivors: DataFrame | None = None
+    ring_lo = 0
+    ring_hi = start_ring
+    max_ring = cfg.grid_n
+
+    for _ in range(cfg.max_rounds):
+        probe = pending.withColumn(
+            "cell",
+            F.explode(
+                F.array_except(
+                    C.neighbor_cells(F.col("q_cell"), ring_hi, cfg),
+                    C.neighbor_cells(F.col("q_cell"), ring_lo - 1, cfg)
+                    if ring_lo > 0
+                    else F.array().cast("array<long>"),
+                )
+            ),
+        )
+        cand = (
+            probe.join(r, "cell")
+            .withColumn("dist", dist_nd(F.col("q_vec"), F.col("r_vec"), metric))
+            .select("q_id", "q_px", "q_py", "q_cell", "r_id", "dist")
+        )
+        if survivors is not None:
+            cand = cand.unionByName(survivors)
+        topk = (
+            cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+        ).persist()
+
+        gr = C.guaranteed_radius(
+            F.col("q_px"), F.col("q_py"), F.col("q_cell"), ring_hi, cfg
+        )
+        covers_all = ring_hi >= max_ring
+        per_q = topk.groupBy("q_id", "q_px", "q_py", "q_cell").agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.max("dist").alias("kth"),
+        )
+        done_q = per_q.where(
+            F.lit(covers_all) | ((F.col("n_cand") >= k) & (F.col("kth") < gr))
+        ).select("q_id")
+        done_parts.append(
+            topk.join(done_q, "q_id")
+            .select("q_id", "r_id", "dist", "rank")
+            .localCheckpoint()
+        )
+        pend_q = pending.join(done_q, "q_id", "left_anti").persist()
+        n_pend = pend_q.count()
+        if n_pend == 0:
+            pend_q.unpersist()
+            topk.unpersist()
+            pending = None
+            break
+        survivors = topk.join(pend_q.select("q_id"), "q_id").select(
+            "q_id", "q_px", "q_py", "q_cell", "r_id", "dist"
+        ).localCheckpoint()
+        pending = pend_q.select(
+            "q_id", "q_vec", "q_px", "q_py", "q_cell"
+        ).localCheckpoint()
+        pend_q.unpersist()
+        topk.unpersist()
+        ring_lo = ring_hi + 1
+        ring_hi = min(max_ring, ring_hi * 2)
+
+    if pending is not None:
+        brute = (
+            pending.crossJoin(r.drop("cell"))
+            .withColumn("dist", dist_nd(F.col("q_vec"), F.col("r_vec"), metric))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("q_id", "r_id", "dist", "rank")
+            .localCheckpoint()
+        )
+        done_parts.append(brute)
+
+    r.unpersist()
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def core_distances_nd(
+    points: DataFrame,
+    k: int,
+    cfg: EngineConfig,
+    vec_col: str = "features",
+    axes: tuple[int, int] = (0, 1),
+    metric: str = "euclidean",
+) -> DataFrame:
+    """(id, core_distance) — n-D form of ``CoreDistances.hpp:39-54``
+    (k-th NN distance, self counted)."""
+    nn = knn_join_nd(points, points, k, cfg, vec_col, axes, metric)
+    return nn.groupBy("q_id").agg(F.max("dist").alias("core_distance")).select(
+        F.col("q_id").alias("id"), "core_distance"
+    )
