@@ -346,6 +346,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return SIM.cosine_neardup_pairs(emb, NEARDUP_COS).select("id_a", "id_b")
 
+    def q_embed_neardup_lsh(spark, sf):
+        # SRP-LSH banded candidates + exact cosine verification — the
+        # near-dup-regime scale path; approximate by construction →
+        # rows-only; recall ≥ 0.95 vs brute is pinned in pytest.
+        # Planted dups: deterministic 0.98·v + 0.02·reverse(v) mixes
+        # (cos ≈ 0.999) for every 5th vector.
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        mix = F.zip_with(
+            F.col("embedding"),
+            F.reverse(F.col("embedding")),
+            lambda a, b: (a.cast("double") * 0.98 + b.cast("double") * 0.02).cast("float"),
+        )
+        planted = emb.where(F.col("vec_id") % 5 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), mix.alias("embedding")
+        )
+        full = emb.select("vec_id", "embedding").unionByName(planted)
+        return SIM.lsh_neardup_pairs(full, 0.9, dims=64).select("id_a", "id_b")
+
     def q_embed_ivf(spark, sf):
         # approximate ANN → rows-only check; recall vs brute force in pytest
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
@@ -429,6 +447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embed_topk": q_embed_topk,
         "embed_neardup": q_embed_neardup,
+        "embed_neardup_lsh": q_embed_neardup_lsh,
         "embed_ivf": q_embed_ivf,
         "feature_stats": q_feature_stats,
         "silhouette": q_silhouette,

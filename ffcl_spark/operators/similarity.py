@@ -88,6 +88,119 @@ def cosine_neardup_pairs(
     )
 
 
+LSH_BANDS = 12
+LSH_BAND_BITS = 8
+
+
+def hyperplane_signatures(
+    df: DataFrame,
+    dims: int,
+    n_bits: int = LSH_BANDS * LSH_BAND_BITS,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sig array<long>): random-hyperplane (SRP) sign signatures.
+    bit_i = 1 iff h_i · v > 0, h_i ~ seeded N(0,1) — P[bit match] =
+    1 − θ/π [Charikar 2002]. Hyperplanes are a driver-seeded constant
+    shipped in the task closure (n_bits × dims floats — metadata);
+    signatures are computed as ONE Arrow-batched matmul per batch
+    (mapInPandas), packed into ⌈n_bits/64⌉ int64 words."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    rng = np.random.default_rng(seed)
+    H = rng.normal(size=(n_bits, dims))
+    n_words = (n_bits + 63) // 64
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+    sel = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.array(pdf["v"].tolist(), dtype=np.float64)
+            bits = (m @ H.T) > 0  # (rows, n_bits)
+            words = np.zeros((len(pdf), n_words), dtype=np.uint64)
+            for i in range(n_bits):
+                words[:, i // 64] |= bits[:, i].astype(np.uint64) << np.uint64(i % 64)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "sig": [w.astype(np.int64).tolist() for w in words]}
+            )
+
+    return sel.mapInPandas(kernel, out_schema)
+
+
+def lsh_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    dims: int,
+    n_bands: int = LSH_BANDS,
+    band_bits: int = LSH_BAND_BITS,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cos): near-dup pairs via banded SRP-LSH candidate
+    generation + EXACT cosine verification (JVM fold) — the scale path
+    for the near-dup regime (cos ≳ 0.8, where banding prunes hard:
+    candidate rate for orthogonal pairs is n_bands·2^−band_bits).
+
+    Approximate by construction: recall = 1 − (1 − p^band_bits)^n_bands
+    with p = 1 − θ/π; measured ≥ 0.95 against the brute oracle in
+    pytest at the defaults. The brute ``cosine_neardup_pairs`` remains
+    the exact oracle — at LOW thresholds (random-pair cosine near the
+    threshold) no LSH family prunes, and exact all-pairs is inherently
+    quadratic; the gate keeps the brute form there by design."""
+    sigs = hyperplane_signatures(
+        df, dims, n_bands * band_bits, seed, id_col, vec_col
+    )
+    # band keys: band_bits-wide slices of the packed words (band_bits
+    # divides 64 at the defaults, so a band never straddles words)
+    band_exprs = []
+    for bi in range(n_bands):
+        start = bi * band_bits
+        word = F.element_at(F.col("sig"), start // 64 + 1)
+        key = F.shiftrightunsigned(word, start % 64).bitwiseAND(
+            F.lit((1 << band_bits) - 1)
+        )
+        band_exprs.append(F.struct(F.lit(bi).alias("band"), key.alias("key")))
+    bk = sigs.select("id", F.explode(F.array(*band_exprs)).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.key").alias("key")
+    )
+    a = bk.select(F.col("id").alias("id_a"), "band", "key")
+    b = bk.select(F.col("id").alias("id_b"), "band", "key")
+    cands = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    vb = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def train_ivf_centroids(
     df: DataFrame,
     n_centroids: int,

@@ -135,16 +135,32 @@ def convex_tiles(spark: SparkSession, cfg: EngineConfig, n_tiles: int = 8, seed:
     return spark.createDataFrame(rows, schema)
 
 
-def pip_join(points: DataFrame, tiles: DataFrame, cfg: EngineConfig) -> DataFrame:
+def pip_join(
+    points: DataFrame,
+    tiles: DataFrame,
+    cfg: EngineConfig,
+    closure_tile_limit: int = 4096,
+) -> DataFrame:
     """Tile assignment: (id, tile_id) for every point inside (or on
     the boundary of) a tile polygon.
 
-    Plan: explode tiles by covering cell → broadcast (tiles are tiny
-    relative to points) → equi-join on the point's cell → exact PIP via
-    an Arrow-batched grouped kernel. The candidate join prunes the
-    point side to cells a polygon actually covers.
+    Two physical plans, same result:
+
+    - tile count ≤ ``closure_tile_limit``: tiles ship in the task
+      closure (the moral equivalent of a broadcast variable); the big
+      points side never shuffles and never serializes polygon rows.
+    - larger tile tables: :func:`pip_join_broadcast` — cell-exploded
+      tiles as a broadcast-hinted DataFrame join on the point's cell
+      (AQE demotes to a shuffle join if the tile side outgrows the
+      broadcast threshold), exact PIP in an Arrow kernel over the
+      candidate rows. This is the path that survives a million-tile
+      table at 100×.
     """
     from ffcl_spark.functions import cells as C
+
+    n_tiles = tiles.count()
+    if n_tiles > closure_tile_limit:
+        return pip_join_broadcast(points, tiles, cfg)
 
     # tiles are small by contract → collected once and shipped in the
     # task closure (the moral equivalent of a broadcast variable); the
@@ -193,6 +209,50 @@ def pip_join(points: DataFrame, tiles: DataFrame, cfg: EngineConfig) -> DataFram
                 yield pd.concat(outs, ignore_index=True)
 
     return pts.mapInPandas(kernel, out_schema)
+
+
+def pip_join_broadcast(points: DataFrame, tiles: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """PIP join for tile tables too large for the task closure: tiles
+    explode by covering cell into a broadcast-hinted join against the
+    point's cell (candidate generation — one narrow pass over points),
+    then the exact even-odd test runs vectorized per (batch × tile)
+    group inside an Arrow kernel. Identical results to the closure
+    path (tested both ways)."""
+    from ffcl_spark.functions import cells as C
+
+    t = tiles.select("tile_id", "ring", F.explode("cells").alias("cell"))
+    pts = points.select(
+        "id", "x", "y", C.cell_id(F.col("x"), F.col("y"), cfg).alias("cell")
+    )
+    cand = pts.join(F.broadcast(t), "cell").select("id", "x", "y", "tile_id", "ring")
+
+    out_schema = T.StructType(
+        [
+            T.StructField("id", points.schema["id"].dataType),
+            T.StructField("tile_id", T.StringType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            outs = []
+            for tile_id, grp in pdf.groupby("tile_id", sort=False):
+                ring = np.array(
+                    [[v["x"], v["y"]] for v in grp["ring"].iloc[0]], dtype=np.float64
+                )
+                mask = points_in_polygon(
+                    grp["x"].to_numpy(), grp["y"].to_numpy(), ring
+                )
+                if mask.any():
+                    outs.append(
+                        pd.DataFrame({"id": grp["id"].to_numpy()[mask], "tile_id": tile_id})
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return cand.mapInPandas(kernel, out_schema)
 
 
 def rasterize(tiles: DataFrame, cfg: EngineConfig) -> DataFrame:

@@ -44,3 +44,38 @@ def test_cosine_neardup_threshold(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     got = SIM.cosine_neardup_pairs(df, 0.99).toPandas()
     assert set(zip(got.id_a, got.id_b)) == {(0, 1)}
+
+
+def _planted(spark, n_base=60, dims=16, seed=5):
+    """Base unit vectors + perturbed copies with cos ≈ 0.92-0.98."""
+    rng = np.random.default_rng(seed)
+    base = rng.normal(size=(n_base, dims))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = rng.normal(size=(n_base, dims))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    alpha = rng.uniform(0.15, 0.35, size=(n_base, 1))
+    dup = base + alpha * noise
+    rows = [(int(i), [float(v) for v in base[i]]) for i in range(n_base)] + [
+        (int(i + 100000), [float(v) for v in dup[i]]) for i in range(n_base)
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_neardup_recall_vs_brute(spark):
+    df = _planted(spark).cache()
+    t = 0.9
+    brute = SIM.cosine_neardup_pairs(df, t).toPandas()
+    lsh = SIM.lsh_neardup_pairs(df, t, dims=16).toPandas()
+    bp = set(zip(brute.id_a, brute.id_b))
+    lp = set(zip(lsh.id_a, lsh.id_b))
+    assert len(bp) >= 30  # the planted dups are really above threshold
+    assert lp <= bp  # exact verification: no false positives, ever
+    recall = len(lp & bp) / len(bp)
+    assert recall >= 0.95, recall
+
+
+def test_lsh_signatures_deterministic(spark):
+    df = _planted(spark)
+    a = SIM.hyperplane_signatures(df.repartition(2), 16).toPandas().sort_values("id")
+    b = SIM.hyperplane_signatures(df.repartition(7), 16).toPandas().sort_values("id")
+    assert [list(x) for x in a.sig] == [list(x) for x in b.sig]

@@ -53,3 +53,29 @@ def test_pip_boundary_points_double_assigned(spark, cfg):
     tiles = TL.grid_tiles(spark, cfg)
     got = TL.pip_join(df, tiles, cfg).toPandas()
     assert set(got.tile_id) == {"tile-2-5", "tile-3-5"}
+
+
+def test_pip_broadcast_path_matches_closure_path(spark, cfg):
+    from ffcl_spark.operators.tiles import convex_tiles, grid_tiles, pip_join, pip_join_broadcast
+    from tests.conftest import points_pdf
+
+    pts = spark.createDataFrame(points_pdf("blobs", 500)).cache()
+    for tiles in (grid_tiles(spark, cfg, side=6.0), convex_tiles(spark, cfg, n_tiles=10)):
+        tiles = tiles.cache()
+        a = pip_join(pts, tiles, cfg).toPandas()
+        b = pip_join_broadcast(pts, tiles, cfg).toPandas()
+        ka = set(zip(a.id, a.tile_id))
+        kb = set(zip(b.id, b.tile_id))
+        assert ka == kb and len(a) == len(b)
+
+
+def test_pip_join_routes_large_tile_tables(spark, cfg):
+    from ffcl_spark.operators.tiles import grid_tiles, pip_join
+    from tests.conftest import points_pdf
+
+    pts = spark.createDataFrame(points_pdf("blobs", 300)).cache()
+    tiles = grid_tiles(spark, cfg, side=6.0)
+    # force the broadcast-join path with a tiny closure limit
+    a = pip_join(pts, tiles, cfg, closure_tile_limit=1).toPandas()
+    b = pip_join(pts, tiles, cfg).toPandas()
+    assert set(zip(a.id, a.tile_id)) == set(zip(b.id, b.tile_id))
