@@ -275,6 +275,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _, _, labels = kmedoids(_doc_points(spark, sf), 4, sample_rows=5_000)
         return labels
 
+    def q_kmedoids_msc(spark, sf):
+        # FasterMSC (medoid-silhouette objective, FasterMSC.hpp) →
+        # rows-only; MSC swap-optimality oracle lives in pytest
+        from ffcl_spark.operators.kmedoids import kmedoids
+
+        _, _, labels = kmedoids(
+            _doc_points(spark, sf), 4, sample_rows=5_000, algorithm="fastermsc"
+        )
+        return labels
+
     def q_kmedoids_cells(spark, sf):
         from ffcl_spark.operators.kmedoids import kmedoids_per_cell
 
@@ -429,6 +439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_nd": q_dbscan_nd,
         "mst_nd": q_mst_nd,
         "kmedoids": q_kmedoids,
+        "kmedoids_msc": q_kmedoids_msc,
         "kmedoids_cells": q_kmedoids_cells,
         "pip_tiles": q_pip_tiles,
         "rasterize": q_rasterize,

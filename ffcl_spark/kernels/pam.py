@@ -119,6 +119,120 @@ def fasterpam(
     return medoids, float(d1.sum()), n_swaps
 
 
+def _div0(num, den):
+    """``common::division`` (Utils.hpp:431-440): 0 when the denominator
+    is 0."""
+    out = np.zeros_like(np.broadcast_arrays(num, den)[0], dtype=np.float64)
+    np.divide(num, den, out=out, where=den != 0)
+    return out
+
+
+def msc_loss(d: np.ndarray, medoids: list[int]) -> float:
+    """FasterMSC loss Σ_o d1(o)/d2(o) — n·(1 − medoid silhouette);
+    minimizing it maximizes the average medoid silhouette
+    [Lenssen & Schubert 2022; ``FasterMSC.hpp``]."""
+    dm = np.sort(d[medoids], axis=0)
+    return float(_div0(dm[0], dm[1]).sum())
+
+
+def fastermsc(
+    d: np.ndarray, medoids: list[int], max_passes: int = 100
+) -> tuple[list[int], float, int]:
+    """Eager-swap FasterMSC (``FasterMSC.hpp:step/find_best_swap``):
+    swap deltas from 3-nearest-medoid buffers, accepted when the loss
+    reduction is > 0 (k > 2) / the k=2 position-buffer special case
+    (``find_best_swap_k2``). Buffers are fully recomputed after each
+    accepted swap — identical results to the reference's incremental
+    update, simpler invariants. Returns (medoids, msc_loss, n_swaps)."""
+    medoids = list(medoids)
+    k = len(medoids)
+    if k < 2:
+        raise ValueError("FasterMSC requires k >= 2 (FasterMSC.hpp)")
+    n = d.shape[0]
+    cols = np.arange(n)
+
+    def buffers():
+        dm = d[medoids]
+        order = np.argsort(dm, axis=0, kind="stable")
+        i1, d1 = order[0], dm[order[0], cols]
+        i2, d2 = order[1], dm[order[1], cols]
+        if k > 2:
+            i3, d3 = order[2], dm[order[2], cols]
+        else:
+            i3, d3 = i2, np.full(n, np.inf)
+        # base removal loss per medoid (PAMUtils.hpp:677-708,
+        # compute_losses_with_silhouette_medoid_removal): reduction of
+        # Σ d1/d2 when medoid i is removed with NO replacement effect
+        base = np.zeros(k)
+        if k > 2:
+            np.add.at(base, i1, _div0(d1, d2) - _div0(d2, d3))
+            np.add.at(base, i2, _div0(d1, d2) - _div0(d1, d3))
+        return i1, d1, i2, d2, i3, d3, base
+
+    i1, d1, i2, d2, i3, d3, base = buffers()
+    n_swaps = 0
+    for _ in range(max_passes):
+        swapped = False
+        for xc in range(n):
+            if xc in medoids:
+                continue
+            doc = d[xc]
+            if k == 2:
+                # position-indexed buffers (find_best_swap_k2): loss of
+                # {candidate, m1} resp. {m0, candidate}
+                dm0 = d[medoids[0]]
+                dm1 = d[medoids[1]]
+                loss_keep1 = _div0(
+                    np.minimum(doc, dm1), np.maximum(doc, dm1)
+                ).sum()
+                loss_keep0 = _div0(
+                    np.minimum(doc, dm0), np.maximum(doc, dm0)
+                ).sum()
+                losses = np.array([loss_keep1, loss_keep0])
+                best_i = int(losses.argmin())
+                cur = _div0(np.minimum(dm0, dm1), np.maximum(dm0, dm1)).sum()
+                if losses[best_i] < cur:
+                    medoids[best_i] = xc
+                    i1, d1, i2, d2, i3, d3, base = buffers()
+                    swapped = True
+                    n_swaps += 1
+                continue
+            # k > 2: loss REDUCTION per removed medoid = base removal
+            # loss + candidate-conditional corrections (find_best_swap)
+            dl = base.copy()
+            lt1 = doc < d1
+            lt2 = ~lt1 & (doc < d2)
+            lt3 = ~lt1 & ~lt2 & (doc < d3)
+            delta_xc = float(
+                (_div0(d1, d2) - _div0(doc, d1))[lt1].sum()
+                + (_div0(d1, d2) - _div0(d1, doc))[lt2].sum()
+            )
+            np.add.at(
+                dl,
+                i1[lt1],
+                (_div0(doc, d1) + _div0(d2, d3) - _div0(d1 + doc, d2))[lt1],
+            )
+            np.add.at(dl, i2[lt1], (_div0(d1, d3) - _div0(d1, d2))[lt1])
+            np.add.at(
+                dl,
+                i1[lt2],
+                (_div0(d1, doc) + _div0(d2, d3) - _div0(d1 + doc, d2))[lt2],
+            )
+            np.add.at(dl, i2[lt2], (_div0(d1, d3) - _div0(d1, d2))[lt2])
+            np.add.at(dl, i1[lt3], (_div0(d2, d3) - _div0(d2, doc))[lt3])
+            np.add.at(dl, i2[lt3], (_div0(d1, d3) - _div0(d1, doc))[lt3])
+            best_i = int(dl.argmax())
+            delta = delta_xc + float(dl[best_i])
+            if delta > 0:  # FasterMSC.hpp step(): improvement accepted
+                medoids[best_i] = xc
+                i1, d1, i2, d2, i3, d3, base = buffers()
+                swapped = True
+                n_swaps += 1
+        if not swapped:
+            break
+    return medoids, msc_loss(d, medoids), n_swaps
+
+
 def pam(
     mat: np.ndarray,
     k: int,
@@ -126,10 +240,12 @@ def pam(
     init: str = "build",
     seed: int = 7,
     max_passes: int = 100,
+    algorithm: str = "fasterpam",
 ) -> tuple[np.ndarray, float]:
     """BUILD (or seeded-random, ``KMedoids.hpp:166-171``) init +
-    FasterPAM swaps. Returns (medoid row indices sorted ascending,
-    total deviation)."""
+    FasterPAM (default) or FasterMSC swaps. Returns (medoid row
+    indices sorted ascending, loss — total deviation for fasterpam,
+    Σ d1/d2 for fastermsc)."""
     d = distance_matrix(mat, metric)
     n = len(mat)
     k = min(k, n)
@@ -140,8 +256,15 @@ def pam(
         med0 = list(rng.choice(n, size=k, replace=False))
     else:
         raise ValueError(f"unknown init {init!r}")
-    medoids, td, _ = fasterpam(d, med0, max_passes)
-    return np.array(sorted(medoids), dtype=np.int64), td
+    if algorithm == "fasterpam" or k < 2:
+        # k=1 degenerates identically for both objectives (single best
+        # medoid); FasterMSC itself requires k ≥ 2 (FasterMSC.hpp)
+        medoids, loss, _ = fasterpam(d, med0, max_passes)
+    elif algorithm == "fastermsc":
+        medoids, loss, _ = fastermsc(d, med0, max_passes)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
+    return np.array(sorted(medoids), dtype=np.int64), loss
 
 
 def total_deviation(mat: np.ndarray, medoid_rows: np.ndarray, metric: str = "euclidean") -> float:

@@ -48,7 +48,8 @@ def _matrix_of(pdf: pd.DataFrame, vec_col: str | None) -> np.ndarray:
 
 
 def _assign_expr(med_coords: np.ndarray, med_ids: list, id_type, vec_col: str | None):
-    """Argmin-distance medoid id as a pure column expression; ties at
+    """Sorted (d², medoid id) struct array as a pure column expression;
+    [0] = assignment, [1] = second-nearest (for the MSC loss); ties at
     equal distance break toward the smaller medoid id (engine
     determinism rule)."""
     structs = []
@@ -71,7 +72,18 @@ def _assign_expr(med_coords: np.ndarray, med_ids: list, id_type, vec_col: str | 
                 F.lit("d2"), d2, F.lit("mid"), F.lit(mid).cast(id_type)
             )
         )
-    return F.sort_array(F.array(*structs))[0]
+    return F.sort_array(F.array(*structs))
+
+
+def _loss_expr(arr, algorithm: str):
+    """Full-data loss for one run: total deviation (fasterpam) or
+    Σ d1/d2 medoid-silhouette loss (fastermsc, ``common::division``
+    zero-guard)."""
+    if algorithm == "fasterpam":
+        return F.sqrt(arr[0]["d2"])
+    d1 = F.sqrt(arr[0]["d2"])
+    d2 = F.sqrt(arr[1]["d2"])
+    return F.when(d2 > 0, d1 / d2).otherwise(F.lit(0.0))
 
 
 def kmedoids(
@@ -84,9 +96,11 @@ def kmedoids(
     init: str = "build",
     max_passes: int = 100,
     vec_col: str | None = None,
+    algorithm: str = "fasterpam",
 ) -> tuple[list, float, DataFrame]:
-    """Returns (medoid ids, full-data total deviation, labels
-    DataFrame (id, label) with label = assigned medoid's id)."""
+    """Returns (medoid ids, full-data loss — total deviation for
+    fasterpam, Σ d1/d2 for fastermsc — and a labels DataFrame
+    (id, label) with label = assigned medoid's id)."""
     id_type = points.schema["id"].dataType
     cols = ["id", "x", "y"] if vec_col is None else ["id", vec_col]
     pts = points.select(*cols)
@@ -105,17 +119,20 @@ def kmedoids(
         pdf = basis.toPandas().sort_values("id").reset_index(drop=True)
         mat = _matrix_of(pdf, vec_col)[:sample_rows]
         ids = pdf["id"].to_numpy()[:sample_rows]
-        med_rows, _ = pam(mat, k, metric=metric, init=init, seed=seed + trial, max_passes=max_passes)
+        med_rows, _ = pam(
+            mat, k, metric=metric, init=init, seed=seed + trial,
+            max_passes=max_passes, algorithm=algorithm,
+        )
         med_ids = [ids[r].item() if hasattr(ids[r], "item") else ids[r] for r in med_rows]
         med_coords = mat[med_rows]
-        # full-data total deviation, one JVM scan
-        assign = _assign_expr(med_coords, med_ids, id_type, vec_col)
-        td = pts.select(F.sqrt(assign["d2"]).alias("d")).agg(F.sum("d")).collect()[0][0]
+        # full-data loss, one JVM scan
+        arr = _assign_expr(med_coords, med_ids, id_type, vec_col)
+        td = pts.select(_loss_expr(arr, algorithm).alias("d")).agg(F.sum("d")).collect()[0][0]
         if best is None or td < best[1]:
             best = (med_ids, float(td), med_coords)
     med_ids, td, med_coords = best
-    assign = _assign_expr(med_coords, med_ids, id_type, vec_col)
-    labels = pts.select("id", assign["mid"].alias("label"))
+    arr = _assign_expr(med_coords, med_ids, id_type, vec_col)
+    labels = pts.select("id", arr[0]["mid"].alias("label"))
     return med_ids, td, labels
 
 
@@ -126,6 +143,7 @@ def kmedoids_per_cell(
     metric: str = "euclidean",
     vec_col: str | None = None,
     axes: tuple[int, int] = (0, 1),
+    algorithm: str = "fasterpam",
 ) -> DataFrame:
     """(cell, medoid_id, local_td): k PAM medoids per grid cell —
     Arrow-batched kernel, reference semantics per cell. The output is
@@ -159,7 +177,7 @@ def kmedoids_per_cell(
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id").reset_index(drop=True)
         mat = _matrix_of(pdf, vec_col)
-        med_rows, td = pam(mat, k, metric=metric, init="build")
+        med_rows, td = pam(mat, k, metric=metric, init="build", algorithm=algorithm)
         return pd.DataFrame(
             {
                 "cell": key[0],

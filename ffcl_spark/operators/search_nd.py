@@ -173,6 +173,77 @@ def radius_join_nd(
     )
 
 
+def _knn_nd_local_refs(
+    queries: DataFrame,
+    refs: DataFrame,
+    k: int,
+    vec_col: str,
+    metric: str,
+) -> DataFrame:
+    """Exact n-D kNN with the refs shipped in the task closure: ONE
+    narrow pass over the queries (mapInPandas), fold-order NumPy block
+    scan + exact (dist, id) tie-break per batch — no shuffle at all.
+
+    This is the reference's own regime (FFCL is a single-node
+    in-memory engine; ``KDTree.hpp`` holds the whole ref set), kept
+    for ref sets up to ``LOCAL_REFS_LIMIT``: in high dimensions the
+    projected-grid prune weakens (curse of dimensionality), so for
+    closure-sized refs a blocked brute scan is both exact and strictly
+    faster than iterative ring rounds."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ffcl_spark.kernels.neighbors import BLOCK, pairwise_fold_nd, topk_rows
+
+    rpdf = (
+        refs.select("id", F.col(vec_col).cast("array<double>").alias("v"))
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    import numpy as np
+
+    rmat = np.array(rpdf["v"].tolist(), dtype=np.float64)
+    rids = rpdf["id"].to_numpy()
+    kk = min(k, len(rids))
+    id_type = queries.schema["id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", id_type),
+            T.StructField("r_id", refs.schema["id"].dataType),
+            T.StructField("dist", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
+    )
+    sel = queries.select("id", F.col(vec_col).cast("array<double>").alias("v"))
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qmat = np.array(pdf["v"].tolist(), dtype=np.float64)
+            qids = pdf["id"].to_numpy()
+            for s in range(0, len(qmat), BLOCK):
+                e = min(s + BLOCK, len(qmat))
+                d = pairwise_fold_nd(qmat[s:e], rmat, metric)
+                part, dd = topk_rows(d, kk)
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.repeat(qids[s:e], kk),
+                        "r_id": rids[part.ravel()],
+                        "dist": dd.ravel(),
+                        "rank": np.tile(
+                            np.arange(1, kk + 1, dtype="int32"), e - s
+                        ),
+                    }
+                )
+
+    return sel.mapInPandas(kernel, out_schema)
+
+
+LOCAL_REFS_LIMIT = 100_000
+
+
 def knn_join_nd(
     queries: DataFrame,
     refs: DataFrame,
@@ -182,15 +253,24 @@ def knn_join_nd(
     axes: tuple[int, int] = (0, 1),
     metric: str = "euclidean",
     start_ring: int = 1,
+    local_refs_limit: int = LOCAL_REFS_LIMIT,
 ) -> DataFrame:
     """Exact n-D kNN join (q_id, r_id, dist, rank) — FFCL result-set
     semantics (k smallest full-metric distances, ties by r_id, self
-    included when queries ⊆ refs). Iterative ring expansion on the
-    projected grid; the guaranteed-covered radius of the searched
-    projection region is a valid full-metric termination bound (see
-    module docstring). Arrays are dropped the moment the distance is
-    computed — every window/aggregation and all survivor state is
-    (id, id, dist) + two projected scalars."""
+    included when queries ⊆ refs).
+
+    Physical plan by refs size (same result either way, tested):
+    - refs ≤ ``local_refs_limit``: closure-shipped refs, one narrow
+      pass over queries (``_knn_nd_local_refs``) — the reference's own
+      single-node regime, no shuffle;
+    - larger refs: iterative ring expansion on the projected grid; the
+      guaranteed-covered radius of the searched projection region is a
+      valid full-metric termination bound (see module docstring).
+      Arrays are dropped the moment the distance is computed — every
+      window/aggregation and all survivor state is (id, id, dist) +
+      two projected scalars."""
+    if local_refs_limit and refs.count() <= local_refs_limit:
+        return _knn_nd_local_refs(queries, refs, k, vec_col, metric)
     a0, a1 = axes
     w = Window.partitionBy("q_id").orderBy("dist", "r_id")
 

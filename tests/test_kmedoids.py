@@ -108,3 +108,35 @@ def test_kmedoids_per_cell_matches_local(blobs, cfg):
         got_rows = out[out["cell"] == c]
         assert set(got_rows["medoid_id"]) == exp
         assert np.allclose(got_rows["local_td"].to_numpy(), td)
+
+
+def test_fastermsc_swap_optimal_under_msc_objective():
+    from ffcl_spark.kernels.pam import msc_loss, pam
+
+    rng = np.random.default_rng(13)
+    centers = rng.uniform(-10, 10, size=(4, 2))
+    mat = np.vstack([c + rng.normal(0, 0.8, size=(30, 2)) for c in centers])
+    d = distance_matrix(mat)
+    for k in (2, 3, 4):
+        med, loss = pam(mat, k, algorithm="fastermsc")
+        cur = msc_loss(d, list(med))
+        assert abs(cur - loss) < 1e-9
+        for mi in range(k):
+            for xc in range(len(mat)):
+                if xc in med:
+                    continue
+                trial = list(med)
+                trial[mi] = xc
+                assert msc_loss(d, trial) >= cur - 1e-9
+
+
+def test_kmedoids_fastermsc_matches_driver(blobs):
+    from ffcl_spark.kernels.pam import pam as pam_local
+
+    df, pdf = blobs
+    med_ids, loss, labels = kmedoids(df, 3, sample_rows=100_000, algorithm="fastermsc")
+    loc = pdf.sort_values("id").reset_index(drop=True)
+    mat = loc[["x", "y"]].to_numpy()
+    med_rows, loss_loc = pam_local(mat, 3, algorithm="fastermsc")
+    assert sorted(med_ids) == sorted(loc["id"].to_numpy()[med_rows].tolist())
+    assert abs(loss - loss_loc) < 1e-6

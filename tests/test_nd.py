@@ -52,10 +52,13 @@ def _oracle_knn(mat, ids, k, metric="euclidean"):
 
 
 @pytest.mark.parametrize("metric", ["euclidean", "manhattan"])
-def test_knn_nd_matches_oracle_bitwise(nd_points, nd_cfg, metric):
+@pytest.mark.parametrize("local_limit", [100_000, 0])
+def test_knn_nd_matches_oracle_bitwise(nd_points, nd_cfg, metric, local_limit):
+    # local_limit=0 forces the ring-expansion path; the default takes
+    # the closure-shipped-refs path — both must match the oracle bitwise
     df, ids, mat = nd_points
     sdf = (
-        SN.knn_join_nd(df, df, 4, nd_cfg, metric=metric)
+        SN.knn_join_nd(df, df, 4, nd_cfg, metric=metric, local_refs_limit=local_limit)
         .toPandas()
         .sort_values(["q_id", "rank"])
         .reset_index(drop=True)
