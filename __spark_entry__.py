@@ -267,6 +267,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         edges = minimum_spanning_tree(pts, CFG_ND, features_col="features")
         return spark.createDataFrame(edges, "src long, dst long, w double")
 
+    def q_kmeans_hamerly(spark, sf):
+        # Hamerly-accelerated k-means (Hamerly.hpp) — identical results
+        # to Lloyd (pytest-pinned); iterative → rows-only
+        from ffcl_spark.operators.kmeans import kmeans_hamerly
+
+        _, _, labels = kmeans_hamerly(_doc_points(spark, sf), 4, max_iters=10, seed=7)
+        return labels
+
     def q_kmedoids(spark, sf):
         # CLARA/FasterPAM medoids (KMedoids.hpp pipeline) → rows-only;
         # swap-optimality + driver-PAM parity live in pytest
@@ -428,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "closest_pair": q_closest_pair,
         "kth_closest_pairs": q_kth_closest_pairs,
         "kmeans": q_kmeans,
+        "kmeans_hamerly": q_kmeans_hamerly,
         "mst": q_mst,
         "hdbscan": q_hdbscan,
         "knn_nd": q_knn_nd,

@@ -131,6 +131,152 @@ def kmeans(
     return best
 
 
+def _full_assign_expr(cents: np.ndarray):
+    """Sorted (d, cid) structs over all k centroids — [0] = assignment
+    + exact upper bound, [1] = exact lower bound (second closest)."""
+    structs = []
+    for ci, (cx, cy) in enumerate(cents):
+        d = F.sqrt(
+            (F.col("x") - float(cx)) * (F.col("x") - float(cx))
+            + (F.col("y") - float(cy)) * (F.col("y") - float(cy))
+        )
+        structs.append(F.named_struct(F.lit("d"), d, F.lit("cid"), F.lit(ci)))
+    return F.sort_array(F.array(*structs))
+
+
+def hamerly_once(
+    points: DataFrame,
+    init: np.ndarray,
+    max_iters: int,
+    tol: float,
+) -> tuple[np.ndarray, float, DataFrame]:
+    """Hamerly's exact accelerated k-means (reference ``Hamerly.hpp``:
+    one upper bound u = d(x, c_assigned) and one lower bound
+    l = d(x, second closest) per point; a point whose
+    u ≤ max(s_assigned, l) provably keeps its assignment, where
+    s_j = ½·min_{i≠j} d(c_j, c_i)).
+
+    Produces the IDENTICAL (assignment, centroid) sequence as Lloyd
+    from the same init — the bounds only skip distance work, never
+    change results (pytest-pinned against ``lloyd_once``).
+
+    Spark shape: per-point state (label, u, l) is a persisted column
+    set updated by ROW-LOCAL expressions — the skip/tighten/rescan
+    三-way decision is a nested CASE WHEN, which whole-stage codegen
+    evaluates lazily per row, so the k-distance full scan truly runs
+    only for rows whose bounds fail (the same work-saving as the
+    reference's sequential loop, minus its per-point branch
+    bookkeeping). One groupBy(label) aggregation per iteration updates
+    centroids; the driver touches k rows."""
+    cents = init.copy()
+    k = len(cents)
+    arr = _full_assign_expr(cents)
+    state = points.select(
+        "id",
+        "x",
+        "y",
+        arr[0]["cid"].alias("label"),
+        arr[0]["d"].alias("u"),
+        arr[1]["d"].alias("l"),
+    ).localCheckpoint()
+
+    for _ in range(max_iters):
+        # centroid update from current assignment (empty keeps old —
+        # Lloyd.hpp:114-118)
+        agg = (
+            state.groupBy("label")
+            .agg(F.avg("x").alias("mx"), F.avg("y").alias("my"))
+            .collect()
+        )
+        new_cents = cents.copy()
+        for row in agg:
+            new_cents[row["label"]] = (row["mx"], row["my"])
+        moves = np.sqrt(np.sum((new_cents - cents) ** 2, axis=1))
+        cents = new_cents
+        if float(moves.max()) < tol:
+            break
+        # Hamerly bound maintenance: u += p(assigned), l -= max move
+        s = np.full(k, np.inf)
+        for j in range(k):
+            for i in range(k):
+                if i != j:
+                    s[j] = min(s[j], float(np.sqrt(np.sum((cents[j] - cents[i]) ** 2))))
+        s *= 0.5
+        p_arr = F.array(*[F.lit(float(v)) for v in moves])
+        s_arr = F.array(*[F.lit(float(v)) for v in s])
+        u1 = F.col("u") + F.element_at(p_arr, F.col("label") + 1)
+        l1 = F.col("l") - F.lit(float(moves.max()))
+        bound = F.greatest(F.element_at(s_arr, F.col("label") + 1), l1)
+        # tightened upper bound: exact distance to the (moved) assigned
+        # centroid — evaluated only when the cheap bound fails
+        tight_structs = _full_assign_expr(cents)
+        cx = F.array(*[F.lit(float(c[0])) for c in cents])
+        cy = F.array(*[F.lit(float(c[1])) for c in cents])
+        dx = F.col("x") - F.element_at(cx, F.col("label") + 1)
+        dy = F.col("y") - F.element_at(cy, F.col("label") + 1)
+        u_tight = F.sqrt(dx * dx + dy * dy)
+        keep1 = u1 <= bound
+        keep2 = u_tight <= bound
+        new_state = state.select(
+            "id",
+            "x",
+            "y",
+            F.when(keep1, F.col("label"))
+            .when(keep2, F.col("label"))
+            .otherwise(tight_structs[0]["cid"])
+            .alias("label"),
+            F.when(keep1, u1)
+            .when(keep2, u_tight)
+            .otherwise(tight_structs[0]["d"])
+            .alias("u"),
+            F.when(keep1 | keep2, l1)
+            .otherwise(tight_structs[1]["d"])
+            .alias("l"),
+        ).localCheckpoint()
+        state = new_state
+
+    arr = _full_assign_expr(cents)
+    loss = points.select(arr[0]["d"].alias("d")).agg(F.sum("d")).collect()[0][0]
+    labels = state.select("id", "label")
+    return cents, float(loss), labels
+
+
+def kmeans_hamerly(
+    points: DataFrame,
+    k: int,
+    n_init: int = 1,
+    max_iters: int = 20,
+    tol: float = 1e-6,
+    seed: int = 7,
+    sample_rows: int = 50_000,
+) -> tuple[np.ndarray, float, DataFrame]:
+    """k-means with Hamerly's acceleration — same contract and results
+    as :func:`kmeans` (kmeans++ seeded init, n_init restarts, min-loss
+    run kept); reference ``Hamerly.hpp`` (the reference treats it as a
+    drop-in engine for the same KMeans pipeline, ``KMeans.hpp``)."""
+    n = points.count()
+    m = max(1, math.ceil(n / sample_rows))
+    basis = points
+    if m > 1:
+        basis = points.where(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(m)) == 0
+        )
+    sample = (
+        basis.select("x", "y")
+        .toPandas()
+        .sort_values(["x", "y"])
+        .reset_index(drop=True)
+        .to_numpy()[:sample_rows]
+    )
+    best = None
+    for trial in range(n_init):
+        init = kmeanspp_init(sample, k, seed + trial)
+        cents, loss, labels = hamerly_once(points, init, max_iters, tol)
+        if best is None or loss < best[1]:
+            best = (cents, loss, labels)
+    return best
+
+
 # --------------------------------------------------------------- n-D
 
 

@@ -170,3 +170,25 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     cents, loss, labels = kmeans(df, 8, seed=3)
     assert len(cents) == 8
     assert labels.count() == 12
+
+
+def test_hamerly_matches_lloyd_exactly(blobs):
+    """Hamerly's bounds only SKIP work — the (assignment, centroid)
+    sequence must equal plain Lloyd from the same init
+    (reference Hamerly.hpp is a drop-in engine for KMeans.hpp)."""
+    import numpy as np
+
+    from ffcl_spark.operators.kmeans import hamerly_once, kmeanspp_init, lloyd_once
+
+    df, pdf = blobs
+    sample = (
+        pdf[["x", "y"]].sort_values(["x", "y"]).reset_index(drop=True).to_numpy()
+    )
+    init = kmeanspp_init(sample, 4, seed=7)
+    c_l, loss_l, lab_l = lloyd_once(df, init, max_iters=12, tol=1e-9)
+    c_h, loss_h, lab_h = hamerly_once(df, init, max_iters=12, tol=1e-9)
+    assert np.allclose(c_l, c_h, rtol=0, atol=1e-12)
+    assert abs(loss_l - loss_h) < 1e-9
+    a = lab_l.toPandas().sort_values("id").reset_index(drop=True)
+    b = lab_h.toPandas().sort_values("id").reset_index(drop=True)
+    assert (a["label"].to_numpy() == b["label"].to_numpy()).all()
