@@ -409,6 +409,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         media = MM.media_binary(_docs(spark, sf))
         return MM.extract_features(media).select("doc_id", "offset", "n_bytes")
 
+    def q_sessions(spark, sf):
+        # batch twin of the stateful streaming sessionizer (stream ==
+        # batch parity lives in tests/test_streaming.py)
+        from ffcl_spark.streaming.sessions import sessionize_batch
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        s = sessionize_batch(ev, gap_minutes=600)
+        fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        return s.select(
+            "user_id",
+            F.date_format("session_start", fmt).alias("session_start"),
+            F.date_format("session_end", fmt).alias("session_end"),
+            "n_events",
+            "sum_cents",
+        )
+
     def q_events_hourly(spark, sf):
         ev = spark.read.parquet(f"{sf}/events.parquet")
         cents = F.round(F.col("value") * 100).cast("long")
@@ -472,6 +488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feature_stats": q_feature_stats,
         "silhouette": q_silhouette,
         "multimodal_meta": q_multimodal_meta,
+        "sessions": q_sessions,
         "events_hourly": q_events_hourly,
     }
 
@@ -954,6 +971,27 @@ SELECT 'doc-' || d AS doc_id, CAST(off AS INTEGER) AS offset,
   CAST(length('media://doc-' || d || '/' || off ||
     '?x=' || printf('%.3f', x) || '&y=' || printf('%.3f', y)) AS INTEGER) AS n_bytes
 FROM c
+"""
+
+    o["sessions"] = """
+WITH e AS (
+  SELECT user_id, ts, CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events),
+g AS (
+  SELECT user_id, ts, cents,
+    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts) > 36000
+         THEN 1 ELSE 0 END AS brk
+  FROM e),
+s AS (
+  SELECT user_id, ts, cents,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g)
+SELECT user_id,
+  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+  CAST(count(*) AS INTEGER) AS n_events,
+  sum(cents) AS sum_cents
+FROM s GROUP BY user_id, sid
 """
 
     o["events_hourly"] = """

@@ -35,3 +35,66 @@ def test_stream_rollup_matches_batch(spark, tmp_path):
     g = got.sort_values(key).reset_index(drop=True)
     e = exp.sort_values(key).reset_index(drop=True)
     assert g[key + ["n", "sum_value"]].equals(e[key + ["n", "sum_value"]])
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): streamed
+    sessionization == the batch lag/cumsum oracle on all sessions the
+    watermark has closed. Three availableNow drains against one
+    checkpoint also exercise state recovery across restarts."""
+    import pandas as pd
+
+    from ffcl_spark.streaming.events import EVENTS_SCHEMA, read_events_stream
+    from ffcl_spark.streaming.sessions import sessionize_batch, sessionize_stream
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet").cache()
+    gap_min = 600  # 10 h — median per-user gap is ~7.7 h → real multi-event sessions
+    max_ts = src.agg(F.max("ts")).collect()[0][0]
+
+    drop = str(tmp_path / "sess_drop")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    src.repartition(2).write.mode("append").parquet(drop)
+
+    def drain():
+        q = (
+            sessionize_stream(read_events_stream(spark, drop), gap_minutes=gap_min)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()  # phase 1: ingest all real events (nothing closeable yet)
+    # phase 2/3: flush sentinels far past every real session + gap; the
+    # second sentinel's batch starts with a watermark that times out
+    # every real session
+    for days in (30, 60):
+        flush = spark.createDataFrame(
+            [
+                (10_000_000 + d, (pd.Timestamp(max_ts) + pd.Timedelta(days=days)).to_pydatetime(), int(u), "flush", 0.0, "{}")
+                for d, u in enumerate(r["user_id"] for r in src.select("user_id").distinct().collect())
+            ],
+            EVENTS_SCHEMA,
+        )
+        flush.coalesce(1).write.mode("append").parquet(drop)
+        drain()
+
+    got = (
+        spark.read.parquet(out)
+        .where(F.col("session_start") <= max_ts)  # exclude sentinel sessions
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        sessionize_batch(src, gap_minutes=gap_min)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events", "sum_cents"]
+    assert len(got) == len(exp) and len(got) > 20
+    assert got[cols].equals(exp[cols])
