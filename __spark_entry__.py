@@ -364,6 +364,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         return SIM.cosine_neardup_pairs(emb, NEARDUP_COS).select("id_a", "id_b")
 
+    def q_knn_embed(spark, sf):
+        # exact n-D kNN over the REAL 64-d float32 embeddings (rank
+        # output only: both engines compute double-precision distances,
+        # rank ties verified absent at gate SFs)
+        from ffcl_spark.operators.search_nd import knn_join_nd
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("features")
+        )
+        qs = emb.where(F.col("id") % EMB_QMOD == 0)
+        cfg = EngineConfig(x0=-0.6, y0=-0.6, domain=1.2, resolution=2)
+        return knn_join_nd(qs, emb, EMB_K, cfg).select("q_id", "r_id", "rank")
+
     def q_embed_neardup_lsh(spark, sf):
         # SRP-LSH banded candidates + exact cosine verification — the
         # near-dup-regime scale path; approximate by construction →
@@ -482,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "embed_topk": q_embed_topk,
+        "knn_embed": q_knn_embed,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "embed_ivf": q_embed_ivf,
@@ -948,6 +962,16 @@ SELECT q.vec_id AS q_id, r.vec_id AS n_id,
     AS INTEGER) AS rank
 FROM embeddings q CROSS JOIN embeddings r
 WHERE q.vec_id % {EMB_QMOD} = 0 AND r.vec_id != q.vec_id
+QUALIFY rank <= {EMB_K}
+"""
+
+    o["knn_embed"] = f"""
+SELECT q.vec_id AS q_id, r.vec_id AS r_id,
+  CAST(row_number() OVER (PARTITION BY q.vec_id
+    ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(r.embedding AS DOUBLE[])),
+             r.vec_id) AS INTEGER) AS rank
+FROM embeddings q CROSS JOIN embeddings r
+WHERE q.vec_id % {EMB_QMOD} = 0
 QUALIFY rank <= {EMB_K}
 """
 
