@@ -236,3 +236,77 @@ def test_hdbscan_nd_runs(nd_points, nd_cfg):
     assert set(pdf.columns) == {"id", "label", "is_noise"}
     # the 4 planted blobs should be recovered as ≥2 non-noise clusters
     assert pdf.loc[~pdf["is_noise"], "label"].nunique() >= 2
+
+
+def test_knn_nd_k_exceeds_refs(spark, nd_cfg):
+    mat = np.array([[0.0] * DIMS, [1.0] * DIMS, [2.0] * DIMS])
+    pdf = pd.DataFrame({"id": [0, 1, 2], "features": [list(r) for r in mat]})
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(pdf, schema)
+    for limit in (100_000, 0):  # both physical plans
+        out = SN.knn_join_nd(df, df, 10, nd_cfg, local_refs_limit=limit).toPandas()
+        # min(k, n_refs) = 3 neighbors per query — FFCL result-set size
+        assert len(out) == 9
+        assert out.groupby("q_id")["rank"].max().eq(3).all()
+
+
+def test_knn_nd_out_of_domain_queries(nd_points, nd_cfg):
+    # queries far outside the grid domain clamp to border cells and
+    # must still return exact results (ring path covers the whole grid)
+    df, ids, mat = nd_points
+    far = np.full((3, DIMS), 50.0) + np.arange(3)[:, None]
+    pdf = pd.DataFrame(
+        {"id": [9001, 9002, 9003], "features": [list(r) for r in far]}
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    qdf = df.sparkSession.createDataFrame(pdf, schema)
+    for limit in (100_000, 0):
+        got = (
+            SN.knn_join_nd(qdf, df, 2, nd_cfg, local_refs_limit=limit)
+            .toPandas()
+            .sort_values(["q_id", "rank"])
+            .reset_index(drop=True)
+        )
+        oq, on_, od = NK.knn_nd(far, mat, ids, 2)
+        assert (got["r_id"].to_numpy() == on_).all()
+        assert np.array_equal(got["dist"].to_numpy(), od)
+
+
+def test_radius_nd_hot_cell_salting_exact(spark, nd_cfg):
+    # one cell holds 60% of all points (projected axes) — salting path
+    # must produce the identical pair set as the unsalted plan
+    rng = np.random.default_rng(5)
+    hot = rng.uniform(-0.4, 0.4, size=(300, DIMS))  # one projected cell
+    cold = rng.uniform(-9.0, 9.0, size=(200, DIMS))
+    mat = np.vstack([hot, cold])
+    ids = np.arange(len(mat), dtype=np.int64)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("features", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        pd.DataFrame({"id": ids, "features": [list(r) for r in mat]}), schema
+    ).cache()
+    import dataclasses
+
+    cfg = dataclasses.replace(nd_cfg, hot_cell_rows=50, salt_buckets=4)
+    r = 1.5
+    salted = SN.radius_join_nd(df, df, r, cfg, salt_hot_cells=True).toPandas()
+    plain = SN.radius_join_nd(df, df, r, cfg, salt_hot_cells=False).toPandas()
+    a, b, _ = NK.radius_pairs_nd(mat, ids, mat, ids, r)
+    exp = set(zip(a.tolist(), b.tolist()))
+    assert set(zip(salted.q_id, salted.r_id)) == exp
+    assert set(zip(plain.q_id, plain.r_id)) == exp
+    assert len(salted) == len(plain) == len(a)
