@@ -300,6 +300,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cell", "medoid_id"
         )
 
+    def q_kmedoids_two_level(spark, sf):
+        # coreset scale path: per-cell medoids+weights → weighted
+        # global PAM; TD-quality bound vs the flat solve in pytest
+        from ffcl_spark.operators.kmedoids import kmedoids_two_level
+
+        _, _, labels = kmedoids_two_level(_doc_points(spark, sf), 4, CFG, k_local=4)
+        return labels
+
     def q_pip_tiles(spark, sf):
         pts = _doc_points(spark, sf)
         tiles = TL.grid_tiles(spark, CFG, side=TILE_SIDE)
@@ -479,6 +487,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmedoids": q_kmedoids,
         "kmedoids_msc": q_kmedoids_msc,
         "kmedoids_cells": q_kmedoids_cells,
+        "kmedoids_two_level": q_kmedoids_two_level,
         "pip_tiles": q_pip_tiles,
         "rasterize": q_rasterize,
         "vectorize": q_vectorize,

@@ -34,22 +34,25 @@ def distance_matrix(mat: np.ndarray, metric: str = "euclidean") -> np.ndarray:
     return pairwise_fold_nd(mat, mat, metric)
 
 
-def pam_build(d: np.ndarray, k: int) -> list[int]:
+def pam_build(d: np.ndarray, k: int, weights: np.ndarray | None = None) -> list[int]:
     """Greedy BUILD medoid initialization (published PAM semantics;
     see module docstring re the reference's comparator). Returns k
-    row indices."""
+    row indices. ``weights``: per-sample multiplicities (the coreset /
+    two-level path) — unit weights reproduce the unweighted result
+    exactly."""
     n = d.shape[0]
     k = min(k, n)
-    # first medoid: minimum total deviation (PAMBuild.hpp:25-26,
-    # first_medoid_td_index_pair)
-    m0 = int(d.sum(axis=1).argmin())
+    w = np.ones(n) if weights is None else np.asarray(weights, dtype=np.float64)
+    # first medoid: minimum (weighted) total deviation
+    # (PAMBuild.hpp:25-26, first_medoid_td_index_pair)
+    m0 = int((d * w[None, :]).sum(axis=1).argmin())
     medoids = [m0]
     nearest = d[m0].copy()
     in_medoids = np.zeros(n, dtype=bool)
     in_medoids[m0] = True
     for _ in range(1, k):
-        # reduction[c] = Σ_o max(0, nearest[o] − d[c, o]), o ∉ medoids ∪ {c}
-        red = np.maximum(nearest[None, :] - d, 0.0)
+        # reduction[c] = Σ_o w_o · max(0, nearest[o] − d[c, o]), o ∉ medoids ∪ {c}
+        red = np.maximum(nearest[None, :] - d, 0.0) * w[None, :]
         red[:, in_medoids] = 0.0
         np.fill_diagonal(red, 0.0)
         gains = red.sum(axis=1)
@@ -80,15 +83,21 @@ def _buffers(d: np.ndarray, medoids: list[int]):
 
 
 def fasterpam(
-    d: np.ndarray, medoids: list[int], max_passes: int = 100
+    d: np.ndarray,
+    medoids: list[int],
+    max_passes: int = 100,
+    weights: np.ndarray | None = None,
 ) -> tuple[list[int], float, int]:
     """Eager-swap FasterPAM loop (``FasterPAM.hpp:137-201``).
     Returns (medoids, total_deviation, n_swaps). A pass scans every
     non-medoid candidate; accepted swaps apply immediately (buffers
-    rebuilt); stops when a full pass makes no swap."""
+    rebuilt); stops when a full pass makes no swap. ``weights``: per-
+    sample multiplicities (weighted TD — unit weights are exactly the
+    unweighted loop)."""
     medoids = list(medoids)
     k = len(medoids)
     n = d.shape[0]
+    w = np.ones(n) if weights is None else np.asarray(weights, dtype=np.float64)
     i1, d1, i2, d2 = _buffers(d, medoids)
     n_swaps = 0
     for _ in range(max_passes):
@@ -103,10 +112,10 @@ def fasterpam(
             # find_best_swap): o with doc<d1 → 0 net for nearest(o);
             # d1≤doc<d2 → doc−d1; doc≥d2 → d2−d1 (pure removal loss)
             dl = np.zeros(k)
-            np.add.at(dl, i1[lt2], (doc - d1)[lt2])
+            np.add.at(dl, i1[lt2], (w * (doc - d1))[lt2])
             rest = ~lt1 & ~lt2
-            np.add.at(dl, i1[rest], (d2 - d1)[rest])
-            delta_xc = float((doc - d1)[lt1].sum())
+            np.add.at(dl, i1[rest], (w * (d2 - d1))[rest])
+            delta_xc = float((w * (doc - d1))[lt1].sum())
             best_i = int(dl.argmin())
             delta = delta_xc + float(dl[best_i])
             if delta < 0:  # FasterPAM.hpp:147 strict
@@ -116,7 +125,7 @@ def fasterpam(
                 n_swaps += 1
         if not swapped:
             break
-    return medoids, float(d1.sum()), n_swaps
+    return medoids, float((w * d1).sum()), n_swaps
 
 
 def _div0(num, den):
@@ -241,16 +250,18 @@ def pam(
     seed: int = 7,
     max_passes: int = 100,
     algorithm: str = "fasterpam",
+    weights: np.ndarray | None = None,
 ) -> tuple[np.ndarray, float]:
     """BUILD (or seeded-random, ``KMedoids.hpp:166-171``) init +
     FasterPAM (default) or FasterMSC swaps. Returns (medoid row
     indices sorted ascending, loss — total deviation for fasterpam,
-    Σ d1/d2 for fastermsc)."""
+    Σ d1/d2 for fastermsc). ``weights``: per-sample multiplicities
+    (fasterpam only — the coreset / two-level path)."""
     d = distance_matrix(mat, metric)
     n = len(mat)
     k = min(k, n)
     if init == "build":
-        med0 = pam_build(d, k)
+        med0 = pam_build(d, k, weights=weights)
     elif init == "random":
         rng = np.random.default_rng(seed)
         med0 = list(rng.choice(n, size=k, replace=False))
@@ -259,8 +270,10 @@ def pam(
     if algorithm == "fasterpam" or k < 2:
         # k=1 degenerates identically for both objectives (single best
         # medoid); FasterMSC itself requires k ≥ 2 (FasterMSC.hpp)
-        medoids, loss, _ = fasterpam(d, med0, max_passes)
+        medoids, loss, _ = fasterpam(d, med0, max_passes, weights=weights)
     elif algorithm == "fastermsc":
+        if weights is not None:
+            raise ValueError("weights are supported for fasterpam only")
         medoids, loss, _ = fastermsc(d, med0, max_passes)
     else:
         raise ValueError(f"unknown algorithm {algorithm!r}")

@@ -171,19 +171,87 @@ def kmedoids_per_cell(
             T.StructField("cell", T.LongType()),
             T.StructField("medoid_id", id_type),
             T.StructField("local_td", T.DoubleType()),
+            T.StructField("weight", T.LongType()),
         ]
     )
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from ffcl_spark.kernels.neighbors import pairwise_fold_nd
+
         pdf = pdf.sort_values("id").reset_index(drop=True)
         mat = _matrix_of(pdf, vec_col)
         med_rows, td = pam(mat, k, metric=metric, init="build", algorithm=algorithm)
+        # weight = members per local medoid (ties toward the smaller
+        # medoid id — rows are in id order) — the coreset multiplicity
+        dm = pairwise_fold_nd(mat, mat[med_rows], metric)
+        assign = dm.argmin(axis=1)
+        counts = np.bincount(assign, minlength=len(med_rows))
         return pd.DataFrame(
             {
                 "cell": key[0],
                 "medoid_id": pdf["id"].to_numpy()[med_rows],
                 "local_td": td,
+                "weight": counts.astype(np.int64),
             }
         )
 
     return sel.groupBy("cell").applyInPandas(kernel, out_schema)
+
+
+def kmedoids_two_level(
+    points: DataFrame,
+    k: int,
+    cfg: EngineConfig,
+    k_local: int = 8,
+    metric: str = "euclidean",
+    vec_col: str | None = None,
+    axes: tuple[int, int] = (0, 1),
+    max_passes: int = 100,
+) -> tuple[list, float, DataFrame]:
+    """Two-level k-medoids — THE scale path for 100 TB inputs, where
+    even a CLARA sample can't see every region:
+
+    1. per grid cell, ``k_local`` PAM medoids + member counts (one
+       shuffle on the cell key, Arrow kernel) → a weighted CORESET of
+       ≤ k_local · cells rows — per-cell metadata, not data;
+    2. WEIGHTED PAM (BUILD + FasterPAM with multiplicities) over the
+       coreset on the driver — unit weights reduce exactly to the
+       flat solver, so semantics stay reference-faithful;
+    3. assignment + full-data total deviation as literal-medoid column
+       expressions — one scan, partial aggregation.
+
+    Returns (medoid ids, full-data TD, labels). Approximation quality
+    vs the flat solve is pinned in pytest (TD ratio bound)."""
+    id_type = points.schema["id"].dataType
+    coreset = kmedoids_per_cell(
+        points, k_local, cfg, metric=metric, vec_col=vec_col, axes=axes
+    ).select("medoid_id", "weight")
+    cols = ["id", "x", "y"] if vec_col is None else ["id", vec_col]
+    pts = points.select(*cols)
+    cpdf = (
+        coreset.join(pts.withColumnRenamed("id", "medoid_id"), "medoid_id")
+        .toPandas()
+        .sort_values("medoid_id")
+        .reset_index(drop=True)
+    )
+    if vec_col is None:
+        mat = cpdf[["x", "y"]].to_numpy(dtype=np.float64)
+    else:
+        mat = np.array(cpdf[vec_col].tolist(), dtype=np.float64)
+    med_rows, _ = pam(
+        mat,
+        k,
+        metric=metric,
+        init="build",
+        max_passes=max_passes,
+        weights=cpdf["weight"].to_numpy(),
+    )
+    med_ids = [
+        v.item() if hasattr(v, "item") else v
+        for v in cpdf["medoid_id"].to_numpy()[med_rows]
+    ]
+    med_coords = mat[med_rows]
+    arr = _assign_expr(med_coords, med_ids, id_type, vec_col)
+    td = pts.select(F.sqrt(arr[0]["d2"]).alias("d")).agg(F.sum("d")).collect()[0][0]
+    labels = pts.select("id", arr[0]["mid"].alias("label"))
+    return med_ids, float(td), labels

@@ -140,3 +140,40 @@ def test_kmedoids_fastermsc_matches_driver(blobs):
     med_rows, loss_loc = pam_local(mat, 3, algorithm="fastermsc")
     assert sorted(med_ids) == sorted(loc["id"].to_numpy()[med_rows].tolist())
     assert abs(loss - loss_loc) < 1e-6
+
+
+def test_weighted_pam_unit_weights_match_unweighted():
+    rng = np.random.default_rng(21)
+    mat = rng.uniform(-10, 10, size=(120, 2))
+    a_med, a_td = pam(mat, 4)
+    b_med, b_td = pam(mat, 4, weights=np.ones(len(mat)))
+    assert np.array_equal(a_med, b_med) and a_td == b_td
+
+
+def test_weighted_pam_equals_replication():
+    # weight w ≡ the sample repeated w times: the weighted solve on
+    # uniques must reach the same TD as the flat solve on the
+    # replicated set (medoid positions from the unique set)
+    rng = np.random.default_rng(22)
+    base = rng.uniform(-10, 10, size=(40, 2))
+    w = rng.integers(1, 5, size=40)
+    rep = np.repeat(base, w, axis=0)
+    med_w, td_w = pam(base, 3, weights=w.astype(float))
+    med_r, td_r = pam(rep, 3)
+    assert abs(td_w - td_r) < 1e-9
+    assert {tuple(base[i]) for i in med_w} == {tuple(rep[i]) for i in med_r}
+
+
+def test_kmedoids_two_level_quality(blobs, cfg):
+    from ffcl_spark.operators.kmedoids import kmedoids_two_level
+
+    df, pdf = blobs
+    med_ids, td2, labels = kmedoids_two_level(df, 4, cfg, k_local=4)
+    assert len(med_ids) == 4
+    assert labels.count() == len(pdf)
+    # flat exact solve as the quality bar
+    _, td_flat, _ = kmedoids(df, 4, sample_rows=100_000)
+    assert td2 <= td_flat * 1.25, (td2, td_flat)
+    # determinism across parallelism
+    med_b, td_b, _ = kmedoids_two_level(df.repartition(7), 4, cfg, k_local=4)
+    assert sorted(med_ids) == sorted(med_b)
