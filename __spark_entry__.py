@@ -308,6 +308,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _, _, labels = kmedoids_two_level(_doc_points(spark, sf), 4, CFG, k_local=4)
         return labels
 
+    def q_hdbscan_nd(spark, sf):
+        # full HDBSCAN pipeline over n-D features (features_col routing
+        # through the n-D MST) → rows-only; n-D Prim parity in pytest
+        from ffcl_spark.operators.hdbscan import hdbscan
+
+        pts = _nd_points(spark, sf).where(F.crc32(F.col("id").cast("string")) % 3 == 0)
+        # local_cutoff: the distributed n-D Borůvka path is already
+        # exercised by the mst_nd gate; here the pipeline is the point
+        return hdbscan(
+            pts, CFG_ND, min_cluster_size=8, features_col="features", local_cutoff=2000
+        )
+
+    def q_slt_cut(spark, sf):
+        # single-linkage tree cut (SingleLinkageClusterTree.hpp:151-175)
+        # → rows-only; SLT-cut(r) == DBSCAN(r, 0) cross-validation in
+        # pytest
+        from ffcl_spark.operators.hdbscan import single_linkage_cut
+
+        return single_linkage_cut(
+            _cluster_subset(spark, sf), CFG, cut_level=2.0, local_cutoff=2000
+        )
+
     def q_pip_tiles(spark, sf):
         pts = _doc_points(spark, sf)
         tiles = TL.grid_tiles(spark, CFG, side=TILE_SIDE)
@@ -488,6 +510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmedoids_msc": q_kmedoids_msc,
         "kmedoids_cells": q_kmedoids_cells,
         "kmedoids_two_level": q_kmedoids_two_level,
+        "hdbscan_nd": q_hdbscan_nd,
+        "slt_cut": q_slt_cut,
         "pip_tiles": q_pip_tiles,
         "rasterize": q_rasterize,
         "vectorize": q_vectorize,
