@@ -45,10 +45,15 @@ def prim_mst(
     best = d[start].copy()
     best_src = np.full(n, start, dtype=np.int64)
     edges = []
+    def _py(v):
+        # plain-Python scalars: numpy ints/strs break createDataFrame
+        # schema checks downstream
+        return v.item() if isinstance(v, np.generic) else v
+
     for _ in range(n - 1):
         cand = np.where(in_tree, np.inf, best)
         j = int(cand.argmin())
-        edges.append((ids[best_src[j]], ids[j], float(best[j])))
+        edges.append((_py(ids[best_src[j]]), _py(ids[j]), float(best[j])))
         in_tree[j] = True
         upd = d[j] < best
         best[upd] = d[j][upd]
