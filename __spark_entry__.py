@@ -166,6 +166,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pts = _doc_points(spark, sf)
         return S.radius_join(pts, pts, RADIUS, CFG, metric="manhattan")
 
+    def q_mutual_reach(spark, sf):
+        # mutual reachability over the radius graph — reference
+        # BoruvkasAlgorithm.hpp:307-308 (max(core_a, core_b, dist))
+        pts = _doc_points(spark, sf)
+        edges = S.radius_join(pts, pts, RADIUS, CFG)
+        core = S.core_distances(pts, K, CFG)
+        return S.mutual_reachability(edges, core)
+
     def q_knn_memory(spark, sf):
         # visited set = the offset-0 media span of every doc (reference
         # WithMemory.hpp semantics: candidates in the visited set are
@@ -491,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lineitem": q_knn_lineitem,
         "knn_manhattan": q_knn_manhattan,
         "radius_manhattan": q_radius_manhattan,
+        "mutual_reach": q_mutual_reach,
         "knn_memory": q_knn_memory,
         "closest_pair": q_closest_pair,
         "kth_closest_pairs": q_kth_closest_pairs,
@@ -714,6 +723,24 @@ WHERE {_DIST_L1} < {RADIUS}
     o["knn_lineitem"] = _knn_sql(
         _PTS_LI, K, query_filter=f"WHERE q.d % {LI_QMOD} = 0"
     )
+
+    o["mutual_reach"] = f"""
+WITH {_PTS_DOCS},
+core AS (
+  SELECT q_id AS id, max(dist) AS core_distance FROM (
+    SELECT q.id AS q_id, {_DIST} AS dist,
+           row_number() OVER (PARTITION BY q.id ORDER BY {_DIST}, r.id) AS rnk
+    FROM pts q CROSS JOIN pts r QUALIFY rnk <= {K})
+  GROUP BY q_id),
+edges AS (
+  SELECT q.id AS q_id, r.id AS r_id, {_DIST} AS dist
+  FROM pts q CROSS JOIN pts r WHERE {_DIST} < {RADIUS})
+SELECT e.q_id, e.r_id, e.dist,
+       greatest(ca.core_distance, cb.core_distance, e.dist) AS mreach
+FROM edges e
+JOIN core ca ON ca.id = e.q_id
+JOIN core cb ON cb.id = e.r_id
+"""
 
     # kNN with memory: refs exclude the visited set (offset-0 spans)
     o["knn_memory"] = f"""
