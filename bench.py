@@ -31,6 +31,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # work dominates fixed overheads) and optional stage subset
 MULT = int(os.environ.get("SPARK_GRAFT_MULT", "1"))
 STAGES = os.environ.get("SPARK_GRAFT_STAGES", "all")
+# repetitions per stage, minimum reported: this sandbox shows 3-20x
+# run-to-run host noise on unchanged code (BENCH/BASELINE.md round-2
+# note) — a single sample is not a measurement here
+REPS = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
 K = 5
 RADIUS = 0.25
 TILE_SIDE = 6.0
@@ -38,6 +42,17 @@ TILE_SIDE = 6.0
 
 def _enabled(stage: str) -> bool:
     return STAGES == "all" or stage in STAGES.split(",")
+
+
+def _timed(fn):
+    """min-of-REPS wall time and the (stable) row count."""
+    best, rows = None, None
+    for _ in range(REPS):
+        t0 = time.time()
+        rows = fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best, rows
 
 
 def main() -> None:
@@ -86,6 +101,7 @@ def main() -> None:
     warm.unpersist()
 
     # --- q1: extract + cell index (the scan→index stage) ---
+    # (not repeated: the persist would make rep 2 measure the cache)
     t0 = time.time()
     pts = with_cell(media_points(docs), knn_resolution(2 * n_docs, K, cfg0))
     pts = pts.persist()
@@ -96,24 +112,24 @@ def main() -> None:
     pts_xy = pts.select("id", "x", "y")
 
     # --- q2: kNN self-join k=5 (headline join) ---
-    t0 = time.time()
-    knn_rows = knn_join_grid(pts_xy, pts_xy, K, cfg).count()
-    timings["knn_join"] = time.time() - t0
+    timings["knn_join"], knn_rows = _timed(
+        lambda: knn_join_grid(pts_xy, pts_xy, K, cfg).count()
+    )
     extras["knn_rows_per_sec"] = knn_rows / timings["knn_join"]
 
     # --- q3: PIP tile assignment ---
-    t0 = time.time()
     tiles = TL.grid_tiles(spark, cfg, side=TILE_SIDE)
-    pip_rows = TL.pip_join(pts_xy, tiles, cfg).count()
-    timings["pip_tiles"] = time.time() - t0
+    timings["pip_tiles"], pip_rows = _timed(
+        lambda: TL.pip_join(pts_xy, tiles, cfg).count()
+    )
     extras["pip_rows_per_sec"] = pip_rows / timings["pip_tiles"]
 
     # --- q4: radius join (strict < r) ---
     radius_rows = 0
     if _enabled("radius_join"):
-        t0 = time.time()
-        radius_rows = radius_join(pts_xy, pts_xy, RADIUS, cfg).count()
-        timings["radius_join"] = time.time() - t0
+        timings["radius_join"], radius_rows = _timed(
+            lambda: radius_join(pts_xy, pts_xy, RADIUS, cfg).count()
+        )
         extras["radius_rows_per_sec"] = radius_rows / timings["radius_join"]
 
     # spatial intermediates are no longer needed — drop cached blocks so
@@ -122,18 +138,18 @@ def main() -> None:
 
     # --- q5: MinHash-LSH near-dup over documents ---
     if _enabled("minhash_dedup"):
-        t0 = time.time()
         documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-        DD.minhash_dedup_pairs(documents, 0.05).count()
-        timings["minhash_dedup"] = time.time() - t0
+        timings["minhash_dedup"], _ = _timed(
+            lambda: DD.minhash_dedup_pairs(documents, 0.05).count()
+        )
 
     # --- q6: brute-force cosine top-k over embeddings ---
     if _enabled("embed_topk"):
-        t0 = time.time()
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         qs = emb.where(F.col("vec_id") % 10 == 0)
-        SIM.cosine_topk(emb, qs, 10).count()
-        timings["embed_topk"] = time.time() - t0
+        timings["embed_topk"], _ = _timed(
+            lambda: SIM.cosine_topk(emb, qs, 10).count()
+        )
 
     total = sum(timings.values())
     # the north_star throughput: docs through the spatial-join+tiling
@@ -153,6 +169,7 @@ def main() -> None:
                 "queries": {k: round(v, 3) for k, v in timings.items()},
                 "sf": sf,
                 "cpus": CPUS,
+                "reps": REPS,
                 "n_docs": n_docs,
                 "n_points": n_pts,
                 "knn_rows": knn_rows,
