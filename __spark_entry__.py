@@ -365,6 +365,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_token_count(spark, sf):
         return TO.token_counts(_documents(spark, sf))
 
+    def q_bpe_tokens(spark, sf):
+        return TO.bpe_token_counts(_documents(spark, sf))
+
     def q_quality(spark, sf):
         return TO.quality_scores(_documents(spark, sf))
 
@@ -528,6 +531,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_docs": q_dbscan_docs,
         "dedup_exact": q_dedup_exact,
         "token_count": q_token_count,
+        "bpe_tokens": q_bpe_tokens,
         "quality": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -897,6 +901,12 @@ SELECT h.id, g.canonical_id, g.group_size FROM h JOIN g ON h.hh = g.hh
 
     o["token_count"] = f"""
 SELECT doc_id, CAST(len({_TOKS}) AS INTEGER) AS n_tokens FROM documents
+"""
+
+    o["bpe_tokens"] = f"""
+SELECT doc_id, CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS INTEGER) AS n_bpe
+FROM documents
 """
 
     o["quality"] = f"""

@@ -21,6 +21,29 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     )
 
 
+# BPE-ish subword segmentation proxy: letter runs, single digits, and
+# single non-alphanumeric glyphs — the standard pre-tokenization shape
+# of GPT-2-style BPE vocabularies (a letter run ≈ one-or-few merges, a
+# digit is never merged, punctuation stands alone). Pure character
+# classes so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_token_counts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_tokens, n_bpe): whitespace tokens plus the BPE-ish
+    subword count — the training-data-pipeline cost estimator (brief:
+    'token counting: whitespace + a BPE-ish regex'). One regexp_count
+    expression — codegen, no shuffle."""
+    toks = X.tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_PATTERN)).cast("int").alias("n_bpe"),
+    )
+
+
 def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Length / stopword / punctuation quality features. Ratios are a
     single int/int double division (bit-exact cross-engine)."""

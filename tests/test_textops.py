@@ -60,3 +60,16 @@ def test_fingerprint_order_sensitive(spark):
     )
     got = TO.fingerprints(docs).toPandas().set_index("doc_id").fingerprint
     assert got.loc[0] != got.loc[1]
+
+
+def test_bpe_token_counts_matches_python_re(spark):
+    import re
+
+    from ffcl_spark.operators.textops import BPE_PATTERN, bpe_token_counts
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = bpe_token_counts(docs).toPandas().sort_values("doc_id").reset_index(drop=True)
+    pdf = docs.toPandas().sort_values("doc_id").reset_index(drop=True)
+    exp = pdf["text"].map(lambda t: len(re.findall(BPE_PATTERN, t or "")))
+    assert (got["n_bpe"].to_numpy() == exp.to_numpy()).all()
+    assert (got["n_bpe"] >= got["n_tokens"]).all()  # subwords ≥ whitespace tokens
