@@ -207,9 +207,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _cluster_subset(spark, sf):
         # iterative pipelines run O(log n) Spark rounds — the gate uses
         # a deterministic ~1/3 subset to keep per-query wall time sane;
-        # full-size parity lives in pytest
+        # full-size parity lives in pytest. md5-derived filter so the
+        # DuckDB oracles reproduce the same subset (no crc32 there).
         pts = _doc_points(spark, sf)
-        return pts.where(F.crc32(F.col("id")) % 3 == 0)
+        h = F.conv(F.substring(F.md5(F.col("id")), 1, 8), 16, 10).cast("long")
+        return pts.where(h % 3 == 0)
 
     def q_mst(spark, sf):
         # iterative Borůvka (driver union-find) → rows-only; exact
@@ -330,8 +332,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_slt_cut(spark, sf):
         # single-linkage tree cut (SingleLinkageClusterTree.hpp:151-175)
-        # → rows-only; SLT-cut(r) == DBSCAN(r, 0) cross-validation in
-        # pytest
+        # oracle-exact: for single linkage, the cut at λ is exactly the
+        # connected components of the strict dist<λ graph — the DuckDB
+        # twin runs that closure recursively (see oracle_sql)
         from ffcl_spark.operators.hdbscan import single_linkage_cut
 
         return single_linkage_cut(
@@ -355,8 +358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return span_sequence_digest(_docs(spark, sf))
 
     def q_dbscan_docs(spark, sf):
-        # non-SQL-expressible (iterative connected components) →
-        # rows-only driver check; exact parity lives in pytest
+        # oracle-exact: the DuckDB twin runs the same decomposition as
+        # a recursive-CTE transitive closure (see oracle_sql)
         return dbscan(_doc_points(spark, sf), RADIUS, K, CFG)
 
     def q_dedup_exact(spark, sf):
@@ -697,6 +700,58 @@ WITH {_PTS_DOCS}
 SELECT q.id AS q_id, r.id AS r_id, {_DIST} AS dist
 FROM pts q CROSS JOIN pts r
 WHERE {_DIST} < {RADIUS}
+"""
+
+    # DBSCAN is SQL-expressible end-to-end: strict core counts, then
+    # min-label connected components over core-core in-radius edges via
+    # a recursive transitive closure (ids are strings; MIN is binary-
+    # collation lexicographic in both engines, matching the Spark
+    # operator's canonical min-id labels), then border = min adjacent
+    # core label, noise = '0' with is_noise flag.
+    o["dbscan_docs"] = f"""
+WITH RECURSIVE {_PTS_DOCS},
+prs AS (
+  SELECT q.id AS q_id, r.id AS r_id
+  FROM pts q CROSS JOIN pts r
+  WHERE {_DIST} < {RADIUS}),
+cores AS (
+  SELECT q_id AS id FROM prs GROUP BY q_id HAVING count(*) > {K}),
+ce AS (
+  SELECT p.q_id AS src, p.r_id AS dst FROM prs p
+  JOIN cores a ON a.id = p.q_id JOIN cores b ON b.id = p.r_id),
+reach(a, b) AS (
+  SELECT id, id FROM cores
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN ce e ON e.src = r.b),
+core_label AS (
+  SELECT a AS id, MIN(b) AS label FROM reach GROUP BY a),
+border AS (
+  SELECT p.q_id AS id, MIN(cl.label) AS label
+  FROM prs p JOIN core_label cl ON cl.id = p.r_id
+  WHERE p.q_id NOT IN (SELECT id FROM cores)
+  GROUP BY p.q_id),
+lab AS (SELECT * FROM core_label UNION ALL SELECT * FROM border)
+SELECT pts.id, COALESCE(l.label, '0') AS label, l.label IS NULL AS is_noise
+FROM pts LEFT JOIN lab l ON l.id = pts.id
+"""
+
+    # single-linkage cut at λ == connected components of the strict
+    # dist<λ graph (MST edges below λ connect exactly the same
+    # components); min_cluster_size=1 → every point labeled, no noise
+    o["slt_cut"] = f"""
+WITH RECURSIVE {_PTS_DOCS},
+sub AS (
+  SELECT id, x, y FROM pts
+  WHERE CAST('0x' || substr(md5(id), 1, 8) AS BIGINT) % 3 = 0),
+e AS (
+  SELECT q.id AS src, r.id AS dst
+  FROM sub q CROSS JOIN sub r
+  WHERE sqrt((q.x - r.x) * (q.x - r.x) + (q.y - r.y) * (q.y - r.y)) < 2.0),
+reach(a, b) AS (
+  SELECT id, id FROM sub
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b)
+SELECT a AS id, MIN(b) AS label, FALSE AS is_noise FROM reach GROUP BY a
 """
 
     o["core_distance"] = f"""
