@@ -235,9 +235,14 @@ def hamerly_once(
         ).localCheckpoint()
         state = new_state
 
+    # recompute labels under the FINAL centroids — the tol-convergence
+    # break leaves `state` holding the assignment under the previous
+    # centroids, while the loss below uses the final ones; Lloyd's
+    # contract (lloyd_once) is labels-under-final-centroids, exact
+    # distance ties to the smaller cid (ADVICE round-2 fix)
     arr = _full_assign_expr(cents)
     loss = points.select(arr[0]["d"].alias("d")).agg(F.sum("d")).collect()[0][0]
-    labels = state.select("id", "label")
+    labels = points.select("id", arr[0]["cid"].alias("label"))
     return cents, float(loss), labels
 
 

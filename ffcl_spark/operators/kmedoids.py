@@ -47,24 +47,45 @@ def _matrix_of(pdf: pd.DataFrame, vec_col: str | None) -> np.ndarray:
     return np.array(pdf[vec_col].tolist(), dtype=np.float64)
 
 
-def _assign_expr(med_coords: np.ndarray, med_ids: list, id_type, vec_col: str | None):
-    """Sorted (d², medoid id) struct array as a pure column expression;
-    [0] = assignment, [1] = second-nearest (for the MSC loss); ties at
-    equal distance break toward the smaller medoid id (engine
-    determinism rule)."""
+def _assign_expr(
+    med_coords: np.ndarray,
+    med_ids: list,
+    id_type,
+    vec_col: str | None,
+    metric: str = "euclidean",
+):
+    """Sorted (distance key, medoid id) struct array as a pure column
+    expression; [0] = assignment, [1] = second-nearest (for the MSC
+    loss); ties at equal distance break toward the smaller medoid id
+    (engine determinism rule). The ``d2`` field is the squared
+    euclidean distance or the L1 distance — both monotone with the
+    true metric, so the argmin assignment matches the PAM kernel for
+    either metric."""
+    if metric not in ("euclidean", "manhattan"):
+        raise ValueError(f"unknown metric {metric!r}")
     structs = []
     for mid, c in sorted(zip(med_ids, med_coords.tolist())):
         if vec_col is None:
-            d2 = (F.col("x") - float(c[0])) * (F.col("x") - float(c[0])) + (
-                F.col("y") - float(c[1])
-            ) * (F.col("y") - float(c[1]))
+            if metric == "euclidean":
+                d2 = (F.col("x") - float(c[0])) * (F.col("x") - float(c[0])) + (
+                    F.col("y") - float(c[1])
+                ) * (F.col("y") - float(c[1]))
+            else:
+                d2 = F.abs(F.col("x") - float(c[0])) + F.abs(F.col("y") - float(c[1]))
         else:
             lit = F.array(*[F.lit(float(v)) for v in c])
-            d2 = F.aggregate(
-                F.zip_with(F.col(vec_col), lit, lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
+            if metric == "euclidean":
+                d2 = F.aggregate(
+                    F.zip_with(F.col(vec_col), lit, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            else:
+                d2 = F.aggregate(
+                    F.zip_with(F.col(vec_col), lit, lambda a, b: F.abs(a - b)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
         # named_struct: alias-derived field names on lambda-bearing
         # expressions are unreliable under Catalyst canonicalization
         structs.append(
@@ -75,14 +96,20 @@ def _assign_expr(med_coords: np.ndarray, med_ids: list, id_type, vec_col: str | 
     return F.sort_array(F.array(*structs))
 
 
-def _loss_expr(arr, algorithm: str):
+def _true_dist(key, metric: str):
+    """Distance from the sort key: sqrt for squared-euclidean, identity
+    for L1 (already the true distance)."""
+    return F.sqrt(key) if metric == "euclidean" else key
+
+
+def _loss_expr(arr, algorithm: str, metric: str = "euclidean"):
     """Full-data loss for one run: total deviation (fasterpam) or
     Σ d1/d2 medoid-silhouette loss (fastermsc, ``common::division``
-    zero-guard)."""
+    zero-guard) — in the run's metric."""
     if algorithm == "fasterpam":
-        return F.sqrt(arr[0]["d2"])
-    d1 = F.sqrt(arr[0]["d2"])
-    d2 = F.sqrt(arr[1]["d2"])
+        return _true_dist(arr[0]["d2"], metric)
+    d1 = _true_dist(arr[0]["d2"], metric)
+    d2 = _true_dist(arr[1]["d2"], metric)
     return F.when(d2 > 0, d1 / d2).otherwise(F.lit(0.0))
 
 
@@ -125,13 +152,13 @@ def kmedoids(
         )
         med_ids = [ids[r].item() if hasattr(ids[r], "item") else ids[r] for r in med_rows]
         med_coords = mat[med_rows]
-        # full-data loss, one JVM scan
-        arr = _assign_expr(med_coords, med_ids, id_type, vec_col)
-        td = pts.select(_loss_expr(arr, algorithm).alias("d")).agg(F.sum("d")).collect()[0][0]
+        # full-data loss, one JVM scan — in the run's metric
+        arr = _assign_expr(med_coords, med_ids, id_type, vec_col, metric)
+        td = pts.select(_loss_expr(arr, algorithm, metric).alias("d")).agg(F.sum("d")).collect()[0][0]
         if best is None or td < best[1]:
             best = (med_ids, float(td), med_coords)
     med_ids, td, med_coords = best
-    arr = _assign_expr(med_coords, med_ids, id_type, vec_col)
+    arr = _assign_expr(med_coords, med_ids, id_type, vec_col, metric)
     labels = pts.select("id", arr[0]["mid"].alias("label"))
     return med_ids, td, labels
 
@@ -251,7 +278,7 @@ def kmedoids_two_level(
         for v in cpdf["medoid_id"].to_numpy()[med_rows]
     ]
     med_coords = mat[med_rows]
-    arr = _assign_expr(med_coords, med_ids, id_type, vec_col)
-    td = pts.select(F.sqrt(arr[0]["d2"]).alias("d")).agg(F.sum("d")).collect()[0][0]
+    arr = _assign_expr(med_coords, med_ids, id_type, vec_col, metric)
+    td = pts.select(_true_dist(arr[0]["d2"], metric).alias("d")).agg(F.sum("d")).collect()[0][0]
     labels = pts.select("id", arr[0]["mid"].alias("label"))
     return med_ids, float(td), labels

@@ -340,15 +340,22 @@ def closest_pair(
     Returns ``k`` rows (src, dst, dist, rank); ordered / tie-broken by
     (dist, src, dst).
 
-    Plan: per-query exact (k+1)-NN (cell-pruned — the dual-tree pruning
-    is replaced by grid locality; k+1 so a zero-distance twin cannot
-    crowd out a positive edge), then a global top-k — an O(n·k) →
-    O(k)-row aggregation, no full pair materialization. Every one of
-    the k globally shortest edges is one of its own query's k nearest
-    positive-distance refs, so the per-query buffer bound is exact."""
+    Plan: per-query exact (k+z)-NN (cell-pruned — the dual-tree pruning
+    is replaced by grid locality), then a global top-k — an O(n·k) →
+    O(k)-row aggregation, no full pair materialization. ``z`` is the
+    maximum number of refs sharing one exact location (one cheap
+    aggregation): a query can coincide with at most z refs, so after
+    dropping zero-distance pairs at least k positive edges survive per
+    buffer — exact even with many coincident refs (ADVICE round-2 fix;
+    the previous k+1 assumed at most one zero-distance twin). Every one
+    of the k globally shortest edges is one of its own query's k
+    nearest positive-distance refs, so the per-query bound is exact."""
     from ffcl_spark.operators.knn_kernel import knn_join_grid
 
-    nn = knn_join_grid(queries, refs, k + 1, cfg).where(F.col("dist") > 0)
+    max_dup = (
+        refs.groupBy("x", "y").count().agg(F.max("count")).first()[0] or 1
+    )
+    nn = knn_join_grid(queries, refs, k + int(max_dup), cfg).where(F.col("dist") > 0)
     out = (
         nn.orderBy("dist", "q_id", "r_id")
         .limit(k)

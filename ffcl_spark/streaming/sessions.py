@@ -19,6 +19,7 @@ the same knob that bounds every streaming aggregation here.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -34,19 +35,37 @@ STATE_SCHEMA = "starts array<long>, ends array<long>, ns array<int>, cents array
 US = 1_000_000
 
 
-def _merge(sessions: list[list[int]], gap_us: int) -> list[list[int]]:
-    """Merge [start, end, n, cents] intervals under the gap rule.
+def _merge_np(
+    starts: np.ndarray,
+    ends: np.ndarray,
+    ns: np.ndarray,
+    cents: np.ndarray,
+    gap_us: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized interval merge under the gap rule — no per-event
+    Python (a hot user's whole batch is NumPy sort + reduceat).
     Input in any order; output sorted by start."""
-    sessions.sort(key=lambda s: (s[0], s[1]))
-    out: list[list[int]] = []
-    for s in sessions:
-        if out and s[0] - out[-1][1] <= gap_us:
-            out[-1][1] = max(out[-1][1], s[1])
-            out[-1][2] += s[2]
-            out[-1][3] += s[3]
-        else:
-            out.append(list(s))
-    return out
+    order = np.lexsort((ends, starts))
+    s, e, n, c = starts[order], ends[order], ns[order], cents[order]
+    run_end = np.maximum.accumulate(e)
+    brk = np.empty(len(s), dtype=bool)
+    brk[0] = True
+    brk[1:] = s[1:] - run_end[:-1] > gap_us
+    heads = np.nonzero(brk)[0]
+    return (
+        s[heads],
+        np.maximum.reduceat(e, heads),
+        np.add.reduceat(n, heads),
+        np.add.reduceat(c, heads),
+    )
+
+
+def _round_half_up_cents(values: np.ndarray) -> np.ndarray:
+    """value·100 rounded half AWAY FROM ZERO — the rule of Spark's
+    ``F.round`` and DuckDB's ``round``; numpy ``round()`` is half-to-
+    even and diverges on exact half cents (ADVICE round-2 fix)."""
+    v = values.astype(np.float64) * 100.0
+    return (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
 
 
 def sessionize_stream(
@@ -57,49 +76,63 @@ def sessionize_stream(
     gap_us = gap_minutes * 60 * US
 
     def fn(key, pdf_iter, state: GroupState):
-        sessions: list[list[int]] = []
+        parts_s: list[np.ndarray] = []
+        parts_e: list[np.ndarray] = []
+        parts_n: list[np.ndarray] = []
+        parts_c: list[np.ndarray] = []
         if state.exists:
             starts, ends, ns, cents = state.get
-            sessions = [list(t) for t in zip(starts, ends, ns, cents)]
+            parts_s.append(np.asarray(starts, dtype=np.int64))
+            parts_e.append(np.asarray(ends, dtype=np.int64))
+            parts_n.append(np.asarray(ns, dtype=np.int64))
+            parts_c.append(np.asarray(cents, dtype=np.int64))
         for pdf in pdf_iter:
             if len(pdf) == 0:
                 continue
-            ts_us = (pdf["ts"].astype("int64")).tolist()  # ns → see below
             # pandas datetime64[ns] → int64 is NANOseconds
-            ts_us = [t // 1000 for t in ts_us]
-            cent = (
-                (pdf["value"].astype("float64") * 100).round().astype("int64").tolist()
-            )
-            sessions.extend([t, t, 1, c] for t, c in zip(ts_us, cent))
-        sessions = _merge(sessions, gap_us)
+            ts_us = pdf["ts"].to_numpy().astype("int64") // 1000
+            cent = _round_half_up_cents(pdf["value"].to_numpy())
+            parts_s.append(ts_us)
+            parts_e.append(ts_us)
+            parts_n.append(np.ones(len(ts_us), dtype=np.int64))
+            parts_c.append(cent)
+        if not parts_s:
+            return
+        s, e, n, c = _merge_np(
+            np.concatenate(parts_s),
+            np.concatenate(parts_e),
+            np.concatenate(parts_n),
+            np.concatenate(parts_c),
+            gap_us,
+        )
 
         wm_us = state.getCurrentWatermarkMs() * 1000
-        closed = [s for s in sessions if s[1] + gap_us < wm_us]
-        open_ = [s for s in sessions if s[1] + gap_us >= wm_us]
+        open_mask = e + gap_us >= wm_us
 
-        if open_:
+        if open_mask.any():
             state.update(
                 (
-                    [s[0] for s in open_],
-                    [s[1] for s in open_],
-                    [s[2] for s in open_],
-                    [s[3] for s in open_],
+                    s[open_mask].tolist(),
+                    e[open_mask].tolist(),
+                    [int(v) for v in n[open_mask]],
+                    c[open_mask].tolist(),
                 )
             )
             # wake up when the earliest open session could finalize
-            next_ms = min(s[1] for s in open_) // 1000 + gap_us // 1000 + 1
+            next_ms = int(e[open_mask].min()) // 1000 + gap_us // 1000 + 1
             state.setTimeoutTimestamp(max(next_ms, state.getCurrentWatermarkMs() + 1))
         else:
             state.remove()
 
-        if closed:
+        if (~open_mask).any():
+            cl = ~open_mask
             yield pd.DataFrame(
                 {
                     "user_id": key[0],
-                    "session_start": pd.to_datetime([s[0] for s in closed], unit="us"),
-                    "session_end": pd.to_datetime([s[1] for s in closed], unit="us"),
-                    "n_events": pd.array([s[2] for s in closed], dtype="int32"),
-                    "sum_cents": [s[3] for s in closed],
+                    "session_start": pd.to_datetime(s[cl], unit="us"),
+                    "session_end": pd.to_datetime(e[cl], unit="us"),
+                    "n_events": pd.array(n[cl], dtype="int32"),
+                    "sum_cents": c[cl].tolist(),
                 }
             )
 

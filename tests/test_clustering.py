@@ -192,3 +192,24 @@ def test_hamerly_matches_lloyd_exactly(blobs):
     a = lab_l.toPandas().sort_values("id").reset_index(drop=True)
     b = lab_h.toPandas().sort_values("id").reset_index(drop=True)
     assert (a["label"].to_numpy() == b["label"].to_numpy()).all()
+
+
+def test_hamerly_convergence_break_labels_consistent(blobs):
+    """With a loose tol the run breaks on convergence mid-loop; the
+    returned labels must be the assignment under the FINAL centroids,
+    identical to Lloyd's (ADVICE round-2 fix)."""
+    import numpy as np
+
+    from ffcl_spark.operators.kmeans import hamerly_once, kmeanspp_init, lloyd_once
+
+    df, pdf = blobs
+    sample = pdf[["x", "y"]].sort_values(["x", "y"]).reset_index(drop=True).to_numpy()
+    init = kmeanspp_init(sample, 4, seed=7)
+    for tol in (5.0, 0.5):
+        c_l, loss_l, lab_l = lloyd_once(df, init, max_iters=12, tol=tol)
+        c_h, loss_h, lab_h = hamerly_once(df, init, max_iters=12, tol=tol)
+        assert np.allclose(c_l, c_h, rtol=0, atol=1e-12)
+        assert abs(loss_l - loss_h) < 1e-9
+        a = lab_l.toPandas().sort_values("id").reset_index(drop=True)
+        b = lab_h.toPandas().sort_values("id").reset_index(drop=True)
+        assert (a["label"].to_numpy() == b["label"].to_numpy()).all()

@@ -177,3 +177,23 @@ def test_kmedoids_two_level_quality(blobs, cfg):
     # determinism across parallelism
     med_b, td_b, _ = kmedoids_two_level(df.repartition(7), 4, cfg, k_local=4)
     assert sorted(med_ids) == sorted(med_b)
+
+
+def test_kmedoids_manhattan_matches_driver(blobs):
+    """metric='manhattan' must assign/score under L1 end to end
+    (ADVICE round-2: the exposed metric silently ran euclidean)."""
+    df, pdf = blobs
+    med_ids, td, labels = kmedoids(df, 3, sample_rows=100_000, metric="manhattan")
+    loc = pdf.sort_values("id").reset_index(drop=True)
+    mat = loc[["x", "y"]].to_numpy()
+    med_rows, td_loc = pam(mat, 3, metric="manhattan")
+    exp_ids = loc["id"].to_numpy()[med_rows]
+    assert sorted(med_ids) == sorted(exp_ids.tolist())
+    assert abs(td - td_loc) < 1e-6
+    # labels = nearest medoid by L1, ties toward the smaller medoid id
+    got = labels.toPandas().sort_values("id")["label"].to_numpy()
+    order = np.argsort(exp_ids)
+    ids_sorted = exp_ids[order]
+    d1 = np.abs(mat[:, None, :] - mat[med_rows][order][None, :, :]).sum(-1)
+    exp = ids_sorted[d1.argmin(axis=1)]
+    assert (got == exp).all()

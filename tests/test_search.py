@@ -197,3 +197,37 @@ def test_manhattan_radius_and_knn(spark, cfg, blobs):
         order = np.lexsort((ids, d1[i]))[:k]
         expected |= {(ids[i], ids[j]) for j in order}
     assert knn_sets(nn) == expected
+
+
+def test_closest_pair_with_many_coincident_refs(spark, cfg):
+    """≥2 refs coincident with a query must not crowd positive edges
+    out of the per-query buffer (ADVICE round-2): the k shortest
+    positive edges stay exact at any duplicate multiplicity."""
+    import pandas as pd
+
+    # 4 queries; ref set = 3 exact copies of every query location plus
+    # a few positive-distance refs
+    q = pd.DataFrame({"id": [0, 1, 2, 3], "x": [0.0, 5.0, -5.0, 9.0], "y": [0.0, 5.0, -5.0, -9.0]})
+    dup = pd.concat([q.assign(id=q.id + 100 * (i + 1)) for i in range(3)])
+    extra = pd.DataFrame(
+        {"id": [900, 901, 902], "x": [0.5, 5.7, -4.4], "y": [0.0, 5.0, -5.0]}
+    )
+    refs = pd.concat([dup, extra], ignore_index=True)
+    qdf = spark.createDataFrame(q)
+    rdf = spark.createDataFrame(refs)
+    k = 3
+    got = S.closest_pair(qdf, rdf, cfg, k=k).toPandas()
+    # brute oracle: all positive edges, k smallest by (dist, src, dst)
+    qxy = q[["x", "y"]].to_numpy()
+    rxy = refs[["x", "y"]].to_numpy()
+    d = np.sqrt(((qxy[:, None, :] - rxy[None, :, :]) ** 2).sum(-1))
+    edges = [
+        (d[i, j], int(q.id[i]), int(refs.id[j]))
+        for i in range(len(q))
+        for j in range(len(refs))
+        if d[i, j] > 0
+    ]
+    exp = sorted(edges)[:k]
+    got_edges = sorted(zip(got.dist, got.src, got.dst))
+    assert [(s, t) for _, s, t in got_edges] == [(s, t) for _, s, t in exp]
+    assert np.allclose([w for w, *_ in got_edges], [w for w, *_ in exp])

@@ -98,3 +98,47 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     cols = ["user_id", "session_start", "session_end", "n_events", "sum_cents"]
     assert len(got) == len(exp) and len(got) > 20
     assert got[cols].equals(exp[cols])
+
+
+def test_round_half_up_cents_matches_spark_rule():
+    """Exact half cents round AWAY from zero — the F.round / DuckDB
+    rule; numpy round() (half-to-even) diverges (ADVICE round-2)."""
+    import numpy as np
+
+    from ffcl_spark.streaming.sessions import _round_half_up_cents
+
+    vals = np.array([0.125, 0.135, -0.125, -0.135, 1.005, 2.675, 0.0])
+    got = _round_half_up_cents(vals)
+    # 12.5→13, 13.5→14 (numpy round gives 12 and 14), -12.5→-13
+    assert got.tolist() == [13, 14, -13, -14, 100, 268, 0]
+
+
+def test_merge_np_matches_python_reference():
+    """Vectorized interval merge == the straightforward sequential
+    merge, including a hot-user-sized batch."""
+    import numpy as np
+
+    from ffcl_spark.streaming.sessions import _merge_np
+
+    rng = np.random.default_rng(5)
+    gap = 100
+    for n in (1, 2, 17, 50_000):
+        s = rng.integers(0, 10_000, size=n).astype(np.int64) * 10
+        e = s + rng.integers(0, 50, size=n)
+        ns = np.ones(n, dtype=np.int64)
+        c = rng.integers(-500, 500, size=n).astype(np.int64)
+        gs, ge, gn, gc = _merge_np(s.copy(), e.copy(), ns.copy(), c.copy(), gap)
+        # sequential reference
+        rows = sorted(zip(s.tolist(), e.tolist(), ns.tolist(), c.tolist()))
+        out = []
+        for row in rows:
+            if out and row[0] - out[-1][1] <= gap:
+                out[-1][1] = max(out[-1][1], row[1])
+                out[-1][2] += row[2]
+                out[-1][3] += row[3]
+            else:
+                out.append(list(row))
+        assert gs.tolist() == [r[0] for r in out]
+        assert ge.tolist() == [r[1] for r in out]
+        assert gn.tolist() == [r[2] for r in out]
+        assert gc.tolist() == [r[3] for r in out]
