@@ -213,13 +213,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         h = F.conv(F.substring(F.md5(F.col("id")), 1, 8), 16, 10).cast("long")
         return pts.where(h % 3 == 0)
 
+    def _mst_subset(spark, sf, mod=16):
+        # small deterministic subset: the DuckDB oracle replays Prim as
+        # a single-row-state recursive CTE (O(n·E) list probes), so the
+        # gate input must stay ~100 points; full-size parity is pytest's
+        pts = _doc_points(spark, sf)
+        h = F.conv(F.substring(F.md5(F.col("id")), 1, 8), 16, 10).cast("long")
+        return pts.where(h % mod == 0)
+
+    def _rank_weights(edges):
+        # (rank, w) sorted by weight: every MST of a graph has the same
+        # sorted weight multiset, so this projection is oracle-exact
+        # even when distance ties make the edge SET ambiguous
+        from pyspark.sql import Window
+
+        w = Window.orderBy("w", "src", "dst")
+        return edges.select(
+            F.row_number().over(w).cast("int").alias("rank"), "w"
+        )
+
     def q_mst(spark, sf):
-        # iterative Borůvka (driver union-find) → rows-only; exact
-        # Prim-oracle parity lives in pytest
+        # local-Prim fast path (below local_cutoff) — oracle-exact vs
+        # DuckDB recursive-CTE Prim via the weight multiset
         from ffcl_spark.operators.boruvka import minimum_spanning_tree
 
-        edges = minimum_spanning_tree(_cluster_subset(spark, sf), CFG, local_cutoff=2000)
-        return spark.createDataFrame(edges, "src string, dst string, w double")
+        edges = minimum_spanning_tree(_mst_subset(spark, sf), CFG, local_cutoff=2000)
+        return _rank_weights(edges)
+
+    def q_mst_dist(spark, sf):
+        # the fully distributed path on the same input: distributed
+        # Borůvka rounds AND DataFrame-side pointer-doubling merges
+        # (driver_cutoff=0 — no driver union-find anywhere); same oracle
+        from ffcl_spark.operators.boruvka import minimum_spanning_tree
+
+        edges = minimum_spanning_tree(
+            _mst_subset(spark, sf), CFG, local_cutoff=0, driver_cutoff=0
+        )
+        return _rank_weights(edges)
 
     def q_hdbscan(spark, sf):
         from ffcl_spark.operators.hdbscan import hdbscan
@@ -269,13 +299,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dbscan_nd(_nd_points(spark, sf), RADIUS_ND, K, CFG_ND)
 
     def q_mst_nd(spark, sf):
-        # iterative Borůvka over n-D features → rows-only; exact Prim
-        # parity lives in pytest (tests/test_nd.py)
+        # distributed Borůvka over n-D features (driver union-find
+        # merge) — oracle-exact via the weight multiset on the
+        # dyadic-exact fixture
         from ffcl_spark.operators.boruvka import minimum_spanning_tree
 
-        pts = _nd_points(spark, sf).where(F.crc32(F.col("id").cast("string")) % 3 == 0)
+        pts = _nd_points(spark, sf).where(F.col("id") % 8 == 0)
         edges = minimum_spanning_tree(pts, CFG_ND, features_col="features")
-        return spark.createDataFrame(edges, "src long, dst long, w double")
+        return _rank_weights(edges)
 
     def q_kmeans_hamerly(spark, sf):
         # Hamerly-accelerated k-means (Hamerly.hpp) — identical results
@@ -421,6 +452,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         cfg = EngineConfig(x0=-0.6, y0=-0.6, domain=1.2, resolution=2)
         return knn_join_nd(qs, emb, EMB_K, cfg).select("q_id", "r_id", "rank")
 
+    def q_knn_embed_blocked(spark, sf):
+        # the high-d exact scale path (blocked brute cogroup + scalar
+        # segment merge) forced onto multiple blocks — same oracle as
+        # knn_embed: identical exact result from a different plan
+        from ffcl_spark.operators.search_nd import knn_join_nd_blocked
+
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            F.col("vec_id").alias("id"), F.col("embedding").alias("features")
+        )
+        qs = emb.where(F.col("id") % EMB_QMOD == 0)
+        return knn_join_nd_blocked(
+            qs, emb, EMB_K, ref_block_rows=128, query_block_rows=16
+        ).select("q_id", "r_id", "rank")
+
     def q_embed_neardup_lsh(spark, sf):
         # SRP-LSH banded candidates + exact cosine verification — the
         # near-dup-regime scale path; approximate by construction →
@@ -465,6 +510,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_multimodal_meta(spark, sf):
         media = MM.media_binary(_docs(spark, sf))
         return MM.extract_features(media).select("doc_id", "offset", "n_bytes")
+
+    def q_multimodal_decode(spark, sf):
+        # REAL codec path: synthesized binary PPM payloads decoded by
+        # the pure-NumPy P6 parser inside the Arrow kernel → per-image
+        # stats; rows-only (payload bytes are engine-synthesized),
+        # encode/decode roundtrip parity lives in pytest
+        media = MM.media_binary(_docs(spark, sf), payload="ppm")
+        return MM.extract_features_decoded(media).select(
+            "doc_id", "offset", "width", "height"
+        )
 
     def q_sessions(spark, sf):
         # batch twin of the stateful streaming sessionizer (stream ==
@@ -512,6 +567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans": q_kmeans,
         "kmeans_hamerly": q_kmeans_hamerly,
         "mst": q_mst,
+        "mst_dist": q_mst_dist,
         "hdbscan": q_hdbscan,
         "knn_nd": q_knn_nd,
         "knn_nd_manhattan": q_knn_nd_manhattan,
@@ -545,12 +601,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embed_topk": q_embed_topk,
         "knn_embed": q_knn_embed,
+        "knn_embed_blocked": q_knn_embed_blocked,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "embed_ivf": q_embed_ivf,
         "feature_stats": q_feature_stats,
         "silhouette": q_silhouette,
         "multimodal_meta": q_multimodal_meta,
+        "multimodal_decode": q_multimodal_decode,
         "sessions": q_sessions,
         "events_hourly": q_events_hourly,
     }
@@ -754,6 +812,49 @@ reach(a, b) AS (
 SELECT a AS id, MIN(b) AS label, FALSE AS is_noise FROM reach GROUP BY a
 """
 
+    # MST gates: DuckDB replays Prim as a recursive CTE whose working
+    # table is ONE row carrying the in-tree vertex list and the weight
+    # list; each step LATERAL-selects the (w, src, dst)-minimal cut
+    # edge. The gate compares (rank, w) over weights sorted ascending —
+    # every MST of a graph has the same sorted weight multiset, so the
+    # comparison is exact even where ties leave the edge set ambiguous.
+    # Distances are the identical IEEE expression on both sides.
+    def _prim_sql(pts_cte: str, sub_filter: str, dist: str) -> str:
+        # integer vertex codes (row_number by id): list_contains over
+        # VARCHAR ids is ~10x slower; code order == id order, so the
+        # (w, src, dst) tie-break is preserved
+        return f"""
+WITH RECURSIVE {pts_cte},
+sub0 AS ({sub_filter}),
+sub AS (SELECT row_number() OVER (ORDER BY id) AS nid, * FROM sub0),
+e AS (
+  SELECT q.nid AS src, r.nid AS dst, {dist} AS w
+  FROM sub q JOIN sub r ON q.nid < r.nid),
+prim AS (
+  SELECT 0 AS step, [(SELECT min(nid) FROM sub)] AS verts,
+         CAST([] AS DOUBLE[]) AS ws
+  UNION ALL
+  SELECT step + 1,
+         list_append(verts,
+           CASE WHEN list_contains(verts, be.src) THEN be.dst ELSE be.src END),
+         list_append(ws, be.w)
+  FROM prim, LATERAL (
+    SELECT src, dst, w FROM e
+    WHERE list_contains(prim.verts, src) <> list_contains(prim.verts, dst)
+    ORDER BY w, src, dst LIMIT 1) be
+),
+final AS (SELECT ws FROM prim ORDER BY step DESC LIMIT 1)
+SELECT CAST(row_number() OVER (ORDER BY w) AS INTEGER) AS rank, w
+FROM (SELECT unnest(ws) AS w FROM final)
+"""
+
+    mst_sub = (
+        "SELECT id, x, y FROM pts "
+        "WHERE CAST('0x' || substr(md5(id), 1, 8) AS BIGINT) % 16 = 0"
+    )
+    o["mst"] = _prim_sql(_PTS_DOCS, mst_sub, _DIST)
+    o["mst_dist"] = o["mst"]
+
     o["core_distance"] = f"""
 WITH {_PTS_DOCS},
 nn AS (
@@ -874,6 +975,10 @@ nn AS (
   FROM vecs q CROSS JOIN vecs r QUALIFY rnk <= {K})
 SELECT q_id AS id, max(dist) AS core_distance FROM nn GROUP BY q_id
 """
+
+    o["mst_nd"] = _prim_sql(
+        nd_cte, "SELECT * FROM vecs WHERE id % 8 = 0", dist_nd
+    )
 
     box_pred = " AND ".join(
         f"f{j} BETWEEN {BOX_ND[0]} AND {BOX_ND[1]}" for j in range(DIMS_ND)
@@ -1099,6 +1204,7 @@ FROM embeddings q CROSS JOIN embeddings r
 WHERE q.vec_id % {EMB_QMOD} = 0
 QUALIFY rank <= {EMB_K}
 """
+    o["knn_embed_blocked"] = o["knn_embed"]
 
     o["embed_neardup"] = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1120,6 +1226,14 @@ SELECT 'doc-' || d AS doc_id, CAST(off AS INTEGER) AS offset,
   CAST(length('media://doc-' || d || '/' || off ||
     '?x=' || printf('%.3f', x) || '&y=' || printf('%.3f', y)) AS INTEGER) AS n_bytes
 FROM c
+"""
+
+    o["multimodal_decode"] = """
+WITH src AS (SELECT doc_id AS d FROM documents),
+sp AS (SELECT d, s.off FROM src CROSS JOIN (VALUES (0), (2)) s(off))
+SELECT 'doc-' || d AS doc_id, CAST(off AS INTEGER) AS offset,
+       CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height
+FROM sp
 """
 
     o["sessions"] = """

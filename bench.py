@@ -100,12 +100,16 @@ def main() -> None:
     n_docs = docs.count()
     cfg0 = EngineConfig()
 
+    from ffcl_spark.plans.cache import release
+
     # warmup: exercise codegen + Arrow + Python-worker paths once so the
     # timed stages measure the engine, not JVM/worker cold start
     warm = media_points(synth_docs(li.limit(20_000), "pid", None)).select("id", "x", "y")
     warm = warm.persist()
     warm.count()
-    knn_join_grid(warm, warm, K, knn_resolution(40_000, K, cfg0)).count()
+    wdf = knn_join_grid(warm, warm, K, knn_resolution(40_000, K, cfg0))
+    wdf.count()
+    release(wdf)
     TL.pip_join(warm, TL.grid_tiles(spark, cfg0), cfg0).count()
     warm.unpersist()
 
@@ -121,9 +125,17 @@ def main() -> None:
     pts_xy = pts.select("id", "x", "y")
 
     # --- q2: kNN self-join k=5 (headline join) ---
-    timings["knn_join"], knn_rows = _timed(
-        lambda: knn_join_grid(pts_xy, pts_xy, K, cfg).count()
-    )
+    def run_knn():
+        # count + release inside the timed region: the operator keeps
+        # its kernel output persisted for the single consumer (the
+        # r1-floor plan); releasing per rep makes rep 2 measure the
+        # operator, not a CacheManager hit on the identical plan
+        df = knn_join_grid(pts_xy, pts_xy, K, cfg)
+        n = df.count()
+        release(df)
+        return n
+
+    timings["knn_join"], knn_rows = _timed(run_knn)
     extras["knn_rows_per_sec"] = knn_rows / timings["knn_join"]
 
     # --- q3: PIP tile assignment ---
@@ -153,13 +165,46 @@ def main() -> None:
             clear_cache_with=spark,
         )
 
-    # --- q6: brute-force cosine top-k over embeddings ---
-    if _enabled("embed_topk"):
+    # --- q6: embedding similarity — SCALE paths are the headline
+    # (IVF-bucketed top-k, SRP-LSH near-dup); the brute crossJoin is
+    # opt-in as the oracle baseline, not the engine measurement ---
+    if _enabled("embed_ivf"):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        qs = emb.where(F.col("vec_id") % 10 == 0)
+        cents = SIM.train_ivf_centroids(emb, 16)
+        timings["embed_ivf"], _ = _timed(
+            lambda: SIM.ivf_topk(emb, qs, 10, cents, n_probe=4).count()
+        )
+    if _enabled("embed_lsh"):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        timings["embed_lsh"], _ = _timed(
+            lambda: SIM.lsh_neardup_pairs(emb, 0.9, dims=64).count()
+        )
+    if STAGES != "all" and _enabled("embed_topk"):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         qs = emb.where(F.col("vec_id") % 10 == 0)
         timings["embed_topk"], _ = _timed(
             lambda: SIM.cosine_topk(emb, qs, 10).count()
         )
+
+    # --- q7: exact high-d kNN at scale — blocked brute cogroup over
+    # synthesized 64-d features keyed by lineitem (the embeddings
+    # parquet is fixture-sized; the scale statement needs row counts
+    # that exceed the closure limit's regime) ---
+    if _enabled("knn_embed_blocked"):
+        from ffcl_spark.operators.search_nd import knn_join_nd_blocked
+        from ffcl_spark.sources.vectors import synth_features
+
+        keys = li.select(F.col("pid")).where(F.col("pid") % 3 == 0)
+        hi_refs = synth_features(keys, "pid", 64).persist()
+        n_hi = hi_refs.count()
+        hi_qs = hi_refs.where(F.col("id") % 100 == 0)
+        timings["knn_embed_blocked"], hi_rows = _timed(
+            lambda: knn_join_nd_blocked(hi_qs, hi_refs, 10).count()
+        )
+        extras["hi_d_refs"] = n_hi
+        extras["hi_d_knn_rows_per_sec"] = hi_rows / timings["knn_embed_blocked"]
+        hi_refs.unpersist()
 
     total = sum(timings.values())
     # the north_star throughput: docs through the spatial-join+tiling

@@ -15,6 +15,13 @@ collected MST:
   min_cluster_size, stability = Σ size·(λ − λ_min) with λ = 1/level,
   excess-of-mass selection, flat labels 1.. with noise 0 — reference
   ``CondensedClusterTree.hpp:110-315``, ``CondensedClusterNode.hpp:83-88``.
+
+Memory/recursion discipline: nodes carry [lo, hi) index ranges over
+one shared leaf-permutation list instead of per-node member tuples
+(the tuple concatenation was O(n·depth) — O(n²) on a degenerate chain
+dendrogram), and every tree walk is an explicit-stack loop, so a
+50k-point chain MST neither blows Python's recursion limit nor spikes
+memory.
 """
 
 from __future__ import annotations
@@ -27,15 +34,27 @@ class SLNode:
     node_id: int
     level: float  # merge distance (0 for leaves)
     size: int
-    members: tuple  # leaf ids (kept for canonical labeling; dendrogram is O(n))
     left: "SLNode | None" = None
     right: "SLNode | None" = None
+    leaf: object = None  # leaf id (leaves only)
+    lo: int = 0  # [lo, hi) slice of the shared leaves list
+    hi: int = 0
+    leaves: list = None  # shared leaf-permutation list (all nodes)
+
+    @property
+    def members(self):
+        """Leaf ids under this node — a slice view of the shared
+        permutation (kept for API compatibility; O(size) on access,
+        never stored per node)."""
+        return self.leaves[self.lo : self.hi]
 
 
 def single_linkage_tree(point_ids: list, edges: list[tuple]) -> SLNode:
     """Build the dendrogram from MST ``edges`` [(src, dst, w), ...].
     Assumes the edges span all ``point_ids`` (one component)."""
-    nodes: dict = {pid: SLNode(i, 0.0, 1, (pid,)) for i, pid in enumerate(sorted(point_ids))}
+    nodes: dict = {
+        pid: SLNode(i, 0.0, 1, leaf=pid) for i, pid in enumerate(sorted(point_ids))
+    }
     parent: dict = {pid: pid for pid in point_ids}
 
     def find(x):
@@ -51,14 +70,38 @@ def single_linkage_tree(point_ids: list, edges: list[tuple]) -> SLNode:
         if ra == rb:
             continue
         na, nb = nodes[ra], nodes[rb]
-        merged = SLNode(
-            next_id, float(w), na.size + nb.size, na.members + nb.members, na, nb
-        )
+        merged = SLNode(next_id, float(w), na.size + nb.size, na, nb)
         next_id += 1
         parent[rb] = ra
         nodes[ra] = merged
         root = merged
-    return root
+    if root is not None:
+        _assign_ranges(root)
+    return root  # None when no merge happened (≤1 point or no edges)
+
+
+def _assign_ranges(root: SLNode) -> None:
+    """One iterative DFS: fill the shared leaves list in left-to-right
+    order and give every node its [lo, hi) slice."""
+    leaves: list = []
+    # (node, entered) explicit stack — post-order hi assignment
+    stack = [(root, False)]
+    while stack:
+        node, entered = stack.pop()
+        if node.left is None:
+            node.lo = len(leaves)
+            leaves.append(node.leaf)
+            node.hi = len(leaves)
+            node.leaves = leaves
+            continue
+        if not entered:
+            node.lo = len(leaves)  # provisional; leaves appended in order
+            stack.append((node, True))
+            stack.append((node.right, False))
+            stack.append((node.left, False))
+        else:
+            node.hi = len(leaves)
+            node.leaves = leaves
 
 
 def cut_tree(root: SLNode, cut_level: float, min_cluster_size: int = 1) -> dict:
@@ -67,21 +110,21 @@ def cut_tree(root: SLNode, cut_level: float, min_cluster_size: int = 1) -> dict:
     noise (``None`` — unambiguous even when a cluster's min member id
     is 0). Cluster label = min member id."""
     labels: dict = {}
-
-    def assign(node: SLNode):
+    stack = [root]
+    while stack:
+        node = stack.pop()
         if node.level < cut_level:
+            mem = node.members
             if node.size >= min_cluster_size:
-                lab = min(node.members)
-                for m in node.members:
+                lab = min(mem)
+                for m in mem:
                     labels[m] = lab
             else:
-                for m in node.members:
+                for m in mem:
                     labels[m] = None
-            return
-        assign(node.left)
-        assign(node.right)
-
-    assign(root)
+            continue
+        stack.append(node.left)
+        stack.append(node.right)
     return labels
 
 
@@ -107,14 +150,13 @@ def condense_tree(root: SLNode, min_cluster_size: int) -> CondensedNode:
         return CondensedNode(counter[0], lambda_min)
 
     top = new_cnode(0.0)
-
-    def walk(node: SLNode, cluster: CondensedNode):
+    stack = [(root, top)]
+    while stack:
+        node, cluster = stack.pop()
         if node.left is None:
             lam = 1.0 / node.level if node.level > 0 else float("inf")
-            # leaf reached: it falls out when its parent merge dissolves —
-            # handled by caller passing the split λ; keep as member
-            cluster.members.append((node.members[0], lam))
-            return
+            cluster.members.append((node.leaf, lam))
+            continue
         lam = 1.0 / node.level if node.level > 0 else float("inf")
         big_l = node.left.size >= min_cluster_size
         big_r = node.right.size >= min_cluster_size
@@ -122,37 +164,51 @@ def condense_tree(root: SLNode, min_cluster_size: int) -> CondensedNode:
             cl = new_cnode(lam)
             cr = new_cnode(lam)
             cluster.children.extend([cl, cr])
-            walk(node.left, cl)
-            walk(node.right, cr)
+            stack.append((node.left, cl))
+            stack.append((node.right, cr))
         else:
             # the small side(s) fall out of `cluster` at λ
             for side, big in ((node.left, big_l), (node.right, big_r)):
                 if big:
-                    walk(side, cluster)
+                    stack.append((side, cluster))
                 else:
                     for m in side.members:
                         cluster.members.append((m, lam))
-    walk(root, top)
     return top
 
 
 def compute_stability(cnode: CondensedNode) -> float:
     """stability = Σ_members (λ_fell − λ_born) (CondensedClusterNode.hpp:83-88),
     computed over direct members; child subtrees have their own."""
-    lam0 = cnode.lambda_min
-    s = sum(min(lam, 1e18) - lam0 for _, lam in cnode.members)
-    # members that persisted into child clusters contribute (λ_child_birth − λ_born)
-    for ch in cnode.children:
-        n_ch = _subtree_point_count(ch)
-        s += n_ch * (ch.lambda_min - lam0)
-    cnode.stability = s
-    for ch in cnode.children:
-        compute_stability(ch)
-    return s
+    # post-order over an explicit stack: children's point counts are
+    # needed before the parent's stability
+    order: list[CondensedNode] = []
+    stack = [cnode]
+    while stack:
+        c = stack.pop()
+        order.append(c)
+        stack.extend(c.children)
+    counts: dict[int, int] = {}
+    for c in reversed(order):
+        counts[c.cnode_id] = len(c.members) + sum(
+            counts[ch.cnode_id] for ch in c.children
+        )
+        lam0 = c.lambda_min
+        s = sum(min(lam, 1e18) - lam0 for _, lam in c.members)
+        for ch in c.children:
+            s += counts[ch.cnode_id] * (ch.lambda_min - lam0)
+        c.stability = s
+    return cnode.stability
 
 
 def _subtree_point_count(cnode: CondensedNode) -> int:
-    return len(cnode.members) + sum(_subtree_point_count(c) for c in cnode.children)
+    total = 0
+    stack = [cnode]
+    while stack:
+        c = stack.pop()
+        total += len(c.members)
+        stack.extend(c.children)
+    return total
 
 
 def select_clusters(cnode: CondensedNode, allow_single_cluster: bool = True) -> None:
@@ -160,17 +216,28 @@ def select_clusters(cnode: CondensedNode, allow_single_cluster: bool = True) -> 
     a node is selected if its stability exceeds the sum of its
     children's selected stabilities; otherwise the children win."""
 
-    def walk(c: CondensedNode) -> float:
-        if not c.children:
-            c.selected = True
-            return c.stability
-        child_sum = sum(walk(ch) for ch in c.children)
-        if c.stability >= child_sum:
-            c.selected = True
-            _deselect_descendants(c)
-            return c.stability
-        c.selected = False
-        return child_sum
+    def walk(top: CondensedNode) -> float:
+        order: list[CondensedNode] = []
+        stack = [top]
+        while stack:
+            c = stack.pop()
+            order.append(c)
+            stack.extend(c.children)
+        best: dict[int, float] = {}  # selected-stability of each subtree
+        for c in reversed(order):
+            if not c.children:
+                c.selected = True
+                best[c.cnode_id] = c.stability
+                continue
+            child_sum = sum(best[ch.cnode_id] for ch in c.children)
+            if c.stability >= child_sum:
+                c.selected = True
+                _deselect_descendants(c)
+                best[c.cnode_id] = c.stability
+            else:
+                c.selected = False
+                best[c.cnode_id] = child_sum
+        return best[top.cnode_id]
 
     walk(cnode)
     if not allow_single_cluster and cnode.selected and cnode.children:
@@ -180,9 +247,11 @@ def select_clusters(cnode: CondensedNode, allow_single_cluster: bool = True) -> 
 
 
 def _deselect_descendants(c: CondensedNode) -> None:
-    for ch in c.children:
+    stack = list(c.children)
+    while stack:
+        ch = stack.pop()
         ch.selected = False
-        _deselect_descendants(ch)
+        stack.extend(ch.children)
 
 
 def hdbscan_labels(
@@ -203,20 +272,22 @@ def hdbscan_labels(
     labels = {p: None for p in point_ids}
 
     def collect_points(c: CondensedNode) -> list:
-        pts = [m for m, _ in c.members]
-        for ch in c.children:
-            pts += collect_points(ch)
+        pts = []
+        stack = [c]
+        while stack:
+            cur = stack.pop()
+            pts.extend(m for m, _ in cur.members)
+            stack.extend(cur.children)
         return pts
 
-    def walk(c: CondensedNode):
+    stack = [top]
+    while stack:
+        c = stack.pop()
         if c.selected:
             pts = collect_points(c)
             lab = min(pts)
             for p in pts:
                 labels[p] = lab
-            return
-        for ch in c.children:
-            walk(ch)
-
-    walk(top)
+            continue
+        stack.extend(c.children)
     return labels

@@ -20,20 +20,40 @@ Distributed form — exact, with the reference's prune translated:
   reachability: ``max(core_p, kth) ≥ comp_best``, since
   mreach ≥ max(core_p, d)). Survivors escalate with doubled k —
   exactly the buffer-bound prune of ``KDNodeView.hpp:235-243`` lifted
-  to components.
-- the ≤ n_components found edges are merged on the driver
-  (``UnionFind.hpp`` semantics); components at least halve per round →
+  to components. The prune state (per-component best so far) is a
+  DataFrame joined back per pass — nothing point-sized touches the
+  driver.
+- candidate edges are SYMMETRIZED (each cross pair appears from both
+  endpoints' components) and per-component minima use the CANONICAL
+  undirected order (w, min_id, max_id): any two components that both
+  pick weight-w edges toward each other then agree on the same
+  canonical edge, so the union of chosen edges is cycle-free by the
+  standard total-order argument — which is what lets rounds merge
+  WITHOUT a driver union-find.
+- merging: while components > ``driver_cutoff`` the merge runs
+  DataFrame-side — each component points at the partner of its chosen
+  edge; the only cycles in that pointer graph are mutual pairs, which
+  root at their smaller label; pointer doubling then converges in
+  O(log) self-joins over component-count-sized relations. Below the
+  cutoff the collected per-COMPONENT best edges (≤ driver_cutoff rows,
+  never point-count rows) merge through a driver union-find
+  (``UnionFind.hpp`` semantics). Components at least halve per round →
   O(log n) rounds.
-- the id → component map is a *persisted DataFrame*, never collected:
-  each round it is updated by a broadcast join against the (≤ 2×merges
-  rows) relabel map derived from the merged edges. Only edges and the
-  relabel map ever reach the driver — the driver's memory footprint is
-  O(MST edges), which is the size of the requested output itself.
+- the id → component map is a *persisted DataFrame*, never collected.
+
+Output: the MST edge DataFrame (src, dst, w) — n−1 rows. Dendrogram
+post-processing (``kernels.hierarchy``) collects it driver-side by
+declared contract (the dendrogram is O(n), ≪ data); at scales where
+n−1 driver rows is itself too big, consume the DataFrame directly.
 
 Edge weights: Euclidean distance, or mutual reachability
 ``max(core_a, core_b, dist)`` (``BoruvkasAlgorithm.hpp:307-308``) when
-``core_k`` is given. Ties broken by (weight, src, dst) so the MST is
-deterministic even on tie-heavy lattices.
+``core_k`` is given. The edge WEIGHT per component is exact; under
+exact weight ties the specific edge may differ from the
+(w, min, max)-canonical MST when the kNN prune hides an equal-weight
+alternative, but the result is always a true minimum spanning tree —
+and every MST of a graph has the same sorted weight multiset, which is
+what the oracle gates compare.
 """
 
 from __future__ import annotations
@@ -46,6 +66,15 @@ from ffcl_spark.operators.dbscan import UnionFind
 from ffcl_spark.operators.knn_kernel import knn_join_grid
 from ffcl_spark.operators.search import core_distances
 
+DRIVER_CUTOFF = 100_000  # switch to driver union-find below this many components
+
+
+def mst_edges_local(edges_df: DataFrame) -> list[tuple]:
+    """Collect an MST edge DataFrame to [(src, dst, w), ...] — the
+    driver-side form consumed by the dendrogram kernels. O(n) rows on
+    the driver by declared contract."""
+    return [(r["src"], r["dst"], float(r["w"])) for r in edges_df.collect()]
+
 
 def minimum_spanning_tree(
     points: DataFrame,
@@ -55,16 +84,20 @@ def minimum_spanning_tree(
     local_cutoff: int = 0,
     features_col: str | None = None,
     axes: tuple[int, int] = (0, 1),
-) -> list[tuple]:
-    """Exact MST edges [(src, dst, weight), ...] (n−1 edges, collected:
-    the MST is O(n) rows — driver-sized by definition for the scales
-    where a *tree over every point* is itself the requested output).
+    driver_cutoff: int = DRIVER_CUTOFF,
+) -> DataFrame:
+    """Exact MST edges as a DataFrame (src, dst, w) — n−1 rows.
 
     ``local_cutoff``: inputs at or below this size skip the distributed
     rounds and run the identical-semantics local Prim kernel — the
     small-relation local-execution optimization (each Borůvka round
     costs O(1) Spark jobs of latency; below a few thousand points the
     latency dwarfs the O(n²) local solve).
+
+    ``driver_cutoff``: while more components than this remain, round
+    merges run DataFrame-side (pointer doubling); below it the
+    per-component best edges (≤ driver_cutoff rows) merge on the
+    driver. 0 forces every merge distributed (used by tests).
 
     ``features_col``: when given, points carry an n-D
     ``array<double>`` feature column instead of (x, y) — the reference
@@ -75,14 +108,21 @@ def minimum_spanning_tree(
     """
     import numpy as np
 
+    spark = points.sparkSession
+    id_type = points.schema["id"].dataType
+    id_sql = id_type.simpleString()
+    edge_schema = f"src {id_sql}, dst {id_sql}, w double"
+
     if features_col is None:
         pts = points.select("id", "x", "y").persist()
 
         def _knn(q, r_, k_):
-            return knn_join_grid(q, r_, k_, cfg)
+            # checkpoint=True: iterative caller — every escalation
+            # round must leave no cached partitions behind
+            return knn_join_grid(q, r_, k_, cfg, checkpoint=True)
 
         def _core(p, k_):
-            return core_distances(p, k_, cfg)
+            return core_distances(p, k_, cfg, checkpoint=True)
 
         def _matrix(pdf):
             return pdf[["x", "y"]].to_numpy()
@@ -92,22 +132,25 @@ def minimum_spanning_tree(
         pts = points.select("id", F.col(features_col).alias("features")).persist()
 
         def _knn(q, r_, k_):
-            return knn_join_nd(q, r_, k_, cfg, "features", axes)
+            return knn_join_nd(q, r_, k_, cfg, "features", axes, checkpoint=True)
 
         def _core(p, k_):
-            return core_distances_nd(p, k_, cfg, "features", axes)
+            return core_distances_nd(p, k_, cfg, "features", axes, checkpoint=True)
 
         def _matrix(pdf):
             return np.array(pdf["features"].tolist(), dtype=np.float64)
 
     n = pts.count()
     if n <= 1:
-        return []
+        pts.unpersist()
+        return spark.createDataFrame([], edge_schema)
     if n <= local_cutoff:
         from ffcl_spark.kernels.mst_local import prim_mst
 
         pdf = pts.toPandas().sort_values("id").reset_index(drop=True)
-        return prim_mst(_matrix(pdf), pdf["id"].to_numpy(), core_k=core_k)
+        pts.unpersist()
+        edges = prim_mst(_matrix(pdf), pdf["id"].to_numpy(), core_k=core_k)
+        return spark.createDataFrame(edges, edge_schema)
 
     core = None
     if core_k is not None:
@@ -118,19 +161,17 @@ def minimum_spanning_tree(
     # (non-hinted) joins everywhere it is used: AQE broadcasts it while
     # small-enough and shuffles otherwise — at 100× the map is n rows
     # and must not be forced through the driver or a broadcast.
-    spark = points.sparkSession
-    id_type = points.schema["id"].dataType
-    id_sql = id_type.simpleString()
     comp_df = pts.select("id", F.col("id").alias("comp")).persist()
     comp_df.count()
     n_comp = n
-    edges: list[tuple] = []
+    edge_parts: list[DataFrame] = []  # distributed-round edges
+    driver_edges: list[tuple] = []  # driver-round edges
     base_nn = None  # k0-NN lists, shared across rounds
 
     while n_comp > 1:
         k = min(k0, n)
         pend = pts
-        best: dict = {}  # q_comp -> (w, src_id, dst_id, dst_comp)
+        best_df: DataFrame | None = None  # (q_comp, e{w, a, b, ca, cb})
         first_pass = True
         while True:
             if first_pass:
@@ -169,41 +210,69 @@ def minimum_spanning_tree(
                 )
             else:
                 nn = nn.withColumn("w", F.col("dist"))
+            # one materialization per pass: the best-edge aggregation,
+            # the prune aggregation, and the pending check all read nn
+            nn = nn.persist()
 
-            cross = nn.where(F.col("q_comp") != F.col("r_comp"))
-            # exact per-point best cross edge, then per-component best
-            cand = (
-                cross.groupBy("q_comp")
-                .agg(F.min(F.struct("w", "q_id", "r_id", "r_comp")).alias("e"))
-                .select("q_comp", "e.w", "e.q_id", "e.r_id", "e.r_comp")
-                .collect()
+            cross = nn.where(F.col("q_comp") != F.col("r_comp")).select(
+                "q_id", "r_id", "q_comp", "r_comp", "w"
             )
-            for row in cand:
-                cur = best.get(row["q_comp"])
-                e = (row["w"], row["q_id"], row["r_id"], row["r_comp"])
-                if cur is None or e[:3] < cur[:3]:
-                    best[row["q_comp"]] = e
+            # symmetrize so both endpoint components see every candidate
+            # edge — the visibility that makes canonical per-component
+            # minima cycle-free (module docstring)
+            sym = cross.unionByName(
+                cross.select(
+                    F.col("r_id").alias("q_id"),
+                    F.col("q_id").alias("r_id"),
+                    F.col("r_comp").alias("q_comp"),
+                    F.col("q_comp").alias("r_comp"),
+                    "w",
+                )
+            )
+            canon = sym.select(
+                "q_comp",
+                F.struct(
+                    F.col("w"),
+                    F.least("q_id", "r_id").alias("a"),
+                    F.greatest("q_id", "r_id").alias("b"),
+                    F.when(F.col("q_id") < F.col("r_id"), F.col("q_comp"))
+                    .otherwise(F.col("r_comp"))
+                    .alias("ca"),
+                    F.when(F.col("q_id") < F.col("r_id"), F.col("r_comp"))
+                    .otherwise(F.col("q_comp"))
+                    .alias("cb"),
+                ).alias("e"),
+            )
+            pass_best = canon.groupBy("q_comp").agg(F.min("e").alias("e"))
+            if best_df is None:
+                new_best = pass_best
+            else:
+                new_best = (
+                    best_df.unionByName(pass_best)
+                    .groupBy("q_comp")
+                    .agg(F.min("e").alias("e"))
+                )
+            new_best = new_best.localCheckpoint()  # ≤ n_comp rows, truncates pass lineage
+            if best_df is not None:
+                best_df.unpersist()
+            best_df = new_best
 
             if k >= n:
+                nn.unpersist()
                 break
-            # escalation: points whose whole list was same-component AND
-            # whose unseen-neighbor lower bound could beat their
-            # component's best
+            # escalation: points whose unseen-neighbor lower bound could
+            # still beat their component's best (per-point rows never
+            # leave the cluster — the prune state joins DataFrame-side)
             per_q = nn.groupBy("q_id", "q_comp").agg(
                 F.max("dist").alias("kth"),
                 F.max(F.when(F.col("q_comp") != F.col("r_comp"), 1).otherwise(0)).alias("has_cross"),
                 F.max(F.col("core_q") if core is not None else F.lit(0.0)).alias("core_q"),
             )
-            best_rows = [(c, e[0]) for c, e in best.items()]
-            if best_rows:
-                # plain join: AQE broadcasts while the per-component
-                # best list is small, shuffles when it is O(n) (round 1)
-                best_df = spark.createDataFrame(
-                    best_rows, schema=f"q_comp {id_sql}, comp_best double"
-                )
-                per_q = per_q.join(best_df, "q_comp", "left")
-            else:
-                per_q = per_q.withColumn("comp_best", F.lit(None).cast("double"))
+            per_q = per_q.join(
+                best_df.select("q_comp", F.col("e.w").alias("comp_best")),
+                "q_comp",
+                "left",
+            )
             if core is not None:
                 # mreach: even a point WITH a cross candidate can be
                 # beaten by an unseen farther point with smaller core —
@@ -220,49 +289,42 @@ def minimum_spanning_tree(
                 )
             pend_ids = per_q.where(pend_cond).select(F.col("q_id").alias("id"))
             pend = pts.join(F.broadcast(pend_ids), "id", "left_semi")
-            if pend.isEmpty():
+            pend_empty = pend.isEmpty()
+            nn.unpersist()
+            if pend_empty:
                 break
             k = min(n, k * 2)
 
-        # merge all found edges on a FRESH per-round union-find over
-        # component labels only (≤ 2×|round edges| entries), then push
-        # the relabel map back into the distributed component map
-        round_edges = set()
-        for q_comp, (w, src, dst, r_comp) in best.items():
-            a, b = (src, dst) if src < dst else (dst, src)
-            ca, cb = (q_comp, r_comp) if src < dst else (r_comp, q_comp)
-            round_edges.add((w, a, b, ca, cb))
-        uf = UnionFind()
-        merged_any = False
-        n_merges = 0
-        for w, a, b, ca, cb in sorted(round_edges):
-            if uf.find(ca) != uf.find(cb):
-                uf.merge(ca, cb)
-                edges.append((a, b, w))
-                merged_any = True
-                n_merges += 1
-        if not merged_any:
+        if best_df is None:
             break
-        # canonical new label per merged group = min old comp label
-        touched = {c for *_, ca, cb in round_edges for c in (ca, cb)}
-        canon: dict = {}
-        for c in touched:
-            r = uf.find(c)
-            if r not in canon or c < canon[r]:
-                canon[r] = c
-        mapping = [(c, canon[uf.find(c)]) for c in touched if canon[uf.find(c)] != c]
-        if mapping:
-            relabel = spark.createDataFrame(
-                mapping, schema=f"comp {id_sql}, newc {id_sql}"
+        if n_comp > driver_cutoff:
+            new_edges, relabel, n_merges = _merge_distributed(best_df)
+            if n_merges == 0:
+                best_df.unpersist()
+                break
+            edge_parts.append(new_edges)
+        else:
+            rows = best_df.select("q_comp", "e.*").collect()
+            new_edges_l, mapping, n_merges = _merge_driver(rows)
+            if n_merges == 0:
+                best_df.unpersist()
+                break
+            driver_edges.extend(new_edges_l)
+            relabel = (
+                spark.createDataFrame(mapping, schema=f"comp {id_sql}, newc {id_sql}")
+                if mapping
+                else None
             )
+        if relabel is not None:
             new_comp = (
-                comp_df.join(F.broadcast(relabel), "comp", "left")
+                comp_df.join(relabel, "comp", "left")
                 .select("id", F.coalesce("newc", "comp").alias("comp"))
                 .persist()
             )
             new_comp.count()
             comp_df.unpersist()
             comp_df = new_comp
+        best_df.unpersist()
         n_comp -= n_merges
 
     comp_df.unpersist()
@@ -271,4 +333,107 @@ def minimum_spanning_tree(
         core.unpersist()
     if base_nn is not None:
         base_nn.unpersist()
-    return edges
+    out = spark.createDataFrame(driver_edges, edge_schema)
+    for p in edge_parts:
+        out = out.unionByName(p)
+    return out
+
+
+def _merge_driver(rows) -> tuple[list[tuple], list[tuple], int]:
+    """Union-find merge of collected per-COMPONENT best edges (≤
+    driver_cutoff rows — bounded by the component count, never by the
+    point count). Returns (new MST edges, comp-relabel mapping,
+    merge count) — reference ``UnionFind.hpp`` / merge step
+    ``BoruvkasAlgorithm.hpp:140-176``."""
+    round_edges = {(r["w"], r["a"], r["b"], r["ca"], r["cb"]) for r in rows}
+    uf = UnionFind()
+    edges: list[tuple] = []
+    n_merges = 0
+    for w, a, b, ca, cb in sorted(round_edges):
+        if uf.find(ca) != uf.find(cb):
+            uf.merge(ca, cb)
+            edges.append((a, b, w))
+            n_merges += 1
+    # canonical new label per merged group = min old comp label
+    touched = {c for *_, ca, cb in round_edges for c in (ca, cb)}
+    canon: dict = {}
+    for c in touched:
+        r = uf.find(c)
+        if r not in canon or c < canon[r]:
+            canon[r] = c
+    mapping = [(c, canon[uf.find(c)]) for c in touched if canon[uf.find(c)] != c]
+    return edges, mapping, n_merges
+
+
+def _merge_distributed(best_df: DataFrame) -> tuple[DataFrame, DataFrame, int]:
+    """DataFrame-side Borůvka merge — no driver state at any size.
+
+    The distinct canonical chosen edges are cycle-free (module
+    docstring), so ALL of them are MST edges. Component relabeling =
+    connected components of the chosen-edge graph: each component
+    points at its chosen partner; the only cycles are mutual pairs
+    (rooted at their smaller label); pointer doubling then converges in
+    ≤ log2(n_comp) self-joins. Returns (edge DataFrame (src, dst, w),
+    relabel DataFrame (comp, newc), number of merges)."""
+    chosen = (
+        best_df.select("e.w", "e.a", "e.b", "e.ca", "e.cb").distinct().localCheckpoint()
+    )
+    n_merges = chosen.count()
+    if n_merges == 0:
+        return chosen.select(
+            F.col("a").alias("src"), F.col("b").alias("dst"), "w"
+        ), None, 0
+    new_edges = chosen.select(F.col("a").alias("src"), F.col("b").alias("dst"), "w")
+    parent = best_df.select(
+        "q_comp",
+        F.when(F.col("e.ca") == F.col("q_comp"), F.col("e.cb"))
+        .otherwise(F.col("e.ca"))
+        .alias("parent"),
+    ).localCheckpoint()
+    # root mutual pairs at their smaller label
+    p2 = parent.select(
+        F.col("q_comp").alias("parent"), F.col("parent").alias("gparent")
+    )
+    parent = parent.join(p2, "parent", "left").select(
+        "q_comp",
+        F.when(
+            (F.col("gparent") == F.col("q_comp")) & (F.col("q_comp") < F.col("parent")),
+            F.col("q_comp"),
+        )
+        .otherwise(F.col("parent"))
+        .alias("parent"),
+    ).localCheckpoint()
+    # pointer doubling to the roots
+    for _ in range(64):  # ≥ log2 of any feasible component count
+        hop = parent.select(
+            F.col("q_comp").alias("parent"), F.col("parent").alias("gparent")
+        )
+        nxt = parent.join(hop, "parent").select(
+            "q_comp", F.col("gparent").alias("parent")
+        ).localCheckpoint()
+        changed = (
+            nxt.alias("n")
+            .join(parent.alias("p"), "q_comp")
+            .where(F.col("n.parent") != F.col("p.parent"))
+        )
+        done = changed.isEmpty()
+        parent.unpersist()
+        parent = nxt
+        if done:
+            break
+    else:
+        raise RuntimeError(
+            "pointer doubling did not converge — chosen-edge graph has a "
+            "cycle longer than 2, which the canonical symmetrized "
+            "selection is supposed to exclude"
+        )
+    # canonical group label = min member (matches the driver merge rule)
+    label = parent.groupBy("parent").agg(F.min("q_comp").alias("newc"))
+    relabel = (
+        parent.join(label, "parent")
+        .where(F.col("q_comp") != F.col("newc"))
+        .select(F.col("q_comp").alias("comp"), "newc")
+        .localCheckpoint()
+    )
+    parent.unpersist()
+    return new_edges, relabel, n_merges

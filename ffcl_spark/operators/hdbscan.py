@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame
 
 from ffcl_spark.config import EngineConfig
 from ffcl_spark.kernels.hierarchy import cut_tree, hdbscan_labels, single_linkage_tree
-from ffcl_spark.operators.boruvka import minimum_spanning_tree
+from ffcl_spark.operators.boruvka import minimum_spanning_tree, mst_edges_local
 
 
 def hdbscan(
@@ -34,8 +34,10 @@ def hdbscan(
     ``features_col``: n-D ``array<double>`` input (reference
     n-features contract) — routed through the n-D MST."""
     core_k = k_nearest_neighbors if k_nearest_neighbors > 1 else None
-    edges = minimum_spanning_tree(
-        points, cfg, core_k=core_k, local_cutoff=local_cutoff, features_col=features_col
+    edges = mst_edges_local(
+        minimum_spanning_tree(
+            points, cfg, core_k=core_k, local_cutoff=local_cutoff, features_col=features_col
+        )
     )
     # the MST spans every point, so its endpoints ARE the id universe —
     # no separate all-ids collect (the edge list is the O(n) driver
@@ -71,7 +73,7 @@ def single_linkage_cut(
     """Flat single-linkage clustering at ``cut_level`` over the plain-
     distance MST (reference ``SingleLinkageClusterTree.hpp:151-175``).
     Returns (id, label, is_noise); noise label 0 with is_noise true."""
-    edges = minimum_spanning_tree(points, cfg, local_cutoff=local_cutoff)
+    edges = mst_edges_local(minimum_spanning_tree(points, cfg, local_cutoff=local_cutoff))
     if edges:
         ids = sorted({e[0] for e in edges} | {e[1] for e in edges})
     else:

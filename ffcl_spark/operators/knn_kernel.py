@@ -54,10 +54,15 @@ def knn_join_kernel(
     k: int,
     cfg: EngineConfig,
     ring: int = 1,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """(q_id, r_id, dist, rank) — exact kNN, FFCL semantics, ties by
     r_id. Same contract as ``search.knn_join``; different physical
     plan (grouped-kernel leaf scan instead of pair materialization).
+
+    ``checkpoint``: see ``plans.cache`` — True for iterative callers
+    (materialize + unpersist per call), False (default) keeps the
+    kernel output persisted and hands it to the caller for release.
     """
     id_type = queries.schema["id"].dataType
     q = queries.select(
@@ -137,34 +142,37 @@ def knn_join_kernel(
             )
         return pd.concat(out, ignore_index=True)
 
+    from ffcl_spark.plans.cache import carry
+
     grouped = q.groupBy("cell").cogroup(r.groupBy("cell")).applyInPandas(
         kernel, out_schema
     )
     grouped = grouped.persist()
-    # checkpoint final rows off the cached kernel output, then drop the
-    # cache — repeated callers must not accumulate cached partitions
-    done_rows = (
-        grouped.where(F.col("done"))
-        .select("q_id", "r_id", "dist", "rank")
-        .localCheckpoint()
-    )
+    done_rows = grouped.where(F.col("done")).select("q_id", "r_id", "dist", "rank")
+    if checkpoint:
+        # iterative callers: materialize final rows off the cached
+        # kernel output, then drop the cache — repeated calls must not
+        # accumulate cached partitions
+        done_rows = done_rows.localCheckpoint()
     # pending = queries without a done result (covers the not-done flag
     # AND queries whose cell had zero serving refs)
     pend_q = queries.join(
         done_rows.select(F.col("q_id").alias("id")).distinct(), "id", "left_anti"
     ).persist()
     n_pend = pend_q.count()
-    grouped.unpersist()
+    if checkpoint:
+        grouped.unpersist()
     if n_pend == 0:
         pend_q.unpersist()
-        return done_rows
+        return done_rows if checkpoint else carry(done_rows, grouped)
     # fallback: iterative JVM ring expansion for the stragglers (their
     # count is tiny — dense areas always terminate in ring 1)
     from ffcl_spark.operators.search import knn_join
 
-    rest = knn_join(pend_q, refs, k, cfg, start_ring=ring + 1)
+    rest = knn_join(pend_q, refs, k, cfg, start_ring=ring + 1, checkpoint=checkpoint)
     pend_q.unpersist()
-    return done_rows.unionByName(rest)
+    out = done_rows.unionByName(rest)
+    return out if checkpoint else carry(out, grouped, rest)
 
 
 # ---------------------------------------------------------------------
@@ -177,6 +185,7 @@ def knn_join_grid(
     k: int,
     cfg: EngineConfig,
     group_delta: int = 2,
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Scale-tuned kNN join: same contract/result as ``knn_join_kernel``
     but with a two-level decomposition that minimizes both shuffle
@@ -198,9 +207,15 @@ def knn_join_grid(
     ring-expansion join. Known limit: a pathologically hot fine cell
     lands one coarse group on one task — salt via a deeper resolution
     or AQE-advisory repartition (tracked for the skew round).
+
+    ``checkpoint``: cache hand-off mode (see ``plans.cache``) — False
+    (default, one-shot callers) returns a view over the persisted
+    kernel output, no second materialization; True (iterative callers
+    like Borůvka) checkpoints the final rows and unpersists before
+    returning.
     """
     if cfg.resolution < group_delta:
-        return knn_join_kernel(queries, refs, k, cfg, ring=1)
+        return knn_join_kernel(queries, refs, k, cfg, ring=1, checkpoint=checkpoint)
     id_type = queries.schema["id"].dataType
     gshift = group_delta
     n = cfg.grid_n
@@ -358,32 +373,40 @@ def knn_join_grid(
             }
         )
 
+    from ffcl_spark.plans.cache import carry
+
     grouped = (
         q.groupBy("grp")
         .cogroup(r.groupBy("grp"))
         .applyInPandas(kernel, out_schema)
         .persist()
     )
-    # checkpoint final rows off the cached kernel output, then drop the
-    # cache — Borůvka calls this per escalation round and must not
-    # accumulate cached partitions (ADVICE: cache-leak fix)
-    done_rows = (
-        grouped.where(F.col("done"))
-        .select("q_id", "r_id", "dist", "rank")
-        .localCheckpoint()
-    )
+    done_rows = grouped.where(F.col("done")).select("q_id", "r_id", "dist", "rank")
+    if checkpoint:
+        # iterative callers: checkpoint final rows off the cached
+        # kernel output, then drop the cache — Borůvka calls this per
+        # escalation round and must not accumulate cached partitions
+        done_rows = done_rows.localCheckpoint()
     # every query is represented in `grouped` (placeholders for the
     # candidate-less case), so the pending check is a cached scan, no
-    # join — the common case returns immediately
+    # join — the common case returns immediately. This isEmpty is the
+    # action that materializes the kernel output into the cache; the
+    # one-shot caller's own action then reads the cache (the r1-floor
+    # plan — the unconditional localCheckpoint cost the headline join
+    # ~1.5x in round 2).
     not_done = grouped.where(~F.col("done")).select("q_id")
     if not_done.isEmpty():
-        grouped.unpersist()
-        return done_rows
+        if checkpoint:
+            grouped.unpersist()
+            return done_rows
+        return carry(done_rows, grouped)
     from ffcl_spark.operators.search import knn_join
 
     pend_q = queries.join(
         not_done.distinct().withColumnRenamed("q_id", "id"), "id", "left_semi"
     ).localCheckpoint()
-    grouped.unpersist()
-    rest = knn_join(pend_q, refs, k, cfg, start_ring=2)
-    return done_rows.unionByName(rest)
+    if checkpoint:
+        grouped.unpersist()
+    rest = knn_join(pend_q, refs, k, cfg, start_ring=2, checkpoint=checkpoint)
+    out = done_rows.unionByName(rest)
+    return out if checkpoint else carry(out, grouped, rest)

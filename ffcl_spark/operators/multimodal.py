@@ -2,12 +2,20 @@
 
 Images/audio/video are carried as opaque ``binary`` columns with typed
 metadata structs. Decode / feature-extraction runs as Arrow-batched
-``mapInPandas`` kernels — the Spark-side plumbing (schema,
-partitioning, UDF signature, batch shape) is real and tested; the
-actual codec step is STUBBED (the image/audio libraries are not in
-this container): ``decode_stub`` produces deterministic fake features,
-and ``decode_real`` raises ``NotImplementedError`` naming the needed
-dependency.
+``mapInPandas`` kernels — schema, partitioning, UDF signature, and
+batch shape are the engine surface; the codecs are real for the
+container-friendly formats:
+
+- ``image/ppm``: P6 binary PPM — pure-NumPy header parse + pixel
+  reshape (``decode_real`` → (h, w, 3) uint8).
+- ``audio/wav``: RIFF/WAVE PCM16 — chunk walk + ``np.frombuffer``
+  (``decode_real`` → (n_samples, n_channels) int16).
+
+Formats that genuinely need external codec libraries (JPEG, MP3, …)
+still raise ``NotImplementedError`` naming the dependency;
+``media_binary(docs, payload=...)`` can synthesize deterministic real
+PPM/WAV payloads so the decode path runs end-to-end in tests and
+gates.
 """
 
 from __future__ import annotations
@@ -40,29 +48,168 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def media_binary(docs: DataFrame) -> DataFrame:
-    """Materialize media spans as opaque binary payloads. In a real
+def media_binary(docs: DataFrame, payload: str = "ref") -> DataFrame:
+    """Materialize media spans as binary payloads. In a real
     deployment ``media_ref`` resolves to object storage; here the
-    payload is the ref itself encoded — deterministic and enough to
-    exercise the binary-column path end to end."""
+    payload is synthesized deterministically from the ref:
+
+    - ``payload='ref'``: the ref string utf-8 encoded (opaque-bytes
+      plumbing path, kind ``image/fake``);
+    - ``payload='ppm'``: a real 8×6 binary PPM image whose pixels are
+      a seeded byte stream of the ref (kind ``image/ppm``);
+    - ``payload='wav'``: a real RIFF/WAVE PCM16 mono clip, 64 samples
+      derived from the ref (kind ``audio/wav``).
+    """
     s = F.explode("spans").alias("span")
-    return (
+    base = (
         docs.select("doc_id", s)
         .where(F.col("span.kind") == "media")
         .select(
             "doc_id",
             F.col("span.offset").alias("offset"),
-            F.encode(F.col("span.media_ref"), "utf-8").alias("media_bytes"),
-            F.lit("image/fake").alias("media_kind"),
+            F.col("span.media_ref").alias("ref"),
         )
     )
+    if payload == "ref":
+        return base.select(
+            "doc_id",
+            "offset",
+            F.encode(F.col("ref"), "utf-8").alias("media_bytes"),
+            F.lit("image/fake").alias("media_kind"),
+        )
+    if payload not in ("ppm", "wav"):
+        raise ValueError(f"unknown payload kind {payload!r}")
+    kind = "image/ppm" if payload == "ppm" else "audio/wav"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for ref in pdf["ref"]:
+                raw = _ref_bytes(ref, 8 * 6 * 3 if payload == "ppm" else 128)
+                blobs.append(
+                    encode_ppm(raw.reshape(6, 8, 3))
+                    if payload == "ppm"
+                    else encode_wav_pcm16(
+                        (raw[:128].view(np.uint8).astype(np.int16) * 128 - 16384)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "offset": pdf["offset"].astype("int32"),
+                    "media_bytes": blobs,
+                    "media_kind": kind,
+                }
+            )
+
+    return base.mapInPandas(kernel, MEDIA_SCHEMA)
 
 
-def decode_real(media_kind: str):
+def _ref_bytes(ref: str, n: int) -> np.ndarray:
+    """Deterministic pseudo-random byte stream keyed by the ref string
+    (splitmix-style mixing — reproducible anywhere, no RNG state)."""
+    h = np.uint64(2166136261)
+    for ch in ref.encode():
+        h = (h ^ np.uint64(ch)) * np.uint64(16777619) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    idx = np.arange(n, dtype=np.uint64) + h
+    idx = (idx ^ (idx >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
+    idx = idx ^ (idx >> np.uint64(33))
+    return (idx & np.uint64(0xFF)).astype(np.uint8)
+
+
+# --------------------------------------------------------------- codecs
+# Pure-NumPy encoders/decoders for the two container-friendly formats.
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 → binary PPM (P6, maxval 255)."""
+    h, w, c = img.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) → (h, w, 3) uint8. Header = magic, width,
+    height, maxval as whitespace-separated tokens (comments allowed),
+    then one whitespace byte and the raw pixel block."""
+    if not data.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":  # comment to end of line
+            while i < len(data) and data[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        tokens.append(data[i:j])
+        i = j
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    i += 1  # single whitespace after maxval
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=i)
+    return px.reshape(h, w, 3)
+
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """(n,) or (n, ch) int16 → RIFF/WAVE PCM16 bytes."""
+    import struct
+
+    s = np.asarray(samples, dtype="<i2")
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    payload = s.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, ch, rate, rate * ch * 2, ch * 2, 16
+    )
+    body = b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(payload)) + payload
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM16 → ((n_samples, n_channels) int16, rate).
+    Chunk-walking parse — tolerates extra chunks before ``data``."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    i = 12
+    ch = rate = None
+    while i + 8 <= len(data):
+        cid = data[i : i + 4]
+        size = struct.unpack("<I", data[i + 4 : i + 8])[0]
+        if cid == b"fmt ":
+            audio_fmt, ch, rate = struct.unpack("<HHI", data[i + 8 : i + 16])
+            if audio_fmt != 1:
+                raise NotImplementedError("only PCM wav supported")
+        elif cid == b"data":
+            if ch is None:
+                raise ValueError("data chunk before fmt")
+            s = np.frombuffer(data, dtype="<i2", count=size // 2, offset=i + 8)
+            return s.reshape(-1, ch), rate
+        i += 8 + size + (size & 1)
+    raise ValueError("no data chunk")
+
+
+def decode_real(media_kind: str, data: bytes | None = None):
+    """Real decode for the supported formats; raises NotImplementedError
+    naming the needed dependency for formats this container can't
+    handle without codec libraries."""
+    if media_kind == "image/ppm":
+        return decode_ppm(data)
+    if media_kind == "audio/wav":
+        return decode_wav_pcm16(data)[0]
     raise NotImplementedError(
         f"real decode for {media_kind!r} needs an image/audio codec "
         "library (e.g. Pillow / torchaudio) that is not installed; "
-        "use decode_stub for the plumbing path"
+        "use payload='ppm'/'wav' media or decode_stub for plumbing"
     )
 
 
@@ -96,3 +243,49 @@ def extract_features(media: DataFrame, batch_hint: int = 10_000) -> DataFrame:
             )
 
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channel_means", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_features_decoded(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode + feature extraction: PPM images →
+    (width, height, per-channel mean); WAV audio → (n_samples, 1,
+    per-channel mean amplitude). The decode step is the pure-NumPy
+    codec — no stub in this path."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, means = [], [], []
+            for blob, kind in zip(pdf["media_bytes"], pdf["media_kind"]):
+                if kind == "image/ppm":
+                    img = decode_ppm(bytes(blob))
+                    heights.append(img.shape[0])
+                    widths.append(img.shape[1])
+                    means.append(img.astype(np.float64).mean(axis=(0, 1)).tolist())
+                elif kind == "audio/wav":
+                    s, _ = decode_wav_pcm16(bytes(blob))
+                    heights.append(1)
+                    widths.append(s.shape[0])
+                    means.append(s.astype(np.float64).mean(axis=0).tolist())
+                else:
+                    raise NotImplementedError(kind)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "offset": pdf["offset"].astype("int32"),
+                    "width": pd.array(widths, dtype="int32"),
+                    "height": pd.array(heights, dtype="int32"),
+                    "channel_means": means,
+                }
+            )
+
+    return media.mapInPandas(kernel, DECODED_SCHEMA)

@@ -153,6 +153,7 @@ def knn_join(
     cfg: EngineConfig,
     start_ring: int = 1,
     metric: str = "euclidean",
+    checkpoint: bool = False,
 ) -> DataFrame:
     """k nearest refs per query: (q_id, r_id, dist, rank).
 
@@ -181,14 +182,18 @@ def knn_join(
     backstop; at that point they are few, so the broadcast of the
     pending queries is small.
 
-    Cache discipline: the per-round top-k is persisted for the round
-    only (the driver actions and the done-rows checkpoint both read it
-    once), each round's done rows are locally checkpointed (they are
-    final output rows — without this the final materialization would
-    re-execute every round's shuffle join), and every intermediate is
-    unpersisted before return, so repeated callers (Borůvka escalation
-    rounds) do not accumulate cached partitions.
+    Cache discipline (see ``plans.cache``): with ``checkpoint=True``
+    (iterative callers) each round's done rows are locally
+    checkpointed and every intermediate is unpersisted before return,
+    so repeated calls never accumulate cached partitions. With the
+    default ``checkpoint=False`` (one-shot callers) the per-round
+    top-k stays persisted and the output reads it directly — the
+    round's pending-count action is the materialization, and the
+    caller's single action is a cache read; the persisted handles ride
+    on the returned DataFrame for ``plans.cache.release``.
     """
+    from ffcl_spark.plans.cache import carry
+
     w = Window.partitionBy("q_id").orderBy("dist", "r_id")
 
     r = _tag(refs, "r").withColumn("cell", C.cell_id(F.col("r_x"), F.col("r_y"), cfg))
@@ -198,6 +203,7 @@ def knn_join(
         "q_cell", C.cell_id(F.col("q_x"), F.col("q_y"), cfg)
     )
     done_parts: list[DataFrame] = []
+    retained: list[DataFrame] = []  # persisted topk per round (checkpoint=False)
     survivors: DataFrame | None = None  # carried top-k candidates of pending queries
     ring_lo = 0
     ring_hi = start_ring
@@ -237,20 +243,23 @@ def knn_join(
         done_q = per_q.where(
             F.lit(covers_all) | ((F.col("n_cand") >= k) & (F.col("kth") < gr))
         ).select("q_id")
-        # done rows are final output — checkpoint them (reads the cached
-        # topk once) so the final union never re-executes round joins
-        done_parts.append(
-            topk.join(done_q, "q_id")
-            .select("q_id", "r_id", "dist", "rank")
-            .localCheckpoint()
-        )
+        done = topk.join(done_q, "q_id").select("q_id", "r_id", "dist", "rank")
+        if checkpoint:
+            # done rows are final output — checkpoint them (reads the
+            # cached topk once) so the final union never re-executes
+            # round joins after topk unpersists
+            done = done.localCheckpoint()
+        done_parts.append(done)
         # pending from the QUERY set, not the candidate set — a query
         # with zero candidates this round must stay pending
         pend_q = pending.join(done_q, "q_id", "left_anti").persist()
-        n_pend = pend_q.count()
+        if not checkpoint:
+            retained.append(topk)
+        n_pend = pend_q.count()  # materializes topk into its cache
         if n_pend == 0:
             pend_q.unpersist()
-            topk.unpersist()
+            if checkpoint:
+                topk.unpersist()
             pending = None
             break
         survivors = topk.join(pend_q.select("q_id"), "q_id").select(
@@ -258,7 +267,8 @@ def knn_join(
         ).localCheckpoint()
         pending = pend_q.select("q_id", "q_x", "q_y", "q_cell").localCheckpoint()
         pend_q.unpersist()
-        topk.unpersist()
+        if checkpoint:
+            topk.unpersist()
         ring_lo = ring_hi + 1
         ring_hi = min(max_ring, ring_hi * 2)  # geometric expansion
 
@@ -279,17 +289,22 @@ def knn_join(
     out = done_parts[0]
     for p in done_parts[1:]:
         out = out.unionByName(p)
-    return out
+    return out if checkpoint else carry(out, *retained)
 
 
-def core_distances(points: DataFrame, k: int, cfg: EngineConfig) -> DataFrame:
+def core_distances(
+    points: DataFrame, k: int, cfg: EngineConfig, checkpoint: bool = False
+) -> DataFrame:
     """(id, core_distance): distance to the k-th NN, self counted —
     reference ``CoreDistances.hpp:39-54``. The self-pair contributes
     distance 0, so this is the max distance of the self-kNN(k) set."""
-    nn = knn_join(points, points, k, cfg)
-    return nn.groupBy("q_id").agg(F.max("dist").alias("core_distance")).select(
+    from ffcl_spark.plans.cache import carry
+
+    nn = knn_join(points, points, k, cfg, checkpoint=checkpoint)
+    out = nn.groupBy("q_id").agg(F.max("dist").alias("core_distance")).select(
         F.col("q_id").alias("id"), "core_distance"
     )
+    return out if checkpoint else carry(out, nn)
 
 
 def mutual_reachability(
@@ -326,6 +341,12 @@ def knn_with_memory(
     return knn_join_grid(queries, pruned, k, cfg)
 
 
+def _carry_through(out: DataFrame, src: DataFrame) -> DataFrame:
+    from ffcl_spark.plans.cache import carry
+
+    return carry(out, src)
+
+
 def closest_pair(
     queries: DataFrame,
     refs: DataFrame,
@@ -355,7 +376,8 @@ def closest_pair(
     max_dup = (
         refs.groupBy("x", "y").count().agg(F.max("count")).first()[0] or 1
     )
-    nn = knn_join_grid(queries, refs, k + int(max_dup), cfg).where(F.col("dist") > 0)
+    raw = knn_join_grid(queries, refs, k + int(max_dup), cfg)
+    nn = raw.where(F.col("dist") > 0)
     out = (
         nn.orderBy("dist", "q_id", "r_id")
         .limit(k)
@@ -364,6 +386,6 @@ def closest_pair(
         )
     )
     if k == 1:
-        return out
+        return _carry_through(out, raw)
     w = Window.orderBy("dist", "src", "dst")
-    return out.withColumn("rank", F.row_number().over(w).cast("int"))
+    return _carry_through(out.withColumn("rank", F.row_number().over(w).cast("int")), raw)

@@ -244,6 +244,112 @@ def _knn_nd_local_refs(
 LOCAL_REFS_LIMIT = 100_000
 
 
+def knn_join_nd_blocked(
+    queries: DataFrame,
+    refs: DataFrame,
+    k: int,
+    vec_col: str = "features",
+    metric: str = "euclidean",
+    ref_block_rows: int = 20_000,
+    query_block_rows: int = 8_192,
+    chunk: int = 512,
+) -> DataFrame:
+    """Exact n-D kNN join with NO index assumption — the high-
+    dimension scale path past the closure limit, where the projected-
+    2-axis grid prune admits nearly everything (curse of
+    dimensionality) and ring expansion degenerates to iterated
+    near-brute rounds with window shuffles.
+
+    Plan (one shuffle + one scalar merge, reference contract
+    ``KDTree.hpp:137`` — exact any-d):
+    - refs hash into ⌈nr/ref_block_rows⌉ blocks, queries into
+      ⌈nq/query_block_rows⌉ blocks; each (query-block × ref-block)
+      pair cogroups into one Arrow task (queries replicated B times,
+      refs QB times — the inherent cost of exact blocked brute);
+    - per pair, a fold-order NumPy block scan (bit-equal distances to
+      the SQL fold) emits the block-local top-k with the exact
+      (dist, id) tie-break;
+    - the global merge is ONE window over (q_id, dist, r_id) on
+      scalar rows (≤ B·k candidates per query — arrays never ride the
+      second shuffle). Every global top-k element is in its own
+      block's top-k under the same order, so the merge is exact.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ffcl_spark.kernels.neighbors import pairwise_fold_nd, topk_rows
+
+    nq = queries.count()
+    nr = refs.count()
+    n_rb = max(1, math.ceil(nr / ref_block_rows))
+    n_qb = max(1, math.ceil(nq / query_block_rows))
+
+    q = (
+        queries.select(
+            F.col("id").alias("q_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.pmod(F.xxhash64("id"), F.lit(n_qb)).alias("qb"),
+        )
+        .withColumn("rb", F.explode(F.sequence(F.lit(0), F.lit(n_rb - 1))))
+        .select("q_id", "v", (F.col("qb") * n_rb + F.col("rb")).alias("blk"))
+    )
+    r = (
+        refs.select(
+            F.col("id").alias("r_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.pmod(F.xxhash64("id"), F.lit(n_rb)).alias("rb"),
+        )
+        .withColumn("qb", F.explode(F.sequence(F.lit(0), F.lit(n_qb - 1))))
+        .select("r_id", "v", (F.col("qb") * n_rb + F.col("rb")).alias("blk"))
+    )
+
+    id_type = queries.schema["id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", id_type),
+            T.StructField("r_id", refs.schema["id"].dataType),
+            T.StructField("dist", T.DoubleType()),
+        ]
+    )
+
+    def kernel(qpdf: pd.DataFrame, rpdf: pd.DataFrame):
+        if len(qpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"q_id": [], "r_id": [], "dist": []})
+        rmat = np.array(rpdf["v"].tolist(), dtype=np.float64)
+        rids = rpdf["r_id"].to_numpy()
+        order = np.argsort(rids, kind="stable")
+        rmat, rids = rmat[order], rids[order]
+        qmat = np.array(qpdf["v"].tolist(), dtype=np.float64)
+        qids = qpdf["q_id"].to_numpy()
+        kk = min(k, len(rids))
+        outs = []
+        for s in range(0, len(qmat), chunk):
+            e = min(s + chunk, len(qmat))
+            d = pairwise_fold_nd(qmat[s:e], rmat, metric)
+            part, dd = topk_rows(d, kk)
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "q_id": np.repeat(qids[s:e], kk),
+                        "r_id": rids[part.ravel()],
+                        "dist": dd.ravel(),
+                    }
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    cands = q.groupBy("blk").cogroup(r.groupBy("blk")).applyInPandas(kernel, out_schema)
+    w = Window.partitionBy("q_id").orderBy("dist", "r_id")
+    return (
+        cands.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "r_id", "dist", F.col("rank").cast("int").alias("rank"))
+    )
+
+
 def knn_join_nd(
     queries: DataFrame,
     refs: DataFrame,
@@ -254,6 +360,8 @@ def knn_join_nd(
     metric: str = "euclidean",
     start_ring: int = 1,
     local_refs_limit: int = LOCAL_REFS_LIMIT,
+    checkpoint: bool = False,
+    plan: str = "auto",
 ) -> DataFrame:
     """Exact n-D kNN join (q_id, r_id, dist, rank) — FFCL result-set
     semantics (k smallest full-metric distances, ties by r_id, self
@@ -263,14 +371,28 @@ def knn_join_nd(
     - refs ≤ ``local_refs_limit``: closure-shipped refs, one narrow
       pass over queries (``_knn_nd_local_refs``) — the reference's own
       single-node regime, no shuffle;
-    - larger refs: iterative ring expansion on the projected grid; the
-      guaranteed-covered radius of the searched projection region is a
-      valid full-metric termination bound (see module docstring).
-      Arrays are dropped the moment the distance is computed — every
-      window/aggregation and all survivor state is (id, id, dist) +
-      two projected scalars."""
-    if local_refs_limit and refs.count() <= local_refs_limit:
+    - larger refs, dims > 4: blocked brute cogroup
+      (``knn_join_nd_blocked``) — in high dimensions the projected-
+      grid prune admits nearly everything, so exact blocking beats
+      iterated ring rounds;
+    - larger refs, low dims: iterative ring expansion on the projected
+      grid; the guaranteed-covered radius of the searched projection
+      region is a valid full-metric termination bound (see module
+      docstring). Arrays are dropped the moment the distance is
+      computed — every window/aggregation and all survivor state is
+      (id, id, dist) + two projected scalars."""
+    from ffcl_spark.plans.cache import carry
+
+    if plan == "auto":
+        if local_refs_limit and refs.count() <= local_refs_limit:
+            plan = "local"
+        else:
+            first = refs.select(vec_col).first()
+            plan = "blocked" if first is not None and len(first[0]) > 4 else "ring"
+    if plan == "local":
         return _knn_nd_local_refs(queries, refs, k, vec_col, metric)
+    if plan == "blocked":
+        return knn_join_nd_blocked(queries, refs, k, vec_col, metric)
     a0, a1 = axes
     w = Window.partitionBy("q_id").orderBy("dist", "r_id")
 
@@ -284,6 +406,7 @@ def knn_join_nd(
         "q_cell", C.cell_id(F.col("q_px"), F.col("q_py"), cfg)
     )
     done_parts: list[DataFrame] = []
+    retained: list[DataFrame] = []  # persisted topk per round (checkpoint=False)
     survivors: DataFrame | None = None
     ring_lo = 0
     ring_hi = start_ring
@@ -324,16 +447,18 @@ def knn_join_nd(
         done_q = per_q.where(
             F.lit(covers_all) | ((F.col("n_cand") >= k) & (F.col("kth") < gr))
         ).select("q_id")
-        done_parts.append(
-            topk.join(done_q, "q_id")
-            .select("q_id", "r_id", "dist", "rank")
-            .localCheckpoint()
-        )
+        done = topk.join(done_q, "q_id").select("q_id", "r_id", "dist", "rank")
+        if checkpoint:
+            done = done.localCheckpoint()
+        done_parts.append(done)
         pend_q = pending.join(done_q, "q_id", "left_anti").persist()
+        if not checkpoint:
+            retained.append(topk)
         n_pend = pend_q.count()
         if n_pend == 0:
             pend_q.unpersist()
-            topk.unpersist()
+            if checkpoint:
+                topk.unpersist()
             pending = None
             break
         survivors = topk.join(pend_q.select("q_id"), "q_id").select(
@@ -343,7 +468,8 @@ def knn_join_nd(
             "q_id", "q_vec", "q_px", "q_py", "q_cell"
         ).localCheckpoint()
         pend_q.unpersist()
-        topk.unpersist()
+        if checkpoint:
+            topk.unpersist()
         ring_lo = ring_hi + 1
         ring_hi = min(max_ring, ring_hi * 2)
 
@@ -362,7 +488,7 @@ def knn_join_nd(
     out = done_parts[0]
     for p in done_parts[1:]:
         out = out.unionByName(p)
-    return out
+    return out if checkpoint else carry(out, *retained)
 
 
 def core_distances_nd(
@@ -372,10 +498,14 @@ def core_distances_nd(
     vec_col: str = "features",
     axes: tuple[int, int] = (0, 1),
     metric: str = "euclidean",
+    checkpoint: bool = False,
 ) -> DataFrame:
     """(id, core_distance) — n-D form of ``CoreDistances.hpp:39-54``
     (k-th NN distance, self counted)."""
-    nn = knn_join_nd(points, points, k, cfg, vec_col, axes, metric)
-    return nn.groupBy("q_id").agg(F.max("dist").alias("core_distance")).select(
+    from ffcl_spark.plans.cache import carry
+
+    nn = knn_join_nd(points, points, k, cfg, vec_col, axes, metric, checkpoint=checkpoint)
+    out = nn.groupBy("q_id").agg(F.max("dist").alias("core_distance")).select(
         F.col("q_id").alias("id"), "core_distance"
     )
+    return out if checkpoint else carry(out, nn)

@@ -55,9 +55,11 @@ def _edge_key(edges):
 
 
 def test_mst_matches_prim(spark):
+    from ffcl_spark.operators.boruvka import mst_edges_local
+
     pdf = points_pdf("blobs", 150)
     df = spark.createDataFrame(pdf)
-    got = minimum_spanning_tree(df, EngineConfig(resolution=3))
+    got = mst_edges_local(minimum_spanning_tree(df, EngineConfig(resolution=3)))
     exp = prim_mst(pdf[["x", "y"]].to_numpy())
     assert len(got) == len(pdf) - 1
     assert _edge_key(got) == _edge_key(exp)
@@ -65,13 +67,62 @@ def test_mst_matches_prim(spark):
 
 
 def test_mst_mutual_reachability_matches_prim(spark):
+    from ffcl_spark.operators.boruvka import mst_edges_local
+
     pdf = points_pdf("noisy_moons", 120)
     df = spark.createDataFrame(pdf)
     k = 4
-    got = minimum_spanning_tree(df, EngineConfig(resolution=3), core_k=k)
+    got = mst_edges_local(minimum_spanning_tree(df, EngineConfig(resolution=3), core_k=k))
     m = mreach_matrix(pdf[["x", "y"]].to_numpy(), k)
     exp = prim_mst(pdf[["x", "y"]].to_numpy(), weights=m)
     assert abs(sum(w for *_, w in got) - sum(w for *_, w in exp)) < 1e-9
+
+
+def test_mst_distributed_merge_matches_prim(spark):
+    """driver_cutoff=0 forces EVERY round merge through the
+    DataFrame-side pointer-doubling path (no driver union-find, no
+    O(n) collect) — must produce the identical MST."""
+    from ffcl_spark.operators.boruvka import mst_edges_local
+
+    pdf = points_pdf("blobs", 150)
+    df = spark.createDataFrame(pdf)
+    got = mst_edges_local(
+        minimum_spanning_tree(df, EngineConfig(resolution=3), driver_cutoff=0)
+    )
+    exp = prim_mst(pdf[["x", "y"]].to_numpy())
+    assert len(got) == len(pdf) - 1
+    assert _edge_key(got) == _edge_key(exp)
+    assert abs(sum(w for *_, w in got) - sum(w for *_, w in exp)) < 1e-9
+
+
+def test_mst_distributed_merge_mreach_and_ties(spark):
+    """Distributed merge under mutual reachability AND on a tie-heavy
+    lattice (grid_exact: massive equal-weight edges — the weight
+    multiset is the MST invariant)."""
+    import numpy as np
+
+    from ffcl_spark.operators.boruvka import mst_edges_local
+
+    k = 4
+    pdf = points_pdf("noisy_moons", 120)
+    df = spark.createDataFrame(pdf)
+    got = mst_edges_local(
+        minimum_spanning_tree(df, EngineConfig(resolution=3), core_k=k, driver_cutoff=0)
+    )
+    m = mreach_matrix(pdf[["x", "y"]].to_numpy(), k)
+    exp = prim_mst(pdf[["x", "y"]].to_numpy(), weights=m)
+    assert abs(sum(w for *_, w in got) - sum(w for *_, w in exp)) < 1e-9
+
+    lat = points_pdf("grid_exact", 225)
+    dfl = spark.createDataFrame(lat)
+    gl = mst_edges_local(
+        minimum_spanning_tree(dfl, EngineConfig(resolution=3), driver_cutoff=0)
+    )
+    el = prim_mst(lat[["x", "y"]].to_numpy())
+    assert len(gl) == len(lat) - 1
+    assert np.allclose(
+        sorted(w for *_, w in gl), sorted(w for *_, w in el), atol=0
+    )
 
 
 def test_single_linkage_cut_equals_dbscan_m0(spark):
@@ -213,3 +264,24 @@ def test_hamerly_convergence_break_labels_consistent(blobs):
         a = lab_l.toPandas().sort_values("id").reset_index(drop=True)
         b = lab_h.toPandas().sort_values("id").reset_index(drop=True)
         assert (a["label"].to_numpy() == b["label"].to_numpy()).all()
+
+
+def test_hierarchy_chain_50k_no_blowup():
+    """50k-point chain MST (degenerate caterpillar dendrogram): the
+    index-range dendrogram + iterative walks must handle it without
+    the O(n·depth) member-tuple memory or recursion-limit failures."""
+    import time
+
+    n = 50_000
+    ids = list(range(n))
+    edges = [(i, i + 1, 1.0 + i * 1e-6) for i in range(n - 1)]
+    t0 = time.time()
+    root = single_linkage_tree(ids, edges)
+    assert root.size == n
+    labs = cut_tree(root, 1.0 + (n // 2) * 1e-6, min_cluster_size=5)
+    assert len(labs) == n
+    # the cut keeps the fully-merged prefix as one cluster
+    assert labs[0] == 0
+    hl = hdbscan_labels(ids, edges, min_cluster_size=10)
+    assert len(hl) == n
+    assert time.time() - t0 < 60

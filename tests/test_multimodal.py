@@ -31,3 +31,60 @@ def test_media_binary_schema(spark):
     kinds = dict(media.dtypes)
     assert kinds["media_bytes"] == "binary"
     assert media.count() == 50  # one media span per… two per doc of 25 docs
+
+
+def test_ppm_codec_roundtrip():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    data = MM.encode_ppm(img)
+    back = MM.decode_ppm(data)
+    assert np.array_equal(back, img)
+    # comment-tolerant header parse
+    data2 = b"P6\n# a comment\n7 5\n255\n" + img.tobytes()
+    assert np.array_equal(MM.decode_ppm(data2), img)
+
+
+def test_wav_codec_roundtrip():
+    rng = np.random.default_rng(4)
+    mono = rng.integers(-32768, 32767, size=200, dtype=np.int16)
+    s, rate = MM.decode_wav_pcm16(MM.encode_wav_pcm16(mono, rate=16000))
+    assert rate == 16000
+    assert np.array_equal(s[:, 0], mono)
+    stereo = rng.integers(-32768, 32767, size=(100, 2), dtype=np.int16)
+    s2, _ = MM.decode_wav_pcm16(MM.encode_wav_pcm16(stereo))
+    assert np.array_equal(s2, stereo)
+
+
+def test_decode_real_dispatch_and_unsupported():
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    assert MM.decode_real("image/ppm", MM.encode_ppm(img)).shape == (2, 2, 3)
+    wav = MM.encode_wav_pcm16(np.ones(8, dtype=np.int16))
+    assert MM.decode_real("audio/wav", wav).shape == (8, 1)
+    with pytest.raises(NotImplementedError, match="codec"):
+        MM.decode_real("image/png")
+
+
+def test_real_decode_path_end_to_end(spark):
+    """media_binary(payload='ppm'/'wav') produces REAL container bytes;
+    extract_features_decoded runs the pure-NumPy codec in the Arrow
+    kernel and must match a local decode of the same payloads."""
+    docs = docs_from_points(spark, "blobs", 60)
+    for payload, w, h in (("ppm", 8, 6), ("wav", 128, 1)):
+        media = MM.media_binary(docs, payload=payload)
+        local = media.toPandas()
+        got = (
+            MM.extract_features_decoded(media)
+            .toPandas()
+            .set_index(["doc_id", "offset"])
+        )
+        assert len(got) == len(local) > 0
+        for r in local.itertuples():
+            row = got.loc[(r.doc_id, r.offset)]
+            assert (row.width, row.height) == (w, h)
+            if payload == "ppm":
+                img = MM.decode_ppm(bytes(r.media_bytes))
+                exp = img.astype(np.float64).mean(axis=(0, 1))
+            else:
+                s, _ = MM.decode_wav_pcm16(bytes(r.media_bytes))
+                exp = s.astype(np.float64).mean(axis=0)
+            assert np.allclose(row.channel_means, exp, rtol=0, atol=0)

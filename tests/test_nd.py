@@ -52,13 +52,13 @@ def _oracle_knn(mat, ids, k, metric="euclidean"):
 
 
 @pytest.mark.parametrize("metric", ["euclidean", "manhattan"])
-@pytest.mark.parametrize("local_limit", [100_000, 0])
-def test_knn_nd_matches_oracle_bitwise(nd_points, nd_cfg, metric, local_limit):
-    # local_limit=0 forces the ring-expansion path; the default takes
-    # the closure-shipped-refs path — both must match the oracle bitwise
+@pytest.mark.parametrize("plan", ["local", "ring", "blocked"])
+def test_knn_nd_matches_oracle_bitwise(nd_points, nd_cfg, metric, plan):
+    # all three physical plans (closure-shipped refs, ring expansion,
+    # blocked brute) must match the oracle bitwise
     df, ids, mat = nd_points
     sdf = (
-        SN.knn_join_nd(df, df, 4, nd_cfg, metric=metric, local_refs_limit=local_limit)
+        SN.knn_join_nd(df, df, 4, nd_cfg, metric=metric, plan=plan)
         .toPandas()
         .sort_values(["q_id", "rank"])
         .reset_index(drop=True)
@@ -126,10 +126,10 @@ def test_box_search_nd(nd_points):
 
 
 def test_mst_nd_matches_prim(nd_points, nd_cfg):
-    from ffcl_spark.operators.boruvka import minimum_spanning_tree
+    from ffcl_spark.operators.boruvka import minimum_spanning_tree, mst_edges_local
 
     df, ids, mat = nd_points
-    edges = minimum_spanning_tree(df, nd_cfg, features_col="features")
+    edges = mst_edges_local(minimum_spanning_tree(df, nd_cfg, features_col="features"))
     exp = prim_mst(mat, ids)
     assert len(edges) == len(exp) == N - 1
     # identical total weight and identical edge set under (min,max) id
@@ -142,12 +142,34 @@ def test_mst_nd_matches_prim(nd_points, nd_cfg):
 
 
 def test_mst_nd_mreach_matches_prim(nd_points, nd_cfg):
-    from ffcl_spark.operators.boruvka import minimum_spanning_tree
+    from ffcl_spark.operators.boruvka import minimum_spanning_tree, mst_edges_local
 
     df, ids, mat = nd_points
-    edges = minimum_spanning_tree(df, nd_cfg, core_k=4, features_col="features")
+    edges = mst_edges_local(
+        minimum_spanning_tree(df, nd_cfg, core_k=4, features_col="features")
+    )
     exp = prim_mst(mat, ids, core_k=4)
     assert abs(sum(e[2] for e in edges) - sum(e[2] for e in exp)) < 1e-12
+
+
+def test_knn_nd_blocked_matches_oracle(nd_points, nd_cfg):
+    """Blocked brute cogroup (high-d scale path) == brute oracle,
+    bitwise, forced onto multiple query/ref blocks — including the
+    dyadic fixture's exact distance ties across block boundaries."""
+    import ffcl_spark.operators.search_nd as SN
+    from ffcl_spark.kernels import neighbors as NK
+
+    df, ids, mat = nd_points
+    k = 4
+    got = SN.knn_join_nd_blocked(
+        df, df, k, ref_block_rows=64, query_block_rows=32, chunk=16
+    ).toPandas()
+    qi, ni, dd = NK.knn_nd(mat, mat, ids, k)
+    exp = {(ids[q], n, d) for q, n, d in zip(qi, ni, dd)}
+    assert set(zip(got.q_id, got.r_id, got.dist)) == exp
+    # auto-routing: >4 dims past the closure limit goes blocked
+    auto = SN.knn_join_nd(df, df, k, nd_cfg, local_refs_limit=1, plan="auto").toPandas()
+    assert set(zip(auto.q_id, auto.r_id, auto.dist)) == exp
 
 
 def test_dbscan_nd_matches_brute(nd_points, nd_cfg):
