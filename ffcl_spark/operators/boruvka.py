@@ -168,8 +168,12 @@ def minimum_spanning_tree(
     driver_edges: list[tuple] = []  # driver-round edges
     base_nn = None  # k0-NN lists, shared across rounds
 
+    # tiny inputs (e.g. distributed-plan gates): all-pairs lists cost
+    # n² ≤ 64k rows once and remove every escalation pass — strictly
+    # cheaper than 2+ extra kNN rounds of per-job latency
+    k_base = n if n <= 256 else min(k0, n)
     while n_comp > 1:
-        k = min(k0, n)
+        k = k_base
         pend = pts
         best_df: DataFrame | None = None  # (q_comp, e{w, a, b, ca, cb})
         first_pass = True
