@@ -127,6 +127,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_cell_stats(spark, sf):
         return cell_stats(_doc_points(spark, sf), CFG)
 
+    def q_index_tree(spark, sf):
+        # hierarchical index snapshot — the kd-tree-serialization
+        # analogue (KDTree.hpp:384-464): one row per node at every
+        # depth with parent link, tight bound, count, and the
+        # MaximumSpread cut axis
+        from ffcl_spark.sources.points import index_tree
+
+        return index_tree(_doc_points(spark, sf), CFG)
+
     def q_box_search(spark, sf):
         return S.box_search(_doc_points(spark, sf), *BOX).select("id", "x", "y")
 
@@ -589,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pip_tiles": q_pip_tiles,
         "kmedoids_cells": q_kmedoids_cells,
         "cell_stats": q_cell_stats,
+        "index_tree": q_index_tree,
         "feature_stats": q_feature_stats,
         "core_distance": q_core_distance,
         "multimodal_meta": q_multimodal_meta,
@@ -753,6 +763,25 @@ SELECT {cell} AS cell, count(*) AS n,
        min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
 FROM pts GROUP BY 1
 """
+
+    tree_parts = []
+    for d in range(RES + 1):
+        grid = 1 << d
+        cs = 60.0 / grid
+        base = d * (1 << 52)
+        ixe = f"greatest(0, least({grid - 1}, CAST(floor((x - (-30.0)) / {cs}) AS BIGINT)))"
+        iye = f"greatest(0, least({grid - 1}, CAST(floor((y - (-30.0)) / {cs}) AS BIGINT)))"
+        par = (
+            "CAST(-1 AS BIGINT)"
+            if d == 0
+            else f"{(d - 1) * (1 << 52)} + ((cell >> 26) & 67108863) // 2 * 67108864 + (cell & 67108863) // 2"
+        )
+        tree_parts.append(f"""
+SELECT CAST({d} AS INTEGER) AS depth, cell, {par} AS parent_cell,
+  count(*) AS n, min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max,
+  CAST(CASE WHEN max(x) - min(x) >= max(y) - min(y) THEN 0 ELSE 1 END AS INTEGER) AS cut_axis
+FROM (SELECT x, y, {base} + {ixe} * 67108864 + {iye} AS cell FROM pts) GROUP BY cell""")
+    o["index_tree"] = f"WITH {_PTS_DOCS}" + "\nUNION ALL\n".join(tree_parts)
 
     o["box_search"] = f"""
 WITH {_PTS_DOCS}
@@ -992,6 +1021,36 @@ SELECT q_id AS id, max(dist) AS core_distance FROM nn GROUP BY q_id
     o["mst_nd"] = _prim_sql(
         nd_cte, "SELECT * FROM vecs WHERE id % 8 = 0", dist_nd
     )
+
+    # n-D DBSCAN is SQL-expressible exactly like the 2-D gate: strict
+    # core counts over the dyadic-exact n-D distances, min-label
+    # closure over core-core edges, border = min adjacent core label
+    o["dbscan_nd"] = f"""
+WITH RECURSIVE {nd_cte},
+prs AS (
+  SELECT q.id AS q_id, r.id AS r_id
+  FROM vecs q CROSS JOIN vecs r
+  WHERE {dist_nd} < {RADIUS_ND}),
+cores AS (
+  SELECT q_id AS id FROM prs GROUP BY q_id HAVING count(*) > {K}),
+ce AS (
+  SELECT p.q_id AS src, p.r_id AS dst FROM prs p
+  JOIN cores a ON a.id = p.q_id JOIN cores b ON b.id = p.r_id),
+reach(a, b) AS (
+  SELECT id, id FROM cores
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN ce e ON e.src = r.b),
+core_label AS (
+  SELECT a AS id, MIN(b) AS label FROM reach GROUP BY a),
+border AS (
+  SELECT p.q_id AS id, MIN(cl.label) AS label
+  FROM prs p JOIN core_label cl ON cl.id = p.r_id
+  WHERE p.q_id NOT IN (SELECT id FROM cores)
+  GROUP BY p.q_id),
+lab AS (SELECT * FROM core_label UNION ALL SELECT * FROM border)
+SELECT vecs.id, COALESCE(l.label, 0) AS label, l.label IS NULL AS is_noise
+FROM vecs LEFT JOIN lab l ON l.id = vecs.id
+"""
 
     box_pred = " AND ".join(
         f"f{j} BETWEEN {BOX_ND[0]} AND {BOX_ND[1]}" for j in range(DIMS_ND)

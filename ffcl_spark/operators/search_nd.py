@@ -253,6 +253,7 @@ def knn_join_nd_blocked(
     ref_block_rows: int = 20_000,
     query_block_rows: int = 8_192,
     chunk: int = 512,
+    precise: bool = True,
 ) -> DataFrame:
     """Exact n-D kNN join with NO index assumption — the high-
     dimension scale path past the closure limit, where the projected-
@@ -273,6 +274,13 @@ def knn_join_nd_blocked(
       scalar rows (≤ B·k candidates per query — arrays never ride the
       second shuffle). Every global top-k element is in its own
       block's top-k under the same order, so the merge is exact.
+
+    ``precise=True`` (default) computes distances in the engine's
+    left-fold IEEE order — bit-equal to the SQL fold, required when
+    distance VALUES are compared downstream. ``precise=False`` uses
+    the BLAS |q|²+|r|²−2q·r form (one dgemm per block — several times
+    faster, the euclidean throughput path): the same exact neighbor
+    sets, with distance values differing only in rounding order.
     """
     import math
 
@@ -280,7 +288,10 @@ def knn_join_nd_blocked(
     import pandas as pd
     from pyspark.sql import types as T
 
-    from ffcl_spark.kernels.neighbors import pairwise_fold_nd, topk_rows
+    from ffcl_spark.kernels.neighbors import pairwise_fold_nd, pairwise_sq, topk_rows
+
+    if metric != "euclidean":
+        precise = True  # BLAS form is euclidean-only
 
     nq = queries.count()
     nr = refs.count()
@@ -328,7 +339,10 @@ def knn_join_nd_blocked(
         outs = []
         for s in range(0, len(qmat), chunk):
             e = min(s + chunk, len(qmat))
-            d = pairwise_fold_nd(qmat[s:e], rmat, metric)
+            if precise:
+                d = pairwise_fold_nd(qmat[s:e], rmat, metric)
+            else:
+                d = np.sqrt(pairwise_sq(qmat[s:e], rmat))
             part, dd = topk_rows(d, kk)
             outs.append(
                 pd.DataFrame(

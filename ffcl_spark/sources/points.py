@@ -59,3 +59,110 @@ def cell_stats(points: DataFrame, cfg: EngineConfig) -> DataFrame:
         F.min("y").alias("y_min"),
         F.max("y").alias("y_max"),
     )
+
+
+def index_tree(points: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """Hierarchical index snapshot — the engine analogue of the
+    reference's recursive kd-tree serialization (``KDTree.hpp:384-464``
+    emits per-node options, cut axis, bounds, points): one row per
+    NODE, i.e. per occupied grid cell at every depth 0..cfg.resolution,
+    with (depth, cell, parent_cell, n, tight bbox, cut_axis).
+
+    - built from ONE leaf-level aggregation over the points, then
+      depth-by-depth rollups over CELL rows (sum counts, min/max
+      bounds) — points are scanned once, every level above costs
+      O(occupied cells);
+    - ``cut_axis`` is the MaximumSpread axis-selection policy
+      (``AxisSelectionPolicy.hpp``) evaluated on the node's tight
+      bound: 0 (x) when the x-extent ≥ y-extent, else 1 — the axis the
+      reference's kd-tree would cut at this node;
+    - parent linkage is the bit-shift relation of the packed cell id
+      (child ix >> 1 = parent ix), so the tree is reconstructable from
+      the flat rows; ``plans.checkpoint`` can persist it as the index
+      metadata table, and a dendrogram-sized top can be exported to
+      nested JSON driver-side.
+    """
+    leaf = cell_stats(points, cfg).withColumn(
+        "depth", F.lit(cfg.resolution)
+    )
+    levels = [leaf]
+    cur = leaf
+    for d in range(cfg.resolution - 1, -1, -1):
+        pcell = (
+            F.lit(d).cast("long") * F.lit(1 << C.RES_SHIFT)
+            + F.shiftright(C.cell_ix(F.col("cell")), 1) * F.lit(C.AXIS_MOD)
+            + F.shiftright(C.cell_iy(F.col("cell")), 1)
+        )
+        cur = (
+            cur.select(
+                pcell.alias("cell"), "n", "x_min", "x_max", "y_min", "y_max"
+            )
+            .groupBy("cell")
+            .agg(
+                F.sum("n").alias("n"),
+                F.min("x_min").alias("x_min"),
+                F.max("x_max").alias("x_max"),
+                F.min("y_min").alias("y_min"),
+                F.max("y_max").alias("y_max"),
+            )
+            .withColumn("depth", F.lit(d))
+        )
+        levels.append(cur)
+    tree = levels[0]
+    for lv in levels[1:]:
+        tree = tree.unionByName(lv)
+    # root sentinel -1, not NULL: a nullable BIGINT column degrades to
+    # float64 in Arrow/pandas consumers, which cannot represent the
+    # 2^52-magnitude packed ids exactly
+    parent = F.when(
+        F.col("depth") > 0,
+        (F.col("depth") - 1).cast("long") * F.lit(1 << C.RES_SHIFT)
+        + F.shiftright(C.cell_ix(F.col("cell")), 1) * F.lit(C.AXIS_MOD)
+        + F.shiftright(C.cell_iy(F.col("cell")), 1),
+    ).otherwise(F.lit(-1).cast("long"))
+    cut = F.when(
+        (F.col("x_max") - F.col("x_min")) >= (F.col("y_max") - F.col("y_min")),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    return tree.select(
+        "depth",
+        "cell",
+        parent.alias("parent_cell"),
+        "n",
+        "x_min",
+        "x_max",
+        "y_min",
+        "y_max",
+        cut.cast("int").alias("cut_axis"),
+    )
+
+
+def tree_to_json(tree_rows: list, max_depth: int | None = None) -> dict:
+    """Driver-side nested-JSON export of an ``index_tree`` snapshot —
+    the recursive form of the reference serialization. ``tree_rows`` =
+    collected Rows (dendrogram-sized top levels only; the flat
+    DataFrame is the scale artifact)."""
+    by_parent: dict = {}
+    nodes: dict = {}
+    for r in tree_rows:
+        if max_depth is not None and r["depth"] > max_depth:
+            continue
+        nodes[r["cell"]] = {
+            "depth": r["depth"],
+            "cell": r["cell"],
+            "n": r["n"],
+            "bound": [r["x_min"], r["y_min"], r["x_max"], r["y_max"]],
+            "cut_axis": r["cut_axis"],
+            "children": [],
+        }
+        by_parent.setdefault(r["parent_cell"], []).append(r["cell"])
+    for pc, kids in by_parent.items():
+        if pc in nodes:
+            nodes[pc]["children"] = sorted(kids)
+    roots = [nodes[c] for c in by_parent.get(-1, [])]
+
+    def attach(node):
+        node["children"] = [attach(dict(nodes[c])) for c in node["children"] if c in nodes]
+        return node
+
+    return {"roots": [attach(dict(r)) for r in sorted(roots, key=lambda n: n["cell"])]}

@@ -87,3 +87,49 @@ def test_parent_cell(spark):
     up = EngineConfig(resolution=3)
     expected = G.cell_id(np.array([10.0]), np.array([-7.0]), up)[0]
     assert parent == expected
+
+
+def test_index_tree_snapshot(spark, cfg, blobs):
+    """Hierarchical index snapshot: leaf level == cell_stats, rollups
+    conserve counts and tighten bounds exactly, parent links follow the
+    bit-shift relation, JSON export reconstructs the hierarchy."""
+    from ffcl_spark.functions.cells import AXIS_MOD, RES_SHIFT
+    from ffcl_spark.sources.points import cell_stats, index_tree, tree_to_json
+
+    df, pdf = blobs
+    tree = index_tree(df, cfg).toPandas()
+    n = len(pdf)
+    depths = sorted(tree.depth.unique())
+    assert depths == list(range(cfg.resolution + 1))
+    for d in depths:
+        assert tree[tree.depth == d]["n"].sum() == n
+    leaf = tree[tree.depth == cfg.resolution].set_index("cell").sort_index()
+    cs = cell_stats(df, cfg).toPandas().set_index("cell").sort_index()
+    assert (leaf["n"] == cs["n"]).all()
+    for c in ("x_min", "x_max", "y_min", "y_max"):
+        assert (leaf[c] == cs[c]).all()
+    # root bound == global tight bound
+    root = tree[tree.depth == 0].iloc[0]
+    assert root.x_min == pdf.x.min() and root.x_max == pdf.x.max()
+    assert root.parent_cell == -1
+    # parent linkage: child (ix, iy) >> 1 under the parent's depth tag
+    kids = tree[tree.depth > 0]
+    ix = (kids.cell.to_numpy() >> 26) & (AXIS_MOD - 1)
+    iy = kids.cell.to_numpy() & (AXIS_MOD - 1)
+    exp_parent = (kids.depth.to_numpy() - 1) * (1 << RES_SHIFT) + (ix // 2) * AXIS_MOD + (iy // 2)
+    assert (kids.parent_cell.to_numpy().astype(np.int64) == exp_parent).all()
+    parents = set(tree.cell)
+    assert set(kids.parent_cell.astype(np.int64)) <= parents
+    # cut axis = MaximumSpread on the tight bound
+    exp_cut = np.where(
+        (tree.x_max - tree.x_min) >= (tree.y_max - tree.y_min), 0, 1
+    )
+    assert (tree.cut_axis.to_numpy() == exp_cut).all()
+    # nested JSON export
+    rows = index_tree(df, cfg).collect()
+    j = tree_to_json(rows)
+    assert len(j["roots"]) == 1
+    def count_nodes(node):
+        return 1 + sum(count_nodes(c) for c in node["children"])
+    assert count_nodes(j["roots"][0]) == len(tree)
+    assert j["roots"][0]["n"] == n

@@ -154,8 +154,8 @@ def test_mst_nd_mreach_matches_prim(nd_points, nd_cfg):
 
 def test_knn_nd_blocked_matches_oracle(nd_points, nd_cfg):
     """Blocked brute cogroup (high-d scale path) == brute oracle,
-    bitwise, forced onto multiple query/ref blocks — including the
-    dyadic fixture's exact distance ties across block boundaries."""
+    bitwise, forced onto multiple query/ref blocks (per-block top-k +
+    segment merge must agree with a single global scan)."""
     import ffcl_spark.operators.search_nd as SN
     from ffcl_spark.kernels import neighbors as NK
 
@@ -332,3 +332,17 @@ def test_radius_nd_hot_cell_salting_exact(spark, nd_cfg):
     assert set(zip(salted.q_id, salted.r_id)) == exp
     assert set(zip(plain.q_id, plain.r_id)) == exp
     assert len(salted) == len(plain) == len(a)
+
+
+def test_knn_nd_blocked_fast_path_same_neighbors(nd_points):
+    """precise=False (BLAS throughput path) must return the same
+    neighbor id sets per query as the fold path; on the dyadic
+    fixture both distance forms are exact, so rows match fully."""
+    import ffcl_spark.operators.search_nd as SN
+
+    df, ids, mat = nd_points
+    k = 4
+    a = SN.knn_join_nd_blocked(df, df, k, ref_block_rows=64).toPandas()
+    b = SN.knn_join_nd_blocked(df, df, k, ref_block_rows=64, precise=False).toPandas()
+    key = lambda p: set(zip(p.q_id, p.r_id, p["rank"]))
+    assert key(a) == key(b)
