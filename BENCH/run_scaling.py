@@ -108,8 +108,17 @@ def main() -> None:
         f"Generated {time.strftime('%Y-%m-%d %H:%M:%SZ', time.gmtime())}.",
     ]
     path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # preserve the hand-written analysis sections ("## ..." onward —
+    # variance protocol, round notes, calibration) across regeneration
+    preserved = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            old = f.read()
+        i = old.find("\n## ")
+        if i >= 0:
+            preserved = old[i:]
     with open(path, "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + preserved)
     print(f"wrote {path}: efficiency={eff:.2f}")
 
 
