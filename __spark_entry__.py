@@ -289,6 +289,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pts = _nd_points(spark, sf)
         return radius_join_nd(pts, pts, RADIUS_ND, CFG_ND)
 
+    def q_radius_nd_blocked(spark, sf):
+        # high-d exact radius join via the blocked brute cogroup —
+        # identical result as radius_nd from a grid-free plan, forced
+        # onto multiple blocks; same oracle
+        from ffcl_spark.operators.search_nd import radius_join_nd_blocked
+
+        pts = _nd_points(spark, sf)
+        return radius_join_nd_blocked(
+            pts, pts, RADIUS_ND, ref_block_rows=128, query_block_rows=64
+        )
+
     def q_core_distance_nd(spark, sf):
         from ffcl_spark.operators.search_nd import core_distances_nd
 
@@ -515,6 +526,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return feature_stats(_doc_points(spark, sf), CFG)
 
+    def q_feature_stats_exact(spark, sf):
+        # fixed-point integer-sum form: order-free exact sums + one
+        # float division per stat → oracle-exact at any parallelism
+        from ffcl_spark.operators.stats import feature_stats_exact
+
+        return feature_stats_exact(_doc_points(spark, sf), CFG)
+
     def q_silhouette(spark, sf):
         from ffcl_spark.operators.stats import silhouette_samples
 
@@ -590,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_embed_blocked": q_knn_embed_blocked,
         "hdbscan": q_hdbscan,
         "radius_nd": q_radius_nd,
+        "radius_nd_blocked": q_radius_nd_blocked,
         "hdbscan_nd": q_hdbscan_nd,
         "minhash_sigs": q_minhash_sigs,
         "vectorize": q_vectorize,
@@ -600,6 +619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cell_stats": q_cell_stats,
         "index_tree": q_index_tree,
         "feature_stats": q_feature_stats,
+        "feature_stats_exact": q_feature_stats_exact,
         "core_distance": q_core_distance,
         "multimodal_meta": q_multimodal_meta,
         "kmedoids_two_level": q_kmedoids_two_level,
@@ -1007,6 +1027,29 @@ WITH {nd_cte}
 SELECT q.id AS q_id, r.id AS r_id, {dist_nd} AS dist
 FROM vecs q CROSS JOIN vecs r
 WHERE {dist_nd} < {RADIUS_ND}
+"""
+    o["radius_nd_blocked"] = o["radius_nd"]
+
+    o["feature_stats_exact"] = f"""
+WITH {_PTS_DOCS},
+v AS (SELECT {cell} AS cell,
+        CAST(round(x * 1000, 0) AS BIGINT) AS vx,
+        CAST(round(y * 1000, 0) AS BIGINT) AS vy
+      FROM pts),
+s AS (SELECT cell, sum(vx) AS sx, sum(vy) AS sy,
+             sum(vx * vx) AS sxx, sum(vy * vy) AS syy, count(*) AS n
+      FROM v GROUP BY cell)
+SELECT cell,
+  CAST(sx AS DOUBLE) / n / 1000 AS mean_x,
+  CAST(sy AS DOUBLE) / n / 1000 AS mean_y,
+  CASE WHEN n > 1 THEN
+    CAST(n * sxx - sx * sx AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 1000000.0
+  END AS var_x,
+  CASE WHEN n > 1 THEN
+    CAST(n * syy - sy * sy AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) / 1000000.0
+  END AS var_y,
+  n
+FROM s
 """
 
     o["core_distance_nd"] = f"""

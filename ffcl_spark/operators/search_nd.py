@@ -244,6 +244,86 @@ def _knn_nd_local_refs(
 LOCAL_REFS_LIMIT = 100_000
 
 
+def radius_join_nd_blocked(
+    queries: DataFrame,
+    refs: DataFrame,
+    radius: float,
+    vec_col: str = "features",
+    metric: str = "euclidean",
+    ref_block_rows: int = 20_000,
+    query_block_rows: int = 8_192,
+    chunk: int = 512,
+) -> DataFrame:
+    """Exact n-D radius join (strict ``dist < radius``) with no index
+    assumption — the high-dimension companion of
+    :func:`knn_join_nd_blocked`: at high dims the projected-grid cover
+    of :func:`radius_join_nd` prunes nothing, so the exact plan is the
+    blocked brute cogroup. Same block/replication scheme; the kernel
+    emits only the passing pairs, so output volume is the true result
+    size. No merge stage is needed (radius is per-pair, not per-query
+    ranking)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ffcl_spark.kernels.neighbors import pairwise_fold_nd
+
+    nq = queries.count()
+    nr = refs.count()
+    n_rb = max(1, math.ceil(nr / ref_block_rows))
+    n_qb = max(1, math.ceil(nq / query_block_rows))
+
+    q = (
+        queries.select(
+            F.col("id").alias("q_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.pmod(F.xxhash64("id"), F.lit(n_qb)).alias("qb"),
+        )
+        .withColumn("rb", F.explode(F.sequence(F.lit(0), F.lit(n_rb - 1))))
+        .select("q_id", "v", (F.col("qb") * n_rb + F.col("rb")).alias("blk"))
+    )
+    r = (
+        refs.select(
+            F.col("id").alias("r_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.pmod(F.xxhash64("id"), F.lit(n_rb)).alias("rb"),
+        )
+        .withColumn("qb", F.explode(F.sequence(F.lit(0), F.lit(n_qb - 1))))
+        .select("r_id", "v", (F.col("qb") * n_rb + F.col("rb")).alias("blk"))
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", queries.schema["id"].dataType),
+            T.StructField("r_id", refs.schema["id"].dataType),
+            T.StructField("dist", T.DoubleType()),
+        ]
+    )
+
+    def kernel(qpdf: pd.DataFrame, rpdf: pd.DataFrame):
+        if len(qpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"q_id": [], "r_id": [], "dist": []})
+        rmat = np.array(rpdf["v"].tolist(), dtype=np.float64)
+        rids = rpdf["r_id"].to_numpy()
+        qmat = np.array(qpdf["v"].tolist(), dtype=np.float64)
+        qids = qpdf["q_id"].to_numpy()
+        outs = []
+        for s in range(0, len(qmat), chunk):
+            e = min(s + chunk, len(qmat))
+            d = pairwise_fold_nd(qmat[s:e], rmat, metric)
+            qi, ri = np.nonzero(d < radius)
+            outs.append(
+                pd.DataFrame(
+                    {"q_id": qids[s:e][qi], "r_id": rids[ri], "dist": d[qi, ri]}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
+
+    return q.groupBy("blk").cogroup(r.groupBy("blk")).applyInPandas(kernel, out_schema)
+
+
 def knn_join_nd_blocked(
     queries: DataFrame,
     refs: DataFrame,

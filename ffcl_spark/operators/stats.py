@@ -46,6 +46,63 @@ def feature_stats(points: DataFrame, cfg: EngineConfig | None = None) -> DataFra
     )
 
 
+def feature_stats_exact(
+    points: DataFrame, cfg: EngineConfig | None = None, scale: int = 1000
+) -> DataFrame:
+    """Partitioning-invariant mean/variance per feature via FIXED-POINT
+    integer sums — the reproducibility form of :func:`feature_stats`
+    for coordinates on a known grid (the engine's media coordinates are
+    exact multiples of 1/1000).
+
+    ``v = round(coord·scale)`` is an exact int64; Σv and Σv² are exact
+    int64 sums (order-free), and mean = Σv / n / scale and
+    var = (n·Σv² − (Σv)²) / (n·(n−1)·scale²) are each ONE float
+    division expression — identical bits at any parallelism, any AQE
+    plan, and in any engine evaluating the same expression. Bounds:
+    |v| ≤ scale·domain/2, so Σv² stays inside int64 up to ~10¹⁰ rows at
+    the default grid — past that, aggregate per cell first.
+    """
+    vx = F.round(F.col("x") * scale).cast("long")
+    vy = F.round(F.col("y") * scale).cast("long")
+    aggs = [
+        F.sum(vx).alias("sx"),
+        F.sum(vy).alias("sy"),
+        F.sum(vx * vx).alias("sxx"),
+        F.sum(vy * vy).alias("syy"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    s2 = float(scale * scale)
+    n = F.col("n")
+
+    def _finish(df):
+        return df.select(
+            *([c for c in ("cell",) if c in df.columns]),
+            (F.col("sx").cast("double") / n / scale).alias("mean_x"),
+            (F.col("sy").cast("double") / n / scale).alias("mean_y"),
+            F.when(
+                n > 1,
+                (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+                / (n * (n - 1)).cast("double")
+                / F.lit(s2),
+            ).alias("var_x"),
+            F.when(
+                n > 1,
+                (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+                / (n * (n - 1)).cast("double")
+                / F.lit(s2),
+            ).alias("var_y"),
+            "n",
+        )
+
+    if cfg is None:
+        return _finish(points.agg(*aggs))
+    return _finish(
+        points.withColumn("cell", C.cell_id(F.col("x"), F.col("y"), cfg))
+        .groupBy("cell")
+        .agg(*aggs)
+    )
+
+
 def argmax_variance_axis(points: DataFrame, sampling_rate: float = 0.1, seed: int = 7) -> str:
     """Highest-variance axis on a sample — the reference's default
     axis-selection policy (``AxisSelectionPolicy.hpp:77-109``,

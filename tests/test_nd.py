@@ -346,3 +346,19 @@ def test_knn_nd_blocked_fast_path_same_neighbors(nd_points):
     b = SN.knn_join_nd_blocked(df, df, k, ref_block_rows=64, precise=False).toPandas()
     key = lambda p: set(zip(p.q_id, p.r_id, p["rank"]))
     assert key(a) == key(b)
+
+
+def test_radius_nd_blocked_matches_oracle(nd_points):
+    """Blocked exact radius join == brute oracle (ids and bitwise
+    distances), forced onto multiple blocks."""
+    import ffcl_spark.operators.search_nd as SN
+    from ffcl_spark.kernels import neighbors as NK
+
+    df, ids, mat = nd_points
+    r = 2.5
+    got = SN.radius_join_nd_blocked(
+        df, df, r, ref_block_rows=64, query_block_rows=32, chunk=16
+    ).toPandas()
+    a, b, d = NK.radius_pairs_nd(mat, ids, mat, ids, r)
+    assert len(got) == len(a)
+    assert set(zip(got.q_id, got.r_id, got.dist)) == set(zip(a.tolist(), b.tolist(), d.tolist()))

@@ -53,3 +53,22 @@ def test_silhouette_matches_oracle(spark, blobs):
     assert np.allclose(got.silhouette.to_numpy(), exp, atol=1e-9)
     score = ST.silhouette_score(df, labels)
     assert abs(score - exp.mean()) < 1e-9
+
+
+def test_feature_stats_exact_invariant_and_correct(spark, cfg, blobs):
+    """Fixed-point stats: bit-identical across parallelism (the float
+    form is summation-order dependent), and numerically equal to the
+    NumPy mean/var within fixed-point quantization."""
+    import numpy as np
+
+    from ffcl_spark.operators.stats import feature_stats_exact
+
+    df, pdf = blobs
+    a = feature_stats_exact(df.repartition(1), cfg).toPandas().sort_values("cell").reset_index(drop=True)
+    b = feature_stats_exact(df.repartition(13), cfg).toPandas().sort_values("cell").reset_index(drop=True)
+    assert a.equals(b)  # bit-identical, not just close
+    g = feature_stats_exact(df).toPandas().iloc[0]
+    q = np.round(pdf[["x", "y"]].to_numpy() * 1000)  # the operator's quantization
+    assert abs(g.mean_x - q[:, 0].mean() / 1000) < 1e-12
+    assert abs(g.var_x - q[:, 0].var(ddof=1) / 1e6) < 1e-9
+    assert g.n == len(pdf)
