@@ -186,6 +186,7 @@ def knn_join_grid(
     cfg: EngineConfig,
     group_delta: int = 2,
     checkpoint: bool = False,
+    hot_group_rows: int | None = 2_000_000,
 ) -> DataFrame:
     """Scale-tuned kNN join: same contract/result as ``knn_join_kernel``
     but with a two-level decomposition that minimizes both shuffle
@@ -204,9 +205,18 @@ def knn_join_grid(
 
     Termination is the FFCL sibling-prune rule at fine ring 1
     (``KDNodeView.hpp:235-243``); stragglers fall back to the JVM
-    ring-expansion join. Known limit: a pathologically hot fine cell
-    lands one coarse group on one task — salt via a deeper resolution
-    or AQE-advisory repartition (tracked for the skew round).
+    ring-expansion join.
+
+    Skew (``hot_group_rows``): one cheap ref-count aggregation finds
+    coarse groups whose ref count exceeds the threshold; points of hot
+    groups key by their FINE cell instead (adaptive group splitting —
+    the engine's analogue of the reference's hot-node median split,
+    ``KDTreeAlgorithms.hpp:157-223``), so a pathological hot spot
+    becomes up-to-16 independently-sized Arrow tasks instead of one
+    straggler. Refs near a hot region replicate to the fine groups
+    their ring-1 neighborhood touches (~9×, but only there); the
+    kernel and the termination rule are unchanged. ``None`` disables
+    the stats pass.
 
     ``checkpoint``: cache hand-off mode (see ``plans.cache``) — False
     (default, one-shot callers) returns a view over the persisted
@@ -220,6 +230,43 @@ def knn_join_grid(
     gshift = group_delta
     n = cfg.grid_n
 
+    FINE_FLAG = 1 << 53  # keeps fine-cell group keys disjoint from coarse keys
+
+    fr = C.cell_id(F.col("x"), F.col("y"), cfg)
+    r_base = refs.select(
+        F.col("id").alias("r_id"),
+        F.col("x").alias("r_x"),
+        F.col("y").alias("r_y"),
+        fr.alias("fcell"),
+    )
+
+    def coarse_key(ixc, iyc):
+        return F.shiftleft(F.shiftright(ixc, gshift), 26) + F.shiftright(iyc, gshift)
+
+    hot: list[int] = []
+    if hot_group_rows is not None:
+        rix0 = C.cell_ix(F.col("fcell"))
+        riy0 = C.cell_iy(F.col("fcell"))
+        hot = [
+            row["g"]
+            for row in (
+                r_base.select(coarse_key(rix0, riy0).alias("g"))
+                .groupBy("g")
+                .count()
+                .where(F.col("count") > hot_group_rows)
+                .select("g")
+                .collect()
+            )
+        ]
+
+    def gkey(ixc, iyc):
+        ck = coarse_key(ixc, iyc)
+        if not hot:
+            return ck
+        return F.when(
+            ck.isin(hot), F.shiftleft(ixc, 26) + iyc + F.lit(FINE_FLAG)
+        ).otherwise(ck)
+
     fq = C.cell_id(F.col("x"), F.col("y"), cfg)
     q = queries.select(
         F.col("id").alias("q_id"),
@@ -227,33 +274,23 @@ def knn_join_grid(
         F.col("y").alias("q_y"),
         fq.alias("fcell"),
     ).withColumn(
-        "grp",
-        F.shiftleft(F.shiftright(C.cell_ix(F.col("fcell")), gshift), 26)
-        + F.shiftright(C.cell_iy(F.col("fcell")), gshift),
+        "grp", gkey(C.cell_ix(F.col("fcell")), C.cell_iy(F.col("fcell")))
     )
 
-    # serving groups of a ref = parents of its fine ring-1 neighborhood
-    fr = C.cell_id(F.col("x"), F.col("y"), cfg)
+    # serving groups of a ref = group keys of its fine ring-1
+    # neighborhood (distinct; with no hot groups this reduces to the
+    # coarse parents — ~1.5× replication — and to ≤9 fine groups only
+    # inside split hot regions)
     rix = C.cell_ix(F.col("fcell"))
     riy = C.cell_iy(F.col("fcell"))
-    gx_lo = F.shiftright(F.greatest(F.lit(0), rix - 1), gshift)
-    gx_hi = F.shiftright(F.least(F.lit(n - 1), rix + 1), gshift)
-    gy_lo = F.shiftright(F.greatest(F.lit(0), riy - 1), gshift)
-    gy_hi = F.shiftright(F.least(F.lit(n - 1), riy + 1), gshift)
-    grps = F.flatten(
-        F.transform(
-            F.sequence(gx_lo, gx_hi),
-            lambda gx: F.transform(F.sequence(gy_lo, gy_hi), lambda gy: F.shiftleft(gx, 26) + gy),
-        )
-    )
+    neigh_keys = []
+    for dxx in (-1, 0, 1):
+        for dyy in (-1, 0, 1):
+            cx = F.greatest(F.lit(0), F.least(F.lit(n - 1), rix + dxx))
+            cy = F.greatest(F.lit(0), F.least(F.lit(n - 1), riy + dyy))
+            neigh_keys.append(gkey(cx, cy))
     r = (
-        refs.select(
-            F.col("id").alias("r_id"),
-            F.col("x").alias("r_x"),
-            F.col("y").alias("r_y"),
-            fr.alias("fcell"),
-        )
-        .withColumn("grp", F.explode(grps))
+        r_base.withColumn("grp", F.explode(F.array_distinct(F.array(*neigh_keys))))
         .drop("fcell")
     )
 

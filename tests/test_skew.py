@@ -41,3 +41,45 @@ def test_knn_grid_correct_on_skew(spark):
         pdf[["x", "y"]].to_numpy(), pdf[["x", "y"]].to_numpy(), pdf.id.to_numpy(), 5
     )
     assert set(zip(got.q_id, got.r_id)) == set(zip(pdf.id.to_numpy()[oq], on))
+
+
+def test_knn_grid_adaptive_split_on_hot_group(spark, cfg, blobs):
+    """hot_group_rows small enough that every group splits to fine
+    cells: result identical to the unsplit plan and the oracle."""
+    import numpy as np
+
+    from ffcl_spark.kernels import neighbors as NK
+    from ffcl_spark.operators.knn_kernel import knn_join_grid
+
+    df, pdf = blobs
+    k = 4
+    split = knn_join_grid(df, df, k, cfg, hot_group_rows=10).toPandas()
+    plain = knn_join_grid(df, df, k, cfg, hot_group_rows=None).toPandas()
+    key = lambda p: set(zip(p.q_id, p.r_id, p.dist))
+    assert key(split) == key(plain)
+    xy = pdf[["x", "y"]].to_numpy()
+    qi, ni, dd = NK.knn(xy, xy, pdf.id.to_numpy(), k)
+    exp = {(pdf.id.to_numpy()[q], n, d) for q, n, d in zip(qi, ni, dd)}
+    assert key(split) == exp
+
+
+def test_knn_grid_adaptive_split_single_hot_cell(spark, cfg):
+    """Pathological skew: most points in ONE fine cell. The split plan
+    must stay exact (ring-1 refs of every query present per group)."""
+    import numpy as np
+    import pandas as pd
+
+    from ffcl_spark.kernels import neighbors as NK
+    from ffcl_spark.operators.knn_kernel import knn_join_grid
+
+    rng = np.random.default_rng(3)
+    hot = rng.uniform(0.0, 0.4, size=(400, 2))  # inside one fine cell
+    rest = rng.uniform(-12.0, 12.0, size=(100, 2))
+    xy = np.vstack([hot, rest])
+    pdf = pd.DataFrame({"id": np.arange(len(xy)), "x": xy[:, 0], "y": xy[:, 1]})
+    df = spark.createDataFrame(pdf)
+    k = 5
+    got = knn_join_grid(df, df, k, cfg, hot_group_rows=50).toPandas()
+    qi, ni, dd = NK.knn(xy, xy, pdf.id.to_numpy(), k)
+    exp = {(int(q), int(n_), d) for q, n_, d in zip(qi, ni, dd)}
+    assert set(zip(got.q_id, got.r_id, got.dist)) == exp
