@@ -85,6 +85,8 @@ def minimum_spanning_tree(
     features_col: str | None = None,
     axes: tuple[int, int] = (0, 1),
     driver_cutoff: int = DRIVER_CUTOFF,
+    ckpt_dir: str | None = None,
+    stop_after_rounds: int | None = None,
 ) -> DataFrame:
     """Exact MST edges as a DataFrame (src, dst, w) — n−1 rows.
 
@@ -105,6 +107,17 @@ def minimum_spanning_tree(
     through the n-D ring-expansion join (grid on ``axes``); distances
     are the full n-D metric, bit-equal between the distributed fold and
     the local Prim kernel.
+
+    ``ckpt_dir``: iterative-round checkpointing (north_rule resumable
+    contract for the engine's longest iterative operator). After each
+    round the component map and the round's MST edges are written to
+    ``{ckpt_dir}/comp/round=r`` / ``edges/round=r`` and committed by a
+    one-row ``meta/round=r`` marker (written LAST — a crash mid-round
+    leaves no marker, so the redo overwrites the partial state
+    idempotently). A rerun with the same ``ckpt_dir`` resumes from the
+    last committed round; every round is deterministic, so resumed and
+    uninterrupted runs produce identical trees. ``stop_after_rounds``
+    aborts after N committed rounds (testing hook simulating a crash).
     """
     import numpy as np
 
@@ -164,15 +177,26 @@ def minimum_spanning_tree(
     comp_df = pts.select("id", F.col("id").alias("comp")).persist()
     comp_df.count()
     n_comp = n
-    edge_parts: list[DataFrame] = []  # distributed-round edges
-    driver_edges: list[tuple] = []  # driver-round edges
+    edge_parts: list[DataFrame] = []  # per-round edges (non-ckpt mode)
     base_nn = None  # k0-NN lists, shared across rounds
+    round_no = 0
+    if ckpt_dir is not None:
+        last = _ckpt_last_round(spark, ckpt_dir)
+        if last is not None:
+            round_no, n_comp = last
+            resumed = spark.read.parquet(f"{ckpt_dir}/comp/round={round_no}").persist()
+            resumed.count()
+            comp_df.unpersist()
+            comp_df = resumed
 
     # tiny inputs (e.g. distributed-plan gates): all-pairs lists cost
     # n² ≤ 64k rows once and remove every escalation pass — strictly
     # cheaper than 2+ extra kNN rounds of per-job latency
     k_base = n if n <= 256 else min(k0, n)
     while n_comp > 1:
+        if stop_after_rounds is not None and round_no >= stop_after_rounds:
+            break  # crash-simulation hook: return whatever is committed
+        round_no += 1
         k = k_base
         pend = pts
         best_df: DataFrame | None = None  # (q_comp, e{w, a, b, ca, cb})
@@ -306,14 +330,13 @@ def minimum_spanning_tree(
             if n_merges == 0:
                 best_df.unpersist()
                 break
-            edge_parts.append(new_edges)
         else:
             rows = best_df.select("q_comp", "e.*").collect()
             new_edges_l, mapping, n_merges = _merge_driver(rows)
             if n_merges == 0:
                 best_df.unpersist()
                 break
-            driver_edges.extend(new_edges_l)
+            new_edges = spark.createDataFrame(new_edges_l, edge_schema)
             relabel = (
                 spark.createDataFrame(mapping, schema=f"comp {id_sql}, newc {id_sql}")
                 if mapping
@@ -330,6 +353,22 @@ def minimum_spanning_tree(
             comp_df = new_comp
         best_df.unpersist()
         n_comp -= n_merges
+        if ckpt_dir is not None:
+            # round state THEN the commit marker: a crash between the
+            # two leaves no marker, and the redo overwrites the dirs
+            new_edges.write.mode("overwrite").parquet(
+                f"{ckpt_dir}/edges/round={round_no}"
+            )
+            comp_df.write.mode("overwrite").parquet(
+                f"{ckpt_dir}/comp/round={round_no}"
+            )
+            spark.createDataFrame(
+                [(n_comp,)], "n_comp long"
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{ckpt_dir}/meta/round={round_no}"
+            )
+        else:
+            edge_parts.append(new_edges)
 
     comp_df.unpersist()
     pts.unpersist()
@@ -337,10 +376,29 @@ def minimum_spanning_tree(
         core.unpersist()
     if base_nn is not None:
         base_nn.unpersist()
-    out = spark.createDataFrame(driver_edges, edge_schema)
+    if ckpt_dir is not None:
+        if round_no == 0:
+            return spark.createDataFrame([], edge_schema)
+        return spark.read.parquet(f"{ckpt_dir}/edges").select("src", "dst", "w")
+    out = spark.createDataFrame([], edge_schema)
     for p in edge_parts:
         out = out.unionByName(p)
     return out
+
+
+def _ckpt_last_round(spark, ckpt_dir: str) -> tuple[int, int] | None:
+    """(last committed round, its n_comp) from the marker table, or
+    None for a fresh directory. Markers are written after the round's
+    state, so the max marker is always a fully-committed round."""
+    from ffcl_spark.plans.checkpoint import _path_exists
+
+    if not _path_exists(spark, f"{ckpt_dir}/meta"):
+        return None
+    rows = spark.read.parquet(f"{ckpt_dir}/meta").collect()
+    if not rows:
+        return None
+    last = max(rows, key=lambda r: r["round"])
+    return int(last["round"]), int(last["n_comp"])
 
 
 def _merge_driver(rows) -> tuple[list[tuple], list[tuple], int]:

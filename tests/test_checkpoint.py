@@ -52,3 +52,34 @@ def test_lineage_metrics_complete(spark, cfg, inp, tmp_path):
     assert (m.status == "done").all()
     assert (m.wall_ms >= 0).all()
     assert m.rows_in.sum() == inp.count()
+
+
+def test_mst_round_checkpoint_resume(spark, tmp_path):
+    """Iterative-round resume: a run killed after 1 committed round,
+    resumed with the same ckpt_dir, produces the identical MST as an
+    uninterrupted run (every round is deterministic)."""
+    import numpy as np
+
+    from ffcl_spark import EngineConfig
+    from ffcl_spark.operators.boruvka import minimum_spanning_tree, mst_edges_local
+    from tests.conftest import points_pdf
+
+    pdf = points_pdf("blobs", 150)
+    df = spark.createDataFrame(pdf)
+    cfg = EngineConfig(resolution=3)
+    ck = str(tmp_path / "mst_ck")
+
+    partial = minimum_spanning_tree(df, cfg, ckpt_dir=ck, stop_after_rounds=1)
+    n_partial = partial.count()
+    assert 0 < n_partial < len(pdf) - 1  # committed but incomplete
+
+    resumed = mst_edges_local(minimum_spanning_tree(df, cfg, ckpt_dir=ck))
+    plain = mst_edges_local(minimum_spanning_tree(df, cfg))
+    key = lambda es: sorted((min(a, b), max(a, b)) for a, b, _ in es)
+    assert len(resumed) == len(pdf) - 1
+    assert key(resumed) == key(plain)
+    assert abs(sum(w for *_, w in resumed) - sum(w for *_, w in plain)) < 1e-9
+    # idempotent: a third run with the complete checkpoint reruns no
+    # rounds and returns the same edges straight from the state
+    again = mst_edges_local(minimum_spanning_tree(df, cfg, ckpt_dir=ck))
+    assert key(again) == key(resumed)
