@@ -26,17 +26,20 @@ def hdbscan(
     allow_single_cluster: bool = True,
     local_cutoff: int = 0,
     features_col: str | None = None,
+    ckpt_dir: str | None = None,
 ) -> DataFrame:
     """(id, label, is_noise): HDBSCAN flat labels, canonical (min
     member id per cluster), noise label 0 with ``is_noise`` true —
     the explicit flag disambiguates a cluster whose min member id IS
     the noise sentinel (ids may legitimately start at 0).
     ``features_col``: n-D ``array<double>`` input (reference
-    n-features contract) — routed through the n-D MST."""
+    n-features contract) — routed through the n-D MST. ``ckpt_dir``:
+    round-resumable MST phase (see ``minimum_spanning_tree``)."""
     core_k = k_nearest_neighbors if k_nearest_neighbors > 1 else None
     edges = mst_edges_local(
         minimum_spanning_tree(
-            points, cfg, core_k=core_k, local_cutoff=local_cutoff, features_col=features_col
+            points, cfg, core_k=core_k, local_cutoff=local_cutoff,
+            features_col=features_col, ckpt_dir=ckpt_dir,
         )
     )
     # the MST spans every point, so its endpoints ARE the id universe —
