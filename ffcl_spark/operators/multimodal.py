@@ -108,10 +108,13 @@ def media_binary(docs: DataFrame, payload: str = "ref") -> DataFrame:
 def _ref_bytes(ref: str, n: int) -> np.ndarray:
     """Deterministic pseudo-random byte stream keyed by the ref string
     (splitmix-style mixing — reproducible anywhere, no RNG state)."""
-    h = np.uint64(2166136261)
+    # FNV-1a over Python ints: the & mask IS the intended uint64
+    # wraparound, and doing it scalar-side avoids NumPy's per-batch
+    # scalar-overflow RuntimeWarning (bit-identical to the uint64 form)
+    h = 2166136261
     for ch in ref.encode():
-        h = (h ^ np.uint64(ch)) * np.uint64(16777619) & np.uint64(0xFFFFFFFFFFFFFFFF)
-    idx = np.arange(n, dtype=np.uint64) + h
+        h = ((h ^ ch) * 16777619) & 0xFFFFFFFFFFFFFFFF
+    idx = np.arange(n, dtype=np.uint64) + np.uint64(h)
     idx = (idx ^ (idx >> np.uint64(33))) * np.uint64(0xFF51AFD7ED558CCD)
     idx = idx ^ (idx >> np.uint64(33))
     return (idx & np.uint64(0xFF)).astype(np.uint8)

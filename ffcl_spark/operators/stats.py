@@ -58,9 +58,15 @@ def feature_stats_exact(
     int64 sums (order-free), and mean = Σv / n / scale and
     var = (n·Σv² − (Σv)²) / (n·(n−1)·scale²) are each ONE float
     division expression — identical bits at any parallelism, any AQE
-    plan, and in any engine evaluating the same expression. Bounds:
-    |v| ≤ scale·domain/2, so Σv² stays inside int64 up to ~10¹⁰ rows at
-    the default grid — past that, aggregate per cell first.
+    plan, and in any engine evaluating the same expression.
+
+    Bounds: |v| ≤ scale·domain/2 = 3·10⁴, so Σv² ≤ n·9·10⁸ stays inside
+    int64 up to ~10¹⁰ rows per group. The variance NUMERATOR
+    n·Σv² − (Σv)² overflows int64 far earlier (~10⁵ rows per group at
+    the domain edge — round-3 ADVICE repro), so the products run in
+    decimal(38,0): exact integers to (Σv)² ≤ 10³⁸ ⇒ ~3·10¹⁴ rows per
+    group, matching DuckDB's HUGEINT promotion bit-for-bit after the
+    single round-to-double.
     """
     vx = F.round(F.col("x") * scale).cast("long")
     vy = F.round(F.col("y") * scale).cast("long")
@@ -73,24 +79,24 @@ def feature_stats_exact(
     ]
     s2 = float(scale * scale)
     n = F.col("n")
+    dec = "decimal(38,0)"
+
+    def _var(ss: str, s: str):
+        # exact integer numerator in decimal(38,0) (int64 products
+        # overflow at ~1e5 rows/group near the domain edge), ONE cast
+        # to double — DuckDB's HUGEINT arithmetic lands on the same
+        # exact integer, so the rounded double is bit-equal
+        nd = n.cast(dec)
+        num = nd * F.col(ss).cast(dec) - F.col(s).cast(dec) * F.col(s).cast(dec)
+        return num.cast("double") / (n * (n - 1)).cast("double") / F.lit(s2)
 
     def _finish(df):
         return df.select(
             *([c for c in ("cell",) if c in df.columns]),
             (F.col("sx").cast("double") / n / scale).alias("mean_x"),
             (F.col("sy").cast("double") / n / scale).alias("mean_y"),
-            F.when(
-                n > 1,
-                (n * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-                / (n * (n - 1)).cast("double")
-                / F.lit(s2),
-            ).alias("var_x"),
-            F.when(
-                n > 1,
-                (n * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
-                / (n * (n - 1)).cast("double")
-                / F.lit(s2),
-            ).alias("var_y"),
+            F.when(n > 1, _var("sxx", "sx")).alias("var_x"),
+            F.when(n > 1, _var("syy", "sy")).alias("var_y"),
             "n",
         )
 
