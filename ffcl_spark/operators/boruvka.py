@@ -127,12 +127,23 @@ def minimum_spanning_tree(
     edge_schema = f"src {id_sql}, dst {id_sql}, w double"
 
     if features_col is None:
+        from ffcl_spark.operators.knn_kernel import hot_coarse_groups
+
         pts = points.select("id", "x", "y").persist()
+        # the ref set is fixed across every escalation pass and round —
+        # detect hot coarse groups ONCE (lazily, so the local-Prim fast
+        # path never pays the scan) instead of one full ref scan per
+        # knn call (round-3 ADVICE)
+        _hot: dict = {}
 
         def _knn(q, r_, k_):
+            if "hot" not in _hot:
+                _hot["hot"] = hot_coarse_groups(pts, cfg)
             # checkpoint=True: iterative caller — every escalation
             # round must leave no cached partitions behind
-            return knn_join_grid(q, r_, k_, cfg, checkpoint=True)
+            return knn_join_grid(
+                q, r_, k_, cfg, checkpoint=True, hot_groups=_hot["hot"]
+            )
 
         def _core(p, k_):
             return core_distances(p, k_, cfg, checkpoint=True)

@@ -179,6 +179,40 @@ def knn_join_kernel(
 # Two-level kernel: coarse groups outside, fine-grid candidates inside.
 
 
+def _coarse_key_expr(ixc, iyc, gshift: int):
+    return F.shiftleft(F.shiftright(ixc, gshift), 26) + F.shiftright(iyc, gshift)
+
+
+def hot_coarse_groups(
+    refs: DataFrame,
+    cfg: EngineConfig,
+    group_delta: int = 2,
+    hot_group_rows: int = 2_000_000,
+) -> list[int]:
+    """Coarse group keys whose ref count exceeds ``hot_group_rows`` —
+    ONE ref-set aggregation. Iterative callers (Borůvka escalation
+    rounds, chunked pipelines) whose ref set is fixed compute this once
+    and pass it to every ``knn_join_grid`` call via ``hot_groups``,
+    instead of paying a full ref scan per call (round-3 ADVICE). The
+    list is grid-bounded metadata (≤ #coarse cells), never point-sized."""
+    if cfg.resolution < group_delta:
+        return []
+    fr = C.cell_id(F.col("x"), F.col("y"), cfg)
+    base = refs.select(fr.alias("fcell"))
+    key = _coarse_key_expr(C.cell_ix(F.col("fcell")), C.cell_iy(F.col("fcell")), group_delta)
+    return [
+        row["g"]
+        for row in (
+            base.select(key.alias("g"))
+            .groupBy("g")
+            .count()
+            .where(F.col("count") > hot_group_rows)
+            .select("g")
+            .collect()
+        )
+    ]
+
+
 def knn_join_grid(
     queries: DataFrame,
     refs: DataFrame,
@@ -187,6 +221,7 @@ def knn_join_grid(
     group_delta: int = 2,
     checkpoint: bool = False,
     hot_group_rows: int | None = 2_000_000,
+    hot_groups: list[int] | None = None,
 ) -> DataFrame:
     """Scale-tuned kNN join: same contract/result as ``knn_join_kernel``
     but with a two-level decomposition that minimizes both shuffle
@@ -216,7 +251,9 @@ def knn_join_grid(
     straggler. Refs near a hot region replicate to the fine groups
     their ring-1 neighborhood touches (~9×, but only there); the
     kernel and the termination rule are unchanged. ``None`` disables
-    the stats pass.
+    the stats pass. ``hot_groups``: a precomputed list from
+    :func:`hot_coarse_groups` — iterative callers with a fixed ref set
+    pass it to skip the per-call detection scan (round-3 ADVICE).
 
     ``checkpoint``: cache hand-off mode (see ``plans.cache``) — False
     (default, one-shot callers) returns a view over the persisted
@@ -241,23 +278,14 @@ def knn_join_grid(
     )
 
     def coarse_key(ixc, iyc):
-        return F.shiftleft(F.shiftright(ixc, gshift), 26) + F.shiftright(iyc, gshift)
+        return _coarse_key_expr(ixc, iyc, gshift)
 
-    hot: list[int] = []
-    if hot_group_rows is not None:
-        rix0 = C.cell_ix(F.col("fcell"))
-        riy0 = C.cell_iy(F.col("fcell"))
-        hot = [
-            row["g"]
-            for row in (
-                r_base.select(coarse_key(rix0, riy0).alias("g"))
-                .groupBy("g")
-                .count()
-                .where(F.col("count") > hot_group_rows)
-                .select("g")
-                .collect()
-            )
-        ]
+    if hot_groups is not None:
+        hot = list(hot_groups)
+    elif hot_group_rows is not None:
+        hot = hot_coarse_groups(refs, cfg, group_delta, hot_group_rows)
+    else:
+        hot = []
 
     def gkey(ixc, iyc):
         ck = coarse_key(ixc, iyc)

@@ -33,7 +33,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-CKPT_SCHEMA = "job_id string, chunk int, rows_in long, rows_out long, wall_ms long, status string, finished_at string"
+from ffcl_spark.plans.cache import release
+
+CKPT_SCHEMA ="job_id string, chunk int, rows_in long, rows_out long, wall_ms long, status string, finished_at string"
 
 
 def _path_exists(spark: SparkSession, path: str) -> bool:
@@ -90,6 +92,12 @@ def run_checkpointed(
         result = op(part)
         out_path = os.path.join(out_dir, f"chunk={chunk}")
         result.write.mode("overwrite").parquet(out_path)
+        # operators with a cache hand-off plan (plans.cache) leave their
+        # kernel intermediates persisted for the caller's action — the
+        # write above was that action, so drop them before the next
+        # chunk (iterative callers must not accumulate cached
+        # partitions; round-3 ADVICE)
+        release(result)
         rows_out = spark.read.parquet(out_path).count()
         lineage = spark.createDataFrame(
             [

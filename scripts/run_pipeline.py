@@ -35,7 +35,11 @@ from pyspark.sql import functions as F  # noqa: E402
 from ffcl_spark import EngineConfig, get_spark  # noqa: E402
 from ffcl_spark.functions import cells as C  # noqa: E402
 from ffcl_spark.operators import tiles as TL  # noqa: E402
-from ffcl_spark.operators.knn_kernel import knn_join_grid, knn_resolution  # noqa: E402
+from ffcl_spark.operators.knn_kernel import (  # noqa: E402
+    hot_coarse_groups,
+    knn_join_grid,
+    knn_resolution,
+)
 from ffcl_spark.plans.checkpoint import job_metrics, run_checkpointed  # noqa: E402
 from ffcl_spark.sources.docs import synth_docs  # noqa: E402
 from ffcl_spark.sources.points import media_points, with_cell  # noqa: E402
@@ -78,9 +82,18 @@ def main(argv: list[str] | None = None) -> None:
     )
     # stage 2: exact kNN self-join per chunk of QUERIES (refs = full set:
     # result rows of a query depend only on the query's chunk, so chunked
-    # execution is exact and resumable)
+    # execution is exact and resumable). checkpoint=True + a precomputed
+    # hot-group list: per-chunk calls are the iterative-caller pattern —
+    # without them each of up to --n-chunks iterations would leave its
+    # kernel output persisted and rescan the refs for hot groups
+    # (round-3 ADVICE)
+    hot = hot_coarse_groups(pts_xy, cfg)
     run_checkpointed(
-        spark, pts_xy, lambda d: knn_join_grid(d.select("id", "x", "y"), pts_xy, args.k, cfg),
+        spark, pts_xy,
+        lambda d: knn_join_grid(
+            d.select("id", "x", "y"), pts_xy, args.k, cfg,
+            checkpoint=True, hot_groups=hot,
+        ),
         F.col("cell"), args.n_chunks, f"{out}/knn", ck, job_id=f"{args.job_id}:knn",
     )
     # stage 3: PIP tile assignment
