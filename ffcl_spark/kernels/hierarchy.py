@@ -40,6 +40,7 @@ class SLNode:
     lo: int = 0  # [lo, hi) slice of the shared leaves list
     hi: int = 0
     leaves: list = None  # shared leaf-permutation list (all nodes)
+    edge: tuple | None = None  # the MST (src, dst) that made this merge
 
     @property
     def members(self):
@@ -70,7 +71,7 @@ def single_linkage_tree(point_ids: list, edges: list[tuple]) -> SLNode:
         if ra == rb:
             continue
         na, nb = nodes[ra], nodes[rb]
-        merged = SLNode(next_id, float(w), na.size + nb.size, na, nb)
+        merged = SLNode(next_id, float(w), na.size + nb.size, na, nb, edge=(src, dst))
         next_id += 1
         parent[rb] = ra
         nodes[ra] = merged
@@ -136,6 +137,7 @@ class CondensedNode:
     children: list = field(default_factory=list)
     stability: float = 0.0
     selected: bool = False
+    birth: "SLNode | None" = None  # dendrogram subtree this cluster spans
 
 
 def condense_tree(root: SLNode, min_cluster_size: int) -> CondensedNode:
@@ -150,6 +152,7 @@ def condense_tree(root: SLNode, min_cluster_size: int) -> CondensedNode:
         return CondensedNode(counter[0], lambda_min)
 
     top = new_cnode(0.0)
+    top.birth = root
     stack = [(root, top)]
     while stack:
         node, cluster = stack.pop()
@@ -163,6 +166,8 @@ def condense_tree(root: SLNode, min_cluster_size: int) -> CondensedNode:
         if big_l and big_r:
             cl = new_cnode(lam)
             cr = new_cnode(lam)
+            cl.birth = node.left
+            cr.birth = node.right
             cluster.children.extend([cl, cr])
             stack.append((node.left, cl))
             stack.append((node.right, cr))
@@ -252,6 +257,60 @@ def _deselect_descendants(c: CondensedNode) -> None:
         ch = stack.pop()
         ch.selected = False
         stack.extend(ch.children)
+
+
+def hdbscan_partition(
+    point_ids: list,
+    mst_edges: list[tuple],
+    min_cluster_size: int = 5,
+    allow_single_cluster: bool = True,
+) -> tuple[list[tuple], list]:
+    """Driver-side HDBSCAN *plan* for distributed label emission:
+    ``(removed_edges, selected_labels)``.
+
+    Every selected condensed cluster spans one dendrogram subtree (its
+    ``birth`` node, an antichain across clusters), and that subtree's
+    leaf set is exactly the connected component of its internal MST
+    edges — so flat labels are ONE distributed connected-components
+    pass over the MST edge DataFrame minus ``removed_edges`` (the
+    merges NOT inside any selected subtree), with components whose min
+    id is in ``selected_labels`` keeping the label and everything else
+    noise. ``removed_edges`` is O(#noise points + #clusters) — the
+    driver uploads cluster *metadata*, never point-count label rows
+    (round-3 VERDICT task #3; reference ``CondensedClusterTree.hpp:
+    222-262`` walks the same selected-subtree memberships).
+
+    Label values match :func:`hdbscan_labels` exactly (min member id
+    per selected cluster; both walk the identical selection)."""
+    root = single_linkage_tree(point_ids, mst_edges)
+    if root is None:
+        return list(mst_edges), []
+    top = condense_tree(root, min_cluster_size)
+    compute_stability(top)
+    select_clusters(top, allow_single_cluster)
+
+    kept: set[tuple] = set()
+    labels: list = []
+    stack = [top]
+    while stack:
+        c = stack.pop()
+        if not c.selected:
+            stack.extend(c.children)
+            continue
+        mem = c.birth.members
+        labels.append(min(mem))
+        # internal merges of the birth subtree = the edges that keep
+        # this cluster one component
+        sub = [c.birth]
+        while sub:
+            node = sub.pop()
+            if node.left is None:
+                continue
+            kept.add(node.edge)
+            sub.append(node.left)
+            sub.append(node.right)
+    removed = [e for s, d, _ in mst_edges if (e := (s, d)) not in kept]
+    return removed, labels
 
 
 def hdbscan_labels(
