@@ -270,9 +270,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _rank_weights(edges)
 
     def q_hdbscan(spark, sf):
+        # oracle: labels pinned at sf0.01 by the pytest-trusted local
+        # pipeline (scripts/make_hdbscan_oracle.py) — exact-match check
+        # of synthesis → subset → MST → selection → distributed emission.
+        # allow_single_cluster=False so the pin is a real partition
+        # (18 clusters + noise), not the trivial root cluster.
         from ffcl_spark.operators.hdbscan import hdbscan
 
-        return hdbscan(_cluster_subset(spark, sf), CFG, min_cluster_size=8, local_cutoff=2000)
+        return hdbscan(
+            _cluster_subset(spark, sf), CFG, min_cluster_size=8,
+            allow_single_cluster=False, local_cutoff=2000,
+        )
 
     def q_knn_nd(spark, sf):
         from ffcl_spark.operators.search_nd import knn_join_nd
@@ -380,14 +388,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_hdbscan_nd(spark, sf):
         # full HDBSCAN pipeline over n-D features (features_col routing
-        # through the n-D MST) → rows-only; n-D Prim parity in pytest
+        # through the n-D MST); labels pinned at sf0.01 (see q_hdbscan)
         from ffcl_spark.operators.hdbscan import hdbscan
 
         pts = _nd_points(spark, sf).where(F.crc32(F.col("id").cast("string")) % 3 == 0)
         # local_cutoff: the distributed n-D Borůvka path is already
         # exercised by the mst_nd gate; here the pipeline is the point
         return hdbscan(
-            pts, CFG_ND, min_cluster_size=8, features_col="features", local_cutoff=2000
+            pts, CFG_ND, min_cluster_size=8, allow_single_cluster=False,
+            features_col="features", local_cutoff=2000,
         )
 
     def q_slt_cut(spark, sf):
@@ -1377,6 +1386,34 @@ SELECT event_type,
 FROM events
 GROUP BY 1, 2
 """
+
+    # HDBSCAN gates: the condensed-tree selection is not reasonably
+    # SQL-expressible, so the oracle is the PINNED label set computed by
+    # the pytest-trusted local pipeline (NumPy Prim + driver hierarchy
+    # kernels) via scripts/make_hdbscan_oracle.py — an exact-match
+    # driver check, valid at the driver's correctness scale (sf0.01);
+    # any other sf fails the row-count compare loudly.
+    import json as _json
+    import os as _os
+
+    pin_path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "oracles", "hdbscan_pinned_sf001.json",
+    )
+    with open(pin_path) as f:
+        pins = _json.load(f)
+
+    def _values_sql(rows, id_is_str: bool) -> str:
+        def lit(r):
+            idv = "'" + str(r[0]) + "'" if id_is_str else str(r[0])
+            lab = "'" + str(r[1]) + "'" if id_is_str else str(r[1])
+            return f"({idv}, {lab}, {'TRUE' if r[2] else 'FALSE'})"
+
+        vals = ",\n".join(lit(r) for r in rows)
+        return f"SELECT * FROM (VALUES\n{vals}\n) AS t(id, label, is_noise)"
+
+    o["hdbscan"] = _values_sql(pins["hdbscan"], id_is_str=True)
+    o["hdbscan_nd"] = _values_sql(pins["hdbscan_nd"], id_is_str=False)
 
     # dbscan_docs, embed_ivf: intentionally no oracle (iterative /
     # approximate) → rows-only driver check; pytest holds the exact or
