@@ -543,11 +543,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return feature_stats_exact(_doc_points(spark, sf), CFG)
 
     def q_silhouette(spark, sf):
+        # routed through the bounded form (max_refs_per_cluster): at the
+        # gate's scale the cap exceeds every cluster, so the result is
+        # exactly the full metric while the gate pins the scale path;
+        # cap-vs-exact parity lives in tests/test_stats.py
         from ffcl_spark.operators.stats import silhouette_samples
 
         pts = _cluster_subset(spark, sf)
         labels = pts.select("id", (F.crc32(F.col("id")) % 2).alias("label"))
-        return silhouette_samples(pts, labels)
+        return silhouette_samples(pts, labels, max_refs_per_cluster=100_000)
 
     def q_multimodal_meta(spark, sf):
         media = MM.media_binary(_docs(spark, sf))

