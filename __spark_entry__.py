@@ -191,10 +191,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_knn_memory(spark, sf):
         # visited set = the offset-0 media span of every doc (reference
         # WithMemory.hpp semantics: candidates in the visited set are
-        # skipped)
+        # skipped). One resolution coarser than the other doc gates:
+        # pruning half the refs halves cell occupancy, and at RES the
+        # ring-1 sibling-prune rarely terminates — the JVM fallback then
+        # runs many sequential expansion rounds for no information
+        # (result is resolution-independent; the grid is only a plan)
         pts = _doc_points(spark, sf)
         visited = pts.where(F.col("offset") == 0).select("id")
-        return S.knn_with_memory(pts, pts, visited, K, CFG)
+        return S.knn_with_memory(pts, pts, visited, K, CFG.with_resolution(RES - 1))
 
     def q_closest_pair(spark, sf):
         pts = _doc_points(spark, sf)

@@ -83,3 +83,35 @@ def test_mst_round_checkpoint_resume(spark, tmp_path):
     # rounds and returns the same edges straight from the state
     again = mst_edges_local(minimum_spanning_tree(df, cfg, ckpt_dir=ck))
     assert key(again) == key(resumed)
+
+
+def test_iceberg_flag_without_runtime_raises(spark, cfg, inp, tmp_path):
+    """Passing iceberg_table in an environment without the Iceberg
+    runtime must fail loudly before any work, never silently fall back."""
+    from ffcl_spark.plans.iceberg_sink import iceberg_available
+
+    if iceberg_available(spark):
+        pytest.skip("Iceberg runtime present — covered by the catalog test")
+    with pytest.raises(RuntimeError, match="Iceberg Spark runtime"):
+        CK.run_checkpointed(
+            spark, inp, _op, F.col("cell"), 5,
+            str(tmp_path / "out"), str(tmp_path / "ckpt"), "j",
+            iceberg_table="ice.db.t",
+        )
+
+
+def test_iceberg_catalog_roundtrip(spark, cfg, inp):
+    """Catalog-backed path: snapshot-atomic chunk overwrite + lineage
+    table + resume. Runs only where the Iceberg runtime + a configured
+    catalog exist (skipped in this sandbox; SURVEY §7 P0 fallback)."""
+    from ffcl_spark.plans import iceberg_sink as ice
+
+    if not ice.iceberg_available(spark):
+        pytest.skip("no Iceberg runtime in this environment")
+    table = "ice.ffcl_test.chunks"
+    CK.run_checkpointed(
+        spark, inp, _op, F.col("cell"), 5, "", "", "j_ice", iceberg_table=table
+    )
+    out = ice.read_output(spark, table)
+    assert out.agg(F.sum("count")).collect()[0][0] == inp.count()
+    assert ice.done_chunks(spark, table, "j_ice") == {0, 1, 2, 3, 4}
