@@ -1418,7 +1418,15 @@ GROUP BY 1, 2
             return f"({idv}, {lab}, {'TRUE' if r[2] else 'FALSE'})"
 
         vals = ",\n".join(lit(r) for r in rows)
-        return f"SELECT * FROM (VALUES\n{vals}\n) AS t(id, label, is_noise)"
+        # integer ids CAST to BIGINT: DuckDB types VALUES integers as
+        # INT32, which the driver's hasher serializes differently from
+        # Spark's bigint (the `sessions` typing artifact, round 3)
+        cols = (
+            "id, label, is_noise"
+            if id_is_str
+            else "CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label, is_noise"
+        )
+        return f"SELECT {cols} FROM (VALUES\n{vals}\n) AS t(id, label, is_noise)"
 
     o["hdbscan"] = _values_sql(pins["hdbscan"], id_is_str=True)
     o["hdbscan_nd"] = _values_sql(pins["hdbscan_nd"], id_is_str=False)

@@ -67,16 +67,19 @@ def connected_components(
             .select(F.col("a").alias("v"), F.least("a", "mb").alias("c"))
             .localCheckpoint()
         )
-        # compress: c ← c∘c until every pointer reaches its root —
-        # doubling covers 2^k-deep chains after k steps, and pointers
-        # strictly decrease so it must terminate; the change check is a
-        # filter over the just-checkpointed round, not a recompute. (c
-        # is always itself a hooked vertex, so the self-join is total.)
+        # compress: two doubling hops per materialization (c ← (c∘c)∘
+        # (c∘c)), so each checkpointed round covers 4× chain depth with
+        # the same two Spark jobs — these tiny-relation rounds are pure
+        # job latency on the hierarchy gates. Fixpoint test: m₂ == m₄
+        # pointwise ⇒ m₂ is idempotent ⇒ every pointer reached its
+        # root. (c is always itself a hooked vertex: self-joins total.)
         while True:
+            m2 = step.join(
+                step.select(F.col("v").alias("c"), F.col("c").alias("cc")), "c"
+            ).select("v", F.col("cc").alias("c"))
             nxt = (
-                step.join(
-                    step.select(F.col("v").alias("c"), F.col("c").alias("cc")),
-                    "c",
+                m2.join(
+                    m2.select(F.col("v").alias("c"), F.col("c").alias("cc")), "c"
                 )
                 .select("v", F.col("c").alias("oc"), F.col("cc").alias("c"))
                 .localCheckpoint()
