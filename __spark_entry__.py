@@ -358,7 +358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return labels
 
     def q_kmedoids(spark, sf):
-        # CLARA/FasterPAM medoids (KMedoids.hpp pipeline) → rows-only;
+        # CLARA/FasterPAM medoids (KMedoids.hpp pipeline) — labels
+        # pinned by scripts/make_kmedoids_oracle.py (exact-match);
         # swap-optimality + driver-PAM parity live in pytest
         from ffcl_spark.operators.kmedoids import kmedoids
 
@@ -366,8 +367,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return labels
 
     def q_kmedoids_msc(spark, sf):
-        # FasterMSC (medoid-silhouette objective, FasterMSC.hpp) →
-        # rows-only; MSC swap-optimality oracle lives in pytest
+        # FasterMSC (medoid-silhouette objective, FasterMSC.hpp) —
+        # labels pinned (make_kmedoids_oracle.py); MSC swap-optimality
+        # oracle lives in pytest
         from ffcl_spark.operators.kmedoids import kmedoids
 
         _, _, labels = kmedoids(
@@ -1430,6 +1432,42 @@ GROUP BY 1, 2
 
     o["hdbscan"] = _values_sql(pins["hdbscan"], id_is_str=True)
     o["hdbscan_nd"] = _values_sql(pins["hdbscan_nd"], id_is_str=False)
+
+    # k-medoids gates: PAM decisions (medoid ids, nearest-medoid
+    # labels) are deterministic string/integer outputs over exact
+    # float64 distances but the eager-swap trajectory is not SQL —
+    # pinned by the independent local recomputation in
+    # scripts/make_kmedoids_oracle.py (same position as the HDBSCAN
+    # pins; the pam kernel itself is property-checked for
+    # swap-optimality in pytest). Valid at sf0.01 only — other sf
+    # fails the row-count compare loudly.
+    km_path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "oracles", "kmedoids_pinned_sf001.json",
+    )
+    with open(km_path) as f:
+        km = _json.load(f)
+
+    def _pair_values_sql(rows, cols: str, first_is_int: bool) -> str:
+        def lit(r):
+            a = str(r[0]) if first_is_int else "'" + str(r[0]) + "'"
+            return f"({a}, '{r[1]}')"
+
+        vals = ",\n".join(lit(r) for r in rows)
+        c0, c1 = cols.split(",")
+        sel = (
+            f"CAST({c0} AS BIGINT) AS {c0}, {c1}" if first_is_int else cols
+        )
+        return f"SELECT {sel} FROM (VALUES\n{vals}\n) AS t({cols})"
+
+    o["kmedoids"] = _pair_values_sql(km["kmedoids"], "id,label", False)
+    o["kmedoids_msc"] = _pair_values_sql(km["kmedoids_msc"], "id,label", False)
+    o["kmedoids_cells"] = _pair_values_sql(
+        km["kmedoids_cells"], "cell,medoid_id", True
+    )
+    o["kmedoids_two_level"] = _pair_values_sql(
+        km["kmedoids_two_level"], "id,label", False
+    )
 
     # dbscan_docs, embed_ivf: intentionally no oracle (iterative /
     # approximate) → rows-only driver check; pytest holds the exact or
