@@ -64,6 +64,10 @@ def main(sf_dir: str, only: set[str] | None):
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        # drop caches leaked by the previous gate's internal persists —
+        # without this, cached partitions accumulate across the suite
+        # and the tail gates run under growing heap/GC pressure
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()
