@@ -65,6 +65,37 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     )
 
 
+def text_metrics(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """All five per-document text signals — token count, BPE-ish
+    subword count, quality features, language ID, rolling
+    fingerprint — in ONE projection over one scan of the corpus.
+
+    At 100 TB this is the plan you want: the five standalone operators
+    each re-scan ``text``; a training-data pipeline computing all of
+    them (the common case — filter on quality, bucket by lang, cost by
+    tokens, dedup by fingerprint) should pay for tokenization once.
+    Still a single WholeStageCodegen Project, no shuffle, no Python."""
+    t = F.col(text_col)
+    toks = X.tokens(t)
+    n_tok = F.size(toks)
+    sum_len = F.aggregate(toks, F.lit(0), lambda a, s: a + F.length(s))
+    return df.select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        F.regexp_count(t, F.lit(BPE_PATTERN)).cast("int").alias("n_bpe"),
+        F.length(t).alias("n_chars"),
+        (sum_len.cast("double") / n_tok.cast("double")).alias("avg_token_len"),
+        (X.stopword_count(toks).cast("double") / n_tok.cast("double")).alias(
+            "stopword_ratio"
+        ),
+        (X.punct_count(t).cast("double") / F.length(t).cast("double")).alias(
+            "punct_ratio"
+        ),
+        X.lang_id(toks).alias("lang_pred"),
+        X.rolling_fingerprint(toks).alias("fingerprint"),
+    )
+
+
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     toks = X.tokens(F.col(text_col))
     return df.select(F.col(id_col), X.lang_id(toks).alias("lang_pred"))
