@@ -30,7 +30,7 @@ MULT = os.environ.get("SPARK_GRAFT_SCALING_MULT", "8")
 STAGES = "extract_index,knn_join,pip_tiles"
 N_CPUS = 1
 N4_CPUS = 4
-REPS = 2
+REPS = int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "2"))
 
 
 def run_once(cpus: int) -> dict:

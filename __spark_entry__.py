@@ -471,6 +471,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_minhash_pairs(spark, sf):
         return DD.minhash_dedup_pairs(_documents(spark, sf), JACCARD_T)
 
+    def q_dedup_groups(spark, sf):
+        # near-dup GROUP closure over the verified MinHash pairs (r4):
+        # A~B, B~C collapse to one canonical keep-decision even when
+        # LSH never emitted A~C — transitive closure via distributed
+        # min-label star contraction (operators/components.py), the
+        # keep/drop output a corpus dedup pass actually consumes
+        return DD.dedup_groups(_documents(spark, sf), JACCARD_T).select(
+            "id", "canonical_id", F.col("group_size").cast("int").alias("group_size")
+        )
+
     def q_simhash(spark, sf):
         return DD.simhash(_documents(spark, sf))
 
@@ -647,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_ivf": q_embed_ivf,
         "kmedoids_labels": q_kmedoids_labels,
         "minhash_pairs": q_minhash_pairs,
+        "dedup_groups": q_dedup_groups,
         "hdbscan_labels": q_hdbscan_labels,
         "mst_weights": q_mst_weights,
         "mst_dist": q_mst_dist,
@@ -1270,6 +1281,45 @@ scored AS (
   JOIN sizes sb ON sb.id = i.id_b
   JOIN cand c ON c.c_a = i.id_a AND c.c_b = i.id_b)
 SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {JACCARD_T}
+"""
+
+    # group closure over the same verified pairs: recursive min-label
+    # reachability (min/least on doc-id strings is binary-lexicographic
+    # in both engines — same precedent as the DBSCAN label oracle),
+    # singletons = own group of size 1
+    o["dedup_groups"] = f"""
+WITH RECURSIVE {_minhash_sig_cte()},
+bands AS ({band_selects}),
+cand AS (
+  SELECT DISTINCT a.id AS c_a, b.id AS c_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id),
+scored AS (
+  SELECT i.id_a, i.id_b,
+         CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.id = i.id_a
+  JOIN sizes sb ON sb.id = i.id_b
+  JOIN cand c ON c.c_a = i.id_a AND c.c_b = i.id_b),
+prs AS (SELECT id_a, id_b FROM scored WHERE jaccard >= {JACCARD_T}),
+sym AS (SELECT id_a AS a, id_b AS b FROM prs
+        UNION ALL SELECT id_b AS a, id_a AS b FROM prs),
+cc AS (
+  SELECT a AS id, a AS lab FROM sym
+  UNION
+  SELECT s.a AS id, c.lab FROM sym s JOIN cc c ON c.id = s.b),
+comp AS (SELECT id, min(lab) AS comp FROM cc GROUP BY id),
+labeled AS (
+  SELECT d.doc_id AS id, COALESCE(c.comp, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+gsz AS (
+  SELECT canonical_id, CAST(count(*) AS INTEGER) AS group_size
+  FROM labeled GROUP BY canonical_id)
+SELECT l.id, l.canonical_id, g.group_size
+FROM labeled l JOIN gsz g ON g.canonical_id = l.canonical_id
 """
 
     hh = _TOK_HASH.format(t="tok")

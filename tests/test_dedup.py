@@ -92,3 +92,56 @@ def test_max_doc_freq_caps_candidate_generation_only(spark):
     a = full.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     b = capped.sort_values(["id_a", "id_b"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_dedup_groups_transitive_closure(spark):
+    # explicit pair source exercising transitivity: A~B, B~C but no A~C
+    # edge — all three must land in one group under min-id canonical
+    docs = spark.createDataFrame(
+        [("a", "x"), ("b", "x"), ("c", "x"), ("d", "y"), ("e", "z")],
+        "doc_id string, text string",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "id_a string, id_b string"
+    )
+    got = (
+        DD.dedup_groups(docs, 0.3, pairs=pairs)
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    assert got.loc["a"].canonical_id == "a"
+    assert got.loc["b"].canonical_id == "a"
+    assert got.loc["c"].canonical_id == "a"
+    assert int(got.loc["a"].group_size) == 3
+    # singletons are their own group of size 1
+    assert got.loc["d"].canonical_id == "d" and int(got.loc["d"].group_size) == 1
+    assert got.loc["e"].canonical_id == "e" and int(got.loc["e"].group_size) == 1
+
+
+def test_dedup_groups_matches_local_union_find(spark):
+    # default MinHash pair source vs a driver union-find over the same
+    # verified pairs — group partition and canonical ids must agree
+    docs = _docs(spark).withColumn("doc_id", F.col("doc_id").cast("string"))
+    pairs = DD.minhash_dedup_pairs(docs, 0.3, "doc_id", "text").toPandas()
+    got = DD.dedup_groups(docs, 0.3, "doc_id", "text").toPandas()
+
+    parent = {str(i): str(i) for i in range(6)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs.id_a, pairs.id_b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    roots = {i: find(i) for i in parent}
+    sizes = {}
+    for r in roots.values():
+        sizes[r] = sizes.get(r, 0) + 1
+    for _, row in got.iterrows():
+        assert row.canonical_id == roots[row.id]
+        assert int(row.group_size) == sizes[roots[row.id]]
