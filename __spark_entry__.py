@@ -546,6 +546,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_id", "n_id", "rank"
         )
 
+    def q_embed_pq(spark, sf):
+        # product-quantization ADC + exact re-rank (r4) — the
+        # compressed-scan ANN scale path; approximate by construction
+        # → rows-only check; codebook determinism, NumPy encode parity,
+        # recall vs exact L2, and true-distance re-rank in pytest
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        qs = emb.where(F.col("vec_id") % EMB_QMOD == 0)
+        cb = SIM.train_pq_codebooks(emb, m=8, k_codes=16)
+        return SIM.pq_topk(emb, qs, EMB_K, cb, refine=8).select(
+            "q_id", "n_id", "rank"
+        )
+
     # (the float-sum `feature_stats` gate was retired in r4: it
     # duplicated `feature_stats_exact` informationally as a rows-only
     # check — the float form stays in the package with NumPy parity in
@@ -655,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edit_distance": q_edit_distance,
         "silhouette": q_silhouette,
         "embed_ivf": q_embed_ivf,
+        "embed_pq": q_embed_pq,
         "kmedoids_labels": q_kmedoids_labels,
         "minhash_pairs": q_minhash_pairs,
         "dedup_groups": q_dedup_groups,
@@ -1518,7 +1531,7 @@ GROUP BY 1, 2
         km["kmedoids_cells"], "cell,medoid_id", True
     )
 
-    # kmeans_labels, silhouette, embed_neardup_lsh, embed_ivf:
+    # kmeans_labels, silhouette, embed_neardup_lsh, embed_ivf, embed_pq:
     # intentionally no oracle (iterative float-mean centroids /
     # float-sum metric / approximate-by-construction) → rows-only
     # driver check; pytest holds the exact NumPy-parity or

@@ -243,6 +243,202 @@ def train_ivf_centroids(
     return cents
 
 
+def train_pq_codebooks(
+    df: DataFrame,
+    m: int = 8,
+    k_codes: int = 16,
+    vec_col: str = "embedding",
+    sample_rows: int = 20_000,
+    iters: int = 10,
+    seed: int = 7,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Product-quantization codebooks [Jégou et al. 2011]: split the
+    d-dim space into ``m`` subspaces of d/m dims and run Lloyd
+    (reference ``Lloyd.hpp:91-166`` semantics — assign → mean, empty
+    cluster keeps its old centroid) independently per subspace on the
+    same bounded seeded-hash driver sample as ``train_ivf_centroids``.
+    Returns (m, k_codes, d/m) float64 — a few KiB of closure metadata."""
+    import math
+
+    n = df.count()
+    mm = max(1, math.ceil(n / sample_rows))
+    basis = df
+    if mm > 1:
+        basis = df.where(
+            F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(mm)) == 0
+        )
+    pdf = basis.select(id_col, vec_col).toPandas().sort_values(id_col)
+    sample = np.array(pdf[vec_col].tolist()[:sample_rows], dtype=np.float64)
+    d = sample.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dims {d} not divisible by m={m} subspaces")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    books = np.zeros((m, k_codes, dsub))
+    for j in range(m):
+        sub = sample[:, j * dsub : (j + 1) * dsub]
+        cents = sub[rng.choice(len(sub), size=min(k_codes, len(sub)), replace=False)].copy()
+        for _ in range(iters):
+            dist = (
+                np.sum(sub**2, axis=1)[:, None]
+                + np.sum(cents**2, axis=1)[None, :]
+                - 2.0 * sub @ cents.T
+            )
+            assign = dist.argmin(axis=1)
+            for c in range(len(cents)):
+                msk = assign == c
+                if msk.any():
+                    cents[c] = sub[msk].mean(axis=0)
+        books[j, : len(cents)] = cents
+        if len(cents) < k_codes:  # degenerate tiny sample: pad by repeat
+            books[j, len(cents) :] = cents[0]
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code array<int>): each vector compressed to m codeword ids
+    (nearest codeword per subspace). One Arrow-batched matmul per
+    subspace per batch (mapInPandas); no shuffle. At 64-d float32 →
+    m=8 byte-ish codes this is ~32× storage compression — the form a
+    100 TB embedding corpus is scanned in."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    m, k_codes, dsub = codebooks.shape
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("code", T.ArrayType(T.IntegerType())),
+        ]
+    )
+    sel = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cb = codebooks  # closure constant
+    c_sq = np.sum(cb**2, axis=2)  # (m, k)
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["v"].tolist(), dtype=np.float64)
+            codes = np.zeros((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                sub = X[:, j * dsub : (j + 1) * dsub]
+                dist = c_sq[j][None, :] - 2.0 * sub @ cb[j].T  # +||x||² constant per row
+                codes[:, j] = dist.argmin(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "code": list(codes)})
+
+    return sel.mapInPandas(kernel, out_schema)
+
+
+def pq_topk(
+    refs: DataFrame,
+    queries: DataFrame,
+    k: int,
+    codebooks: np.ndarray,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """(q_id, n_id, rank): approximate L2 top-k via asymmetric distance
+    computation (ADC) over PQ codes + exact re-rank — the FAISS
+    IndexPQ search shape. Per Arrow batch of codes, each query's
+    distance to every ref is m table lookups + adds into a per-query
+    (m × k_codes) LUT (no decompression); per-batch top-(k·refine)
+    candidates cut the shuffle to O(n_batches · k · refine) rows, a
+    global window keeps the ADC-best k·refine per query, and an exact
+    JVM fold over the candidates' true vectors re-ranks to the final k
+    (self excluded). Approximate by construction (recall vs the exact
+    baseline pinned in pytest); queries are a bounded broadcast set —
+    the same contract as ``cosine_topk``. Scale: the full-corpus scan
+    touches only the code column (8 ints/row), the vector column is
+    read for k·refine rows per query."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    m, k_codes, dsub = codebooks.shape
+    if codes is None:
+        codes = pq_encode(refs, codebooks, id_col, vec_col)
+    qpdf = (
+        queries.select(id_col, vec_col).toPandas().sort_values(id_col).reset_index(drop=True)
+    )
+    Q = np.array(qpdf[vec_col].tolist(), dtype=np.float64)
+    q_ids = qpdf[id_col].to_numpy()
+    nq = len(q_ids)
+    # LUT[qi, j, c] = ||Q_sub − codeword||² (the constant ADC tables)
+    lut = np.zeros((nq, m, k_codes))
+    for j in range(m):
+        qs = Q[:, j * dsub : (j + 1) * dsub]
+        lut[:, j, :] = (
+            np.sum(qs**2, axis=1)[:, None]
+            + np.sum(codebooks[j] ** 2, axis=1)[None, :]
+            - 2.0 * qs @ codebooks[j].T
+        )
+    cand_k = k * refine + 1  # +1 so a self-hit cannot evict a real candidate
+    id_type = refs.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", id_type),
+            T.StructField("n_id", id_type),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            C = np.array(pdf["code"].tolist(), dtype=np.int64)  # (n, m)
+            dist = np.zeros((nq, n))
+            for j in range(m):
+                dist += lut[:, j, C[:, j]]
+            top = min(cand_k, n)
+            idx = np.argpartition(dist, top - 1, axis=1)[:, :top]  # (nq, top)
+            rows_q = np.repeat(q_ids, top)
+            rows_n = pdf["id"].to_numpy()[idx.ravel()]
+            rows_d = np.take_along_axis(dist, idx, axis=1).ravel()
+            yield pd.DataFrame({"q_id": rows_q, "n_id": rows_n, "adc": rows_d})
+
+    cands = codes.mapInPandas(kernel, out_schema)
+    w_adc = Window.partitionBy("q_id").orderBy("adc", "n_id")
+    shortlist = (
+        cands.where(F.col("q_id") != F.col("n_id"))
+        .withColumn("crank", F.row_number().over(w_adc))
+        .where(F.col("crank") <= cand_k)
+        .select("q_id", "n_id")
+    )
+    # exact re-rank: true L2 over the shortlisted vectors only
+    qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    rv = refs.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"),
+            F.col("n_vec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    w = Window.partitionBy("q_id").orderBy("l2", "n_id")
+    return (
+        shortlist.join(F.broadcast(qv), "q_id")
+        .join(rv, "n_id")
+        .withColumn("l2", l2)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "l2")
+    )
+
+
 def ivf_topk(
     refs: DataFrame,
     queries: DataFrame,

@@ -79,3 +79,54 @@ def test_lsh_signatures_deterministic(spark):
     a = SIM.hyperplane_signatures(df.repartition(2), 16).toPandas().sort_values("id")
     b = SIM.hyperplane_signatures(df.repartition(7), 16).toPandas().sort_values("id")
     assert [list(x) for x in a.sig] == [list(x) for x in b.sig]
+
+
+def test_pq_codebooks_deterministic_and_encode_matches_numpy(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    cb1 = SIM.train_pq_codebooks(emb, m=8, k_codes=16)
+    cb2 = SIM.train_pq_codebooks(emb, m=8, k_codes=16)
+    assert np.array_equal(cb1, cb2)
+    m, k_codes, dsub = cb1.shape
+    assert (m, dsub) == (8, len(emb.first().embedding) // 8)
+
+    got = SIM.pq_encode(emb, cb1).toPandas().sort_values("id").reset_index(drop=True)
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    X = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    for j in range(m):
+        sub = X[:, j * dsub : (j + 1) * dsub]
+        dist = (
+            np.sum(sub**2, axis=1)[:, None]
+            + np.sum(cb1[j] ** 2, axis=1)[None, :]
+            - 2.0 * sub @ cb1[j].T
+        )
+        exp = dist.argmin(axis=1)
+        codes = np.array(got.code.tolist(), dtype=np.int64)
+        assert np.array_equal(codes[:, j], exp), f"subspace {j}"
+
+
+def test_pq_topk_recall_vs_exact_l2(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    qs = emb.where(F.col("vec_id") % 25 == 0)
+    cb = SIM.train_pq_codebooks(emb, m=8, k_codes=16)
+    got = SIM.pq_topk(emb, qs, 5, cb, refine=8).toPandas()
+
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    V = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    ids = pdf.vec_id.to_numpy()
+    exact_pairs = set()
+    for qi in np.nonzero(ids % 25 == 0)[0]:
+        d = np.sum((V - V[qi]) ** 2, axis=1)
+        d[qi] = np.inf  # self excluded
+        order = np.lexsort((ids, d))[:5]
+        exact_pairs |= {(ids[qi], ids[j]) for j in order}
+    got_pairs = set(zip(got.q_id, got.n_id))
+    recall = len(exact_pairs & got_pairs) / len(exact_pairs)
+    # ADC shortlist + exact re-rank: every returned pair is exactly
+    # ranked within the shortlist, so errors are only shortlist misses
+    assert recall >= 0.6, recall
+    # the returned l2 values are the TRUE distances (exact re-rank)
+    sample = got.head(20)
+    id_to_row = {i: n for n, i in enumerate(ids)}
+    for _, r in sample.iterrows():
+        true_l2 = float(np.sum((V[id_to_row[r.q_id]] - V[id_to_row[r.n_id]]) ** 2))
+        assert abs(true_l2 - r.l2) < 1e-9
