@@ -625,7 +625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (both r2 and r3 artifacts stopped at exactly 50 entries, so the
     # cap looks entry-count-shaped on top of a time budget). r4
     # response is twofold: (a) same-operator plan/metric/variant gates
-    # are consolidated into variant-tagged union gates — 46 entries
+    # are consolidated into variant-tagged union gates — 48 entries
     # now, every one a distinct operator family, all inside a 50-entry
     # cap by construction; (b) ordering stays by measured per-gate cost
     # (scripts/check_entry.py at sf0.01) so a time cut still cannot
