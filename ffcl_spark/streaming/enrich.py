@@ -1,0 +1,78 @@
+"""Streaming spatial enrichment: kNN-join a document stream against a
+static indexed reference set.
+
+The north-star deployment ingests interleaved documents continuously;
+each arriving document's media points need their k nearest reference
+points (tile anchors, centroids, an embedding index's coarse cells)
+attached at ingest time. This module is the streaming face of the
+batch grid kNN: a file-drop stream of docs parquet is drained through
+``foreachBatch``, and every micro-batch runs the IDENTICAL batch plan
+(``knn_join_grid`` against the same cached reference set), so
+
+- stream results == batch results by construction (no reimplemented
+  join semantics to drift; parity pinned in pytest), and
+- state is O(reference set), not O(stream): the only long-lived
+  operator state is Spark's file-source log of consumed files — the
+  kNN itself is stateless per batch, the scale contract an unbounded
+  ingest needs.
+
+Exactly-once: the checkpointLocation dedups source files across
+restarts, and each epoch writes to a distinct ``epoch=<id>`` parquet
+subdirectory (an interrupted epoch is rewritten whole on replay —
+idempotent, same discipline as ``plans.checkpoint``).
+
+The reference has no streaming at all (SURVEY.md §2.10); this is an
+engine extension in the same family as ``streaming.events`` /
+``streaming.sessions``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ffcl_spark.config import EngineConfig
+from ffcl_spark.sources.docs import DOCS_SCHEMA
+
+
+def read_docs_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-drop source of interleaved-docs parquet: any file landing
+    under ``path`` is consumed exactly once."""
+    return spark.readStream.schema(DOCS_SCHEMA).parquet(path)
+
+
+def knn_enrich_stream(
+    docs_stream: DataFrame,
+    refs: DataFrame,
+    k: int,
+    cfg: EngineConfig,
+    out_dir: str,
+    ckpt_dir: str,
+):
+    """Start (availableNow) the enrichment stream: per micro-batch,
+    extract the batch's media points and kNN-join them against the
+    static ``refs`` point set with the production grid plan; append the
+    result to ``out_dir/epoch=<id>/``. Returns the drained query.
+
+    ``refs`` should be cached by the caller when the stream runs more
+    than one epoch — the reference side of every micro-batch is the
+    same DataFrame, and re-reading it per epoch is the one avoidable
+    cost in the loop.
+    """
+    from ffcl_spark.operators.knn_kernel import knn_join_grid
+    from ffcl_spark.sources.points import media_points
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        qs = media_points(batch_df)
+        out = knn_join_grid(qs, refs, k, cfg)
+        out.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    q = (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

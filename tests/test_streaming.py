@@ -142,3 +142,39 @@ def test_merge_np_matches_python_reference():
         assert ge.tolist() == [r[1] for r in out]
         assert gn.tolist() == [r[2] for r in out]
         assert gc.tolist() == [r[3] for r in out]
+
+
+def test_knn_enrich_stream_matches_batch(spark, tmp_path):
+    from ffcl_spark.config import EngineConfig
+    from ffcl_spark.operators.knn_kernel import knn_join_grid
+    from ffcl_spark.sources.docs import synth_docs
+    from ffcl_spark.sources.points import media_points
+    from ffcl_spark.streaming.enrich import knn_enrich_stream, read_docs_stream
+
+    cfg = EngineConfig(resolution=3)
+    base = spark.range(400).withColumn("text", F.lit("t"))
+    docs = synth_docs(base, "id", "text")
+    # static reference set: even-doc points; stream: odd-doc documents
+    refs = media_points(docs.where(F.substring("doc_id", 5, 10).cast("long") % 2 == 0)).cache()
+    stream_docs = docs.where(F.substring("doc_id", 5, 10).cast("long") % 2 == 1)
+
+    drop = str(tmp_path / "enrich_drop")
+    out = str(tmp_path / "enrich_out")
+    ckpt = str(tmp_path / "enrich_ckpt")
+    stream_docs.repartition(3).write.parquet(drop)
+
+    knn_enrich_stream(read_docs_stream(spark, drop), refs, 5, cfg, out, ckpt)
+    got = spark.read.parquet(f"{out}/epoch=*").toPandas()
+
+    exp = knn_join_grid(media_points(stream_docs), refs, 5, cfg).toPandas()
+    key = ["q_id", "r_id"]
+    g = got[key].sort_values(key).reset_index(drop=True)
+    e = exp[key].sort_values(key).reset_index(drop=True)
+    assert g.equals(e)
+    assert len(got) == len(exp)
+
+    # restart with the same checkpoint: all files already consumed —
+    # no new epoch output, previously written epochs intact
+    n_before = len(spark.read.parquet(f"{out}/epoch=*").toPandas())
+    knn_enrich_stream(read_docs_stream(spark, drop), refs, 5, cfg, out, ckpt)
+    assert len(spark.read.parquet(f"{out}/epoch=*").toPandas()) == n_before
