@@ -31,6 +31,11 @@ from ffcl_spark.kernels.hierarchy import hdbscan_partition
 from ffcl_spark.operators.boruvka import minimum_spanning_tree, mst_edges_local
 from ffcl_spark.operators.components import connected_components
 
+# above this many removed edges, skip the forced broadcast and let AQE
+# choose (the driver upload itself remains the declared O(n) worst-case
+# plan bound — see _emit_labels)
+_BROADCAST_EDGE_LIMIT = 1_000_000
+
 
 def hdbscan(
     points: DataFrame,
@@ -82,8 +87,17 @@ def _emit_labels(
     id_sql = id_type.simpleString()
     kept = edges_df.select("src", "dst")
     if removed_edges:
+        # removed_edges is O(#noise + #clusters) when clusters are
+        # selected, but with allow_single_cluster=False on noisy data
+        # it degrades toward O(n) (worst case n−1 — round-4 ADVICE).
+        # Force the broadcast only while plan-sized; above the
+        # threshold let AQE pick the join strategy (a shuffled
+        # left_anti is correct at any size, and n−1 edge pairs would
+        # blow the broadcast limit).
         rm = spark.createDataFrame(removed_edges, f"src {id_sql}, dst {id_sql}")
-        kept = kept.join(F.broadcast(rm), ["src", "dst"], "left_anti")
+        if len(removed_edges) <= _BROADCAST_EDGE_LIMIT:
+            rm = F.broadcast(rm)
+        kept = kept.join(rm, ["src", "dst"], "left_anti")
     comp = connected_components(points.select("id"), kept)
     sel = spark.createDataFrame(
         [(l,) for l in selected_labels], f"sel_label {id_sql}"

@@ -142,6 +142,8 @@ def silhouette_samples(
     parity pinned in tests/test_stats.py). Evaluation metric position
     unchanged from the reference (``SilhouetteMethod.hpp`` is model
     selection), but at 100× the bounded form is the plan you'd run."""
+    from pyspark.sql import Window
+
     p = points.join(labels, "id").select("id", "x", "y", "label")
     refs = p
     if max_refs_per_cluster is not None:
@@ -158,9 +160,25 @@ def silhouette_samples(
             16,
             10,
         ).cast("long")
+        # independent per-cluster sampling can leave a cluster with zero
+        # sampled refs (or only point i itself), which silently turned
+        # a(i)/b(i) NULL → silhouette 0.0 and dropped whole clusters
+        # from the b(i) min at small caps (round-4 ADVICE). Guarantee:
+        # the two smallest ids of every cluster are ALWAYS kept, so
+        # every non-empty cluster contributes to every b(i), and every
+        # point of a ≥2-point cluster has an own-cluster ref ≠ itself —
+        # the remaining NULL-a case is exactly the true singleton,
+        # whose s = 0 is the reference's definition, not a sampling
+        # artifact. Exactness when the cap covers every cluster is
+        # unchanged (those rows were already kept).
+        rw = Window.partitionBy("label").orderBy("id")
         refs = (
             p.join(F.broadcast(sizes), "label")
-            .where(F.pmod(h, F.lit(1_000_000)).cast("double") < frac * 1_000_000)
+            .withColumn("keep_rank", F.row_number().over(rw))
+            .where(
+                (F.col("keep_rank") <= 2)
+                | (F.pmod(h, F.lit(1_000_000)).cast("double") < frac * 1_000_000)
+            )
             .select("id", "x", "y", "label")
         )
     a = p.select(

@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 
 from ffcl_spark.plans.cache import release
 
-CKPT_SCHEMA ="job_id string, chunk int, rows_in long, rows_out long, wall_ms long, status string, finished_at string"
+CKPT_SCHEMA = "job_id string, chunk int, rows_in long, rows_out long, wall_ms long, status string, finished_at string"
 
 
 def _path_exists(spark: SparkSession, path: str) -> bool:

@@ -285,3 +285,30 @@ def test_hierarchy_chain_50k_no_blowup():
     hl = hdbscan_labels(ids, edges, min_cluster_size=10)
     assert len(hl) == n
     assert time.time() - t0 < 60
+
+
+def test_mst_edges_local_streams_1m_edges(spark):
+    # round-4 VERDICT task #4: the dendrogram edge transfer must not be
+    # a single n-row collect. mst_edges_local streams weight-ordered
+    # partition batches (toLocalIterator) — exercise it at ≥1M edges
+    # and assert completeness + global weight order of the stream.
+    from pyspark.sql import functions as F
+
+    from ffcl_spark.operators.boruvka import mst_edges_local
+
+    n = 1_000_001
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id").alias("src"),
+            (F.col("id") + 1).alias("dst"),
+            # non-monotone-in-src weights so the order check is real
+            (F.pmod(F.xxhash64("id"), F.lit(10_000_000)).cast("double") / 1000.0).alias("w"),
+        )
+        .repartition(32)
+    )
+    edges = mst_edges_local(df)
+    assert len(edges) == n
+    ws = [e[2] for e in edges]
+    assert all(ws[i] <= ws[i + 1] for i in range(len(ws) - 1))
+    assert {e[0] for e in edges} == set(range(n))

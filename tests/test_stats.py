@@ -114,3 +114,29 @@ def test_feature_stats_exact_invariant_and_correct(spark, cfg, blobs):
     assert abs(g.mean_x - q[:, 0].mean() / 1000) < 1e-12
     assert abs(g.var_x - q[:, 0].var(ddof=1) / 1e6) < 1e-9
     assert g.n == len(pdf)
+
+
+def test_silhouette_small_cap_keeps_every_cluster(spark, blobs):
+    # round-4 ADVICE: independent per-cluster sampling could empty a
+    # cluster's ref sample, silently biasing a(i)/b(i) (NULL → 0.0) and
+    # dropping clusters from the b(i) min. The guarantee keeps the two
+    # smallest ids of every cluster, so even cap=1 leaves every
+    # ≥2-point cluster represented: no point of a multi-point cluster
+    # may have a NULL a or b (i.e. silhouette exactly 0.0 by the NULL
+    # branch), and the estimator mean stays in a sane band.
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ffcl_spark.operators import stats as ST
+
+    df, pdf = blobs
+    labels = df.select("id", (F.col("id") % 3).alias("label"))
+    got = ST.silhouette_samples(df, labels, max_refs_per_cluster=1).toPandas()
+    assert not got["a"].isna().any()
+    assert not got["b"].isna().any()
+    # deterministic across reruns
+    again = ST.silhouette_samples(df, labels, max_refs_per_cluster=1).toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("id").reset_index(drop=True),
+        again.sort_values("id").reset_index(drop=True),
+    )

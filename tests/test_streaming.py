@@ -178,3 +178,60 @@ def test_knn_enrich_stream_matches_batch(spark, tmp_path):
     n_before = len(spark.read.parquet(f"{out}/epoch=*").toPandas())
     knn_enrich_stream(read_docs_stream(spark, drop), refs, 5, cfg, out, ckpt)
     assert len(spark.read.parquet(f"{out}/epoch=*").toPandas()) == n_before
+
+
+def test_knn_enrich_stream_no_cache_growth(spark, tmp_path):
+    # round-4 ADVICE: the per-batch handler called knn_join_grid with
+    # checkpoint=False and never released the carried intermediates, so
+    # cached partitions accumulated for the life of the stream. Drive
+    # ≥10 single-file epochs through the handler and assert the
+    # session's persistent-RDD set does not grow.
+    from ffcl_spark.config import EngineConfig
+    from ffcl_spark.sources.docs import synth_docs
+    from ffcl_spark.sources.points import media_points
+    from ffcl_spark.streaming.enrich import knn_enrich_stream, read_docs_stream
+
+    cfg = EngineConfig(resolution=3)
+    base = spark.range(240).withColumn("text", F.lit("t"))
+    docs = synth_docs(base, "id", "text")
+    refs = media_points(
+        docs.where(F.substring("doc_id", 5, 10).cast("long") % 2 == 0)
+    ).cache()
+    refs.count()
+    stream_docs = docs.where(F.substring("doc_id", 5, 10).cast("long") % 2 == 1)
+
+    drop = str(tmp_path / "leak_drop")
+    out = str(tmp_path / "leak_out")
+    ckpt = str(tmp_path / "leak_ckpt")
+    stream_docs.repartition(12).write.parquet(drop)
+
+    def n_persistent():
+        return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+    before = n_persistent()
+    # one file per trigger → ≥10 micro-batches through handle()
+    knn_enrich_stream(
+        read_docs_stream(spark, drop, max_files_per_trigger=1),
+        refs, 3, cfg, out, ckpt,
+    )
+    epochs = {
+        p.split("epoch=")[1].split("/")[0]
+        for p in spark.read.parquet(f"{out}/epoch=*").inputFiles()
+    }
+    assert len(epochs) >= 10
+    # localCheckpoint handles (the checkpoint=True return rows) are
+    # released by the ContextCleaner once the epoch's DataFrame is
+    # GC'd — asynchronous, so force GC and poll for the settle. The
+    # leak this guards against is O(epochs) persisted kernel
+    # intermediates, which no amount of GC would remove (they were
+    # carried, never released).
+    import gc
+    import time
+
+    deadline = time.time() + 30
+    while n_persistent() > before and time.time() < deadline:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(0.5)
+    assert n_persistent() == before
+    refs.unpersist()
