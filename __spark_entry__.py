@@ -45,6 +45,8 @@ LI_QMOD = 3989  # lineitem kNN query subset: doc number % 3989 == 0
 EMB_K = 10
 EMB_QMOD = 10
 NEARDUP_COS = 0.42
+LSH_COS = 0.9  # near-dup regime, where SRP banding prunes hard
+ANN_HIT_FLOOR = 3  # per-query recall floor (of EMB_K): measured min 4
 JACCARD_T = 0.05
 K_EDGES = 5
 
@@ -89,6 +91,36 @@ def _nd_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ffcl_spark.sources.vectors import synth_features
 
     return synth_features(_documents(spark, sf_dir), "doc_id", DIMS_ND)
+
+
+def _exact_l2_topk(emb: DataFrame, qs: DataFrame, k: int) -> DataFrame:
+    """Brute exact L2 top-k (q_id, n_id) — the in-query exact baseline
+    the PQ-family recall gates compare against (oracle form; the scale
+    path is the operators being gated)."""
+    from pyspark.sql import Window
+
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"),
+            F.col("n_vec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    q = qs.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec"))
+    r = emb.select(F.col("vec_id").alias("n_id"), F.col("embedding").alias("n_vec"))
+    w = Window.partitionBy("q_id").orderBy("l2", "n_id")
+    return (
+        F.broadcast(q)
+        .crossJoin(r)
+        .where(F.col("q_id") != F.col("n_id"))
+        .withColumn("l2", l2)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id")
+    )
 
 
 # ------------------------------------------------------------- entry
@@ -521,10 +553,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_embed_neardup_lsh(spark, sf):
         # SRP-LSH banded candidates + exact cosine verification — the
-        # near-dup-regime scale path; approximate by construction →
-        # rows-only; recall ≥ 0.95 vs brute is pinned in pytest.
-        # Planted dups: deterministic 0.98·v + 0.02·reverse(v) mixes
-        # (cos ≈ 0.999) for every 5th vector.
+        # near-dup-regime scale path. Round-5 upgrade: the gate emits
+        # per-EXACT-pair coverage (exact side = the brute operator on
+        # the same planted corpus, in the same query), so the driver
+        # artifact proves approximation quality, not just shape: the
+        # DuckDB oracle recomputes the exact pair set itself and pins
+        # found=TRUE (measured complete at gate scale — planted
+        # 0.98·v + 0.02·reverse(v) mixes sit at cos ≈ 0.999, deep
+        # inside the banding's high-recall regime; LSH output is
+        # threshold-verified so false positives are impossible by
+        # construction). Deterministic: seeded hyperplanes, no
+        # float-mean training.
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         mix = F.zip_with(
             F.col("embedding"),
@@ -535,27 +574,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("vec_id") + 1_000_000).alias("vec_id"), mix.alias("embedding")
         )
         full = emb.select("vec_id", "embedding").unionByName(planted)
-        return SIM.lsh_neardup_pairs(full, 0.9, dims=64).select("id_a", "id_b")
+        exact = SIM.cosine_neardup_pairs(full, LSH_COS).select("id_a", "id_b")
+        lsh = SIM.lsh_neardup_pairs(full, LSH_COS, dims=64).select(
+            "id_a", "id_b", F.lit(True).alias("found")
+        )
+        return exact.join(lsh, ["id_a", "id_b"], "left").select(
+            "id_a", "id_b", F.coalesce("found", F.lit(False)).alias("found")
+        )
 
     def q_embed_ivf(spark, sf):
-        # approximate ANN → rows-only check; recall vs brute force in pytest
+        # IVF ANN with DRIVER-VISIBLE recall evidence (round-4 VERDICT
+        # task #3): per query, hits = |IVF top-k ∩ exact cosine top-k|
+        # computed in the same query; the gate emits recall_ok =
+        # hits ≥ ANN_HIT_FLOOR and the oracle pins TRUE for every
+        # query id (recomputed by SQL, not a VALUES pin). Measured at
+        # sf0.01: min hits 4/10, mean 6.3 — the floor of 3 separates
+        # "approximate and good" from "approximate and broken" while
+        # staying off the measured edge. Deterministic: centroid
+        # training is driver NumPy over a seeded hash sample.
+        # `ivf` = plain inverted-file probe (exact side: cosine top-k);
+        # `ivf_pq` = the IVF×PQ composition — codes ADC-scanned within
+        # probed buckets only, exact-L2 re-rank (exact side: brute L2
+        # top-k; measured min hits 4/10 at sf0.01). One variant-tagged
+        # gate keeps the suite at 48 entries.
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         qs = emb.where(F.col("vec_id") % EMB_QMOD == 0)
         cents = SIM.train_ivf_centroids(emb, 16)
-        return SIM.ivf_topk(emb, qs, EMB_K, cents, n_probe=4).select(
-            "q_id", "n_id", "rank"
+        approx = SIM.ivf_topk(emb, qs, EMB_K, cents, n_probe=4).select("q_id", "n_id")
+        exact = SIM.cosine_topk(emb, qs, EMB_K).select("q_id", "n_id")
+        hits = approx.join(exact, ["q_id", "n_id"]).groupBy("q_id").agg(
+            F.count(F.lit(1)).alias("hits")
         )
+        ivf = (
+            qs.select(F.col("vec_id").alias("q_id"))
+            .join(hits, "q_id", "left")
+            .select(
+                "q_id",
+                (F.coalesce("hits", F.lit(0)) >= ANN_HIT_FLOOR).alias("recall_ok"),
+                F.lit("ivf").alias("variant"),
+            )
+        )
+        cb = SIM.train_pq_codebooks(emb, m=8, k_codes=16)
+        approx2 = SIM.ivf_pq_topk(
+            emb, qs, EMB_K, cents, cb, n_probe=4, refine=8
+        ).select("q_id", "n_id")
+        exact2 = _exact_l2_topk(emb, qs, EMB_K)
+        hits2 = approx2.join(exact2, ["q_id", "n_id"]).groupBy("q_id").agg(
+            F.count(F.lit(1)).alias("hits")
+        )
+        ivf_pq = (
+            qs.select(F.col("vec_id").alias("q_id"))
+            .join(hits2, "q_id", "left")
+            .select(
+                "q_id",
+                (F.coalesce("hits", F.lit(0)) >= ANN_HIT_FLOOR).alias("recall_ok"),
+                F.lit("ivf_pq").alias("variant"),
+            )
+        )
+        return ivf.unionByName(ivf_pq)
 
     def q_embed_pq(spark, sf):
-        # product-quantization ADC + exact re-rank (r4) — the
-        # compressed-scan ANN scale path; approximate by construction
-        # → rows-only check; codebook determinism, NumPy encode parity,
-        # recall vs exact L2, and true-distance re-rank in pytest
+        # product-quantization ADC + exact re-rank, with the same
+        # driver-visible recall scheme as q_embed_ivf (exact side =
+        # brute L2 top-k in the same query; measured min hits 4/10,
+        # mean 8.0 at sf0.01). Codebook determinism, NumPy encode
+        # parity, and re-rank exactness stay in pytest.
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         qs = emb.where(F.col("vec_id") % EMB_QMOD == 0)
         cb = SIM.train_pq_codebooks(emb, m=8, k_codes=16)
-        return SIM.pq_topk(emb, qs, EMB_K, cb, refine=8).select(
-            "q_id", "n_id", "rank"
+        approx = SIM.pq_topk(emb, qs, EMB_K, cb, refine=8).select("q_id", "n_id")
+        exact = _exact_l2_topk(emb, qs, EMB_K)
+        hits = approx.join(exact, ["q_id", "n_id"]).groupBy("q_id").agg(
+            F.count(F.lit(1)).alias("hits")
+        )
+        return (
+            qs.select(F.col("vec_id").alias("q_id"))
+            .join(hits, "q_id", "left")
+            .select(
+                "q_id",
+                (F.coalesce("hits", F.lit(0)) >= ANN_HIT_FLOOR).alias("recall_ok"),
+            )
         )
 
     # (the float-sum `feature_stats` gate was retired in r4: it
@@ -573,12 +671,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # routed through the bounded form (max_refs_per_cluster): at the
         # gate's scale the cap exceeds every cluster, so the result is
         # exactly the full metric while the gate pins the scale path;
-        # cap-vs-exact parity lives in tests/test_stats.py
+        # cap-vs-exact parity lives in tests/test_stats.py. Round-5
+        # upgrade to a REAL DuckDB oracle: labels are md5-derived (so
+        # SQL reproduces them — crc32 has no DuckDB twin) and a/b/s are
+        # emitted as 1e-4 fixed-point BIGINTs — Spark and DuckDB sum
+        # the pair distances in different orders, so raw doubles differ
+        # in the last ulp while the rounded fixed-point is identical
+        # (no value sits near a rounding boundary at this fixture;
+        # verified at generation time).
         from ffcl_spark.operators.stats import silhouette_samples
 
         pts = _cluster_subset(spark, sf)
-        labels = pts.select("id", (F.crc32(F.col("id")) % 2).alias("label"))
-        return silhouette_samples(pts, labels, max_refs_per_cluster=100_000)
+        h = F.conv(F.substring(F.md5(F.col("id")), 1, 8), 16, 10).cast("long")
+        labels = pts.select("id", (h % 2).cast("int").alias("label"))
+        s = silhouette_samples(pts, labels, max_refs_per_cluster=100_000)
+        fp = lambda c: F.round(F.col(c) * 10000).cast("long")  # noqa: E731
+        return s.select(
+            "id",
+            "label",
+            fp("a").alias("a_fp"),
+            fp("b").alias("b_fp"),
+            fp("silhouette").alias("sil_fp"),
+        )
 
     def q_multimodal_meta(spark, sf):
         media = MM.media_binary(_docs(spark, sf))
@@ -1531,9 +1645,101 @@ GROUP BY 1, 2
         km["kmedoids_cells"], "cell,medoid_id", True
     )
 
-    # kmeans_labels, silhouette, embed_neardup_lsh, embed_ivf, embed_pq:
-    # intentionally no oracle (iterative float-mean centroids /
-    # float-sum metric / approximate-by-construction) → rows-only
-    # driver check; pytest holds the exact NumPy-parity or
-    # recall-based verification.
+    # k-means gate: Lloyd's iterative float-mean trajectory is not SQL,
+    # so the oracle is the PINNED label set recomputed by the
+    # independent NumPy twin (scripts/make_kmeans_oracle.py, same
+    # position as the HDBSCAN/k-medoids pins; the twin's parity against
+    # the distributed pipeline is pinned in tests/test_clustering.py and
+    # test_nd.py). `hamerly` shares `lloyd`'s pin — Hamerly's bounds
+    # only skip distance work, never change results. sf0.01 only.
+    kmeans_path = _os.path.join(
+        _os.path.dirname(_os.path.abspath(__file__)),
+        "oracles", "kmeans_pinned_sf001.json",
+    )
+    with open(kmeans_path) as f:
+        kmp = _json.load(f)
+
+    def _label_values_sql(rows) -> str:
+        vals = ",\n".join(f"('{r[0]}', {r[1]})" for r in rows)
+        return (
+            "SELECT id, CAST(label AS INTEGER) AS label FROM (VALUES\n"
+            f"{vals}\n) AS t(id, label)"
+        )
+
+    o["kmeans_labels"] = _variants(
+        ("lloyd", _label_values_sql(kmp["kmeans_lloyd"])),
+        ("hamerly", _label_values_sql(kmp["kmeans_lloyd"])),
+        ("lloyd_nd", _label_values_sql(kmp["kmeans_nd"])),
+    )
+
+    # silhouette: a REAL recomputation oracle — DuckDB replays the
+    # whole metric (pair distances → per-cluster means → a/b → s) on
+    # the same md5-derived subset and labels. Both engines emit 1e-4
+    # fixed-point BIGINTs because their float SUMMATION ORDERS differ
+    # in the last ulp; the rounding is boundary-safe at this fixture
+    # (checked at gate-construction time). NULL a/b (singleton
+    # clusters) → s = 0.0, mirroring stats.silhouette_samples.
+    o["silhouette"] = f"""
+WITH {_PTS_DOCS},
+sub AS (
+  SELECT id, x, y, CAST('0x' || substr(md5(id), 1, 8) AS BIGINT) AS h
+  FROM pts
+  WHERE CAST('0x' || substr(md5(id), 1, 8) AS BIGINT) % 3 = 0),
+lab AS (SELECT id, x, y, CAST(h % 2 AS INTEGER) AS label FROM sub),
+pair AS (
+  SELECT i.id AS i, i.label AS li, j.label AS lj,
+         sqrt((i.x - j.x) * (i.x - j.x) + (i.y - j.y) * (i.y - j.y)) AS d
+  FROM lab i JOIN lab j ON i.id <> j.id),
+pc AS (SELECT i, li, lj, avg(d) AS mean_d FROM pair GROUP BY i, li, lj),
+own AS (SELECT i, mean_d AS a FROM pc WHERE li = lj),
+oth AS (SELECT i, min(mean_d) AS b FROM pc WHERE li <> lj GROUP BY i)
+SELECT l.id AS id, l.label AS label,
+  CAST(round(own.a * 10000, 0) AS BIGINT) AS a_fp,
+  CAST(round(oth.b * 10000, 0) AS BIGINT) AS b_fp,
+  CAST(round(
+    CASE WHEN own.a IS NULL OR oth.b IS NULL THEN 0.0
+         ELSE (oth.b - own.a) / greatest(own.a, oth.b) END * 10000, 0)
+    AS BIGINT) AS sil_fp
+FROM lab l LEFT JOIN own ON own.i = l.id LEFT JOIN oth ON oth.i = l.id
+"""
+
+    # ANN gates (round-4 VERDICT task #3): approximate by construction,
+    # but the gates now emit RECALL EVIDENCE — per-query hit floors
+    # (IVF/PQ) and per-exact-pair coverage (LSH) against the exact
+    # operator computed in the same query — and the oracle pins the
+    # quality bar: every query id (recomputed by SQL) must carry
+    # recall_ok=TRUE / every exact pair (recomputed by SQL over the
+    # planted corpus) must carry found=TRUE. A broken approximation now
+    # hash-mismatches at the driver instead of hiding behind rows-only.
+    _ann_queries_sql = f"""
+SELECT CAST(vec_id AS BIGINT) AS q_id, TRUE AS recall_ok
+FROM embeddings WHERE vec_id % {EMB_QMOD} = 0
+"""
+    o["embed_ivf"] = _variants(
+        ("ivf", _ann_queries_sql), ("ivf_pq", _ann_queries_sql)
+    )
+    o["embed_pq"] = _ann_queries_sql
+
+    # exact near-dup pairs over the planted corpus (base ∪ mixed
+    # copies), recomputed in SQL: the mix replays Spark's arithmetic —
+    # per-element double mix rounded through FLOAT32 (the gate casts to
+    # float), cosine in double. found=TRUE pinned: measured complete
+    # at gate scale (planted pairs sit at cos ≈ 0.999).
+    o["embed_neardup_lsh"] = f"""
+WITH base AS (
+  SELECT CAST(vec_id AS BIGINT) AS vec_id,
+         CAST(embedding AS DOUBLE[]) AS v
+  FROM embeddings),
+planted AS (
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(
+           list_zip(v, list_reverse(v)),
+           x -> CAST(CAST(x[1] * 0.98 + x[2] * 0.02 AS FLOAT) AS DOUBLE)
+         ) AS v
+  FROM base WHERE vec_id % 5 = 0),
+full_set AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b, TRUE AS found
+FROM full_set a JOIN full_set b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= {LSH_COS}
+"""
     return o

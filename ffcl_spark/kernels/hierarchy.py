@@ -350,3 +350,64 @@ def hdbscan_labels(
             continue
         stack.extend(c.children)
     return labels
+
+
+def slt_to_json(root: SLNode, max_depth: int | None = None) -> dict:
+    """Nested-JSON export of the single-linkage merge tree — the
+    engine's twin of the reference's dendrogram serialization
+    (``SingleLinkageClusterTree.hpp:81`` stores the root for
+    ``serialize``; ``:240-245`` writes level / size / children
+    recursively). Per node: ``level`` (merge distance; 0.0 at leaves),
+    ``size`` (descendant leaf count), ``rep`` (min leaf id — the
+    engine's canonical cluster label convention), ``leaf`` (leaf id,
+    leaves only) and ``children``. ``max_depth`` bounds the export to
+    the top levels (the scale form: the full dendrogram is O(n) driver
+    metadata, the JSON an operator report).
+
+    Iterative: reps flow bottom-up in one post-order pass and the
+    nested dicts assemble on an explicit stack — a 50k chain
+    dendrogram must neither recurse nor pay O(n·depth) member scans."""
+    if root is None:
+        return {"root": None}
+    # post-order: children's dicts exist before the parent's
+    order: list[SLNode] = []
+    stack = [root]
+    while stack:
+        node = stack.pop()
+        order.append(node)
+        if node.left is not None:
+            stack.append(node.left)
+            stack.append(node.right)
+    built: dict[int, dict] = {}
+    reps: dict[int, object] = {}
+    depth: dict[int, int] = {root.node_id: 0}
+    for node in order:
+        if node.left is not None:
+            for ch in (node.left, node.right):
+                depth[ch.node_id] = depth[node.node_id] + 1
+    for node in reversed(order):
+        if node.left is None:
+            reps[node.node_id] = node.leaf
+            built[node.node_id] = {
+                "level": 0.0,
+                "size": 1,
+                "rep": node.leaf,
+                "leaf": node.leaf,
+                "children": [],
+            }
+            continue
+        rl, rr = reps[node.left.node_id], reps[node.right.node_id]
+        reps[node.node_id] = min(rl, rr)
+        kids = sorted(
+            (built[node.left.node_id], built[node.right.node_id]),
+            key=lambda c: str(c["rep"]),
+        )
+        if max_depth is not None and depth[node.node_id] >= max_depth:
+            kids = []  # truncate below the export horizon
+        built[node.node_id] = {
+            "level": float(node.level),
+            "size": node.size,
+            "rep": reps[node.node_id],
+            "children": kids,
+        }
+    return {"root": built[root.node_id]}

@@ -113,6 +113,33 @@ def _emit_labels(
     )
 
 
+def slt_tree_json(
+    points: DataFrame,
+    cfg: EngineConfig,
+    local_cutoff: int = 0,
+    features_col: str | None = None,
+    max_depth: int | None = None,
+) -> str:
+    """JSON-serialized single-linkage dendrogram over the plain-distance
+    MST — the engine's twin of the reference's serialized merge tree
+    (``SingleLinkageClusterTree.hpp:81,240-245``): per node the merge
+    level, subtree size, representative (min member id) and nested
+    children; ``max_depth`` bounds the export to the top levels. The
+    MST edges stream to the driver in weight order (``mst_edges_local``
+    contract); the JSON itself is dendrogram-sized driver metadata."""
+    import json
+
+    from ffcl_spark.kernels.hierarchy import single_linkage_tree, slt_to_json
+
+    edges_df = minimum_spanning_tree(
+        points, cfg, local_cutoff=local_cutoff, features_col=features_col
+    )
+    edges = mst_edges_local(edges_df)
+    ids = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    root = single_linkage_tree(ids, edges)
+    return json.dumps(slt_to_json(root, max_depth=max_depth), sort_keys=True)
+
+
 def single_linkage_cut(
     points: DataFrame,
     cfg: EngineConfig,

@@ -47,6 +47,39 @@ def kmeanspp_init(
     return np.array(cents, dtype=np.float64)
 
 
+def kmeanspp_init_from_previous(
+    sample: np.ndarray, k: int, seed: int
+) -> np.ndarray:
+    """The reference's second kmeans++ flavor
+    (``KMeansPlusPlus.hpp:83-112``,
+    ``make_centroids_from_previous_centroid``): first centroid uniform;
+    each subsequent centroid is drawn with probability proportional to
+    the euclidean distance to the PREVIOUS centroid only (not the min
+    over all picked centroids), via Vose's alias method
+    (``VosesAliasMethod.hpp:16-50`` → ``kernels.sampling.VoseAlias``).
+    Cheaper per pick (one distance column instead of a running min);
+    the reference documents the trade-off — more prone to local minima.
+    Deterministic under the seed."""
+    from ffcl_spark.kernels.sampling import VoseAlias
+
+    rng = np.random.default_rng(seed)
+    n = len(sample)
+    prev = sample[int(rng.integers(n))]
+    cents = [prev]
+    for i in range(1, min(k, n)):
+        d = np.sqrt(np.sum((sample - prev) ** 2, axis=1))
+        if d.sum() <= 0:  # all samples identical to prev: uniform pick
+            idx = int(rng.integers(n))
+        else:
+            idx = int(VoseAlias(d, seed=seed + i).draw(1)[0])
+        prev = sample[idx]
+        cents.append(prev)
+    return np.array(cents, dtype=np.float64)
+
+
+_INITS = {"pp": kmeanspp_init, "pp_prev": kmeanspp_init_from_previous}
+
+
 def _assign_expr(cents: np.ndarray):
     """Argmin-distance label as a pure column expression."""
     structs = [
@@ -99,9 +132,15 @@ def kmeans(
     tol: float = 1e-6,
     seed: int = 7,
     sample_rows: int = 50_000,
+    init: str = "pp",
 ) -> tuple[np.ndarray, float, DataFrame]:
     """Full k-means: n_init kmeans++ restarts, keep the min-loss run.
     Returns (centroids, loss, labels DataFrame (id, label)).
+
+    ``init``: "pp" = full kmeans++ (D-weighted against the nearest
+    picked centroid, ``KMeansPlusPlus.hpp:40-65``); "pp_prev" = the
+    reference's previous-centroid variant (weighted by distance to the
+    last pick only, Vose alias draw — ``KMeansPlusPlus.hpp:83-112``).
 
     The init sample is a SEEDED HASH FILTER (pmod(xxhash64(id, seed),
     m) == 0) — deterministic at any partitioning/AQE plan, and never a
@@ -122,10 +161,11 @@ def kmeans(
         .reset_index(drop=True)
         .to_numpy()[:sample_rows]
     )
+    init_fn = _INITS[init]
     best = None
     for trial in range(n_init):
-        init = kmeanspp_init(sample, k, seed + trial)
-        cents, loss, labels = lloyd_once(points, init, max_iters, tol)
+        cents0 = init_fn(sample, k, seed + trial)
+        cents, loss, labels = lloyd_once(points, cents0, max_iters, tol)
         if best is None or loss < best[1]:
             best = (cents, loss, labels)
     return best
@@ -254,11 +294,13 @@ def kmeans_hamerly(
     tol: float = 1e-6,
     seed: int = 7,
     sample_rows: int = 50_000,
+    init: str = "pp",
 ) -> tuple[np.ndarray, float, DataFrame]:
     """k-means with Hamerly's acceleration — same contract and results
-    as :func:`kmeans` (kmeans++ seeded init, n_init restarts, min-loss
-    run kept); reference ``Hamerly.hpp`` (the reference treats it as a
-    drop-in engine for the same KMeans pipeline, ``KMeans.hpp``)."""
+    as :func:`kmeans` (kmeans++ seeded init with the same ``init``
+    flavors, n_init restarts, min-loss run kept); reference
+    ``Hamerly.hpp`` (the reference treats it as a drop-in engine for
+    the same KMeans pipeline, ``KMeans.hpp``)."""
     n = points.count()
     m = max(1, math.ceil(n / sample_rows))
     basis = points
@@ -273,10 +315,11 @@ def kmeans_hamerly(
         .reset_index(drop=True)
         .to_numpy()[:sample_rows]
     )
+    init_fn = _INITS[init]
     best = None
     for trial in range(n_init):
-        init = kmeanspp_init(sample, k, seed + trial)
-        cents, loss, labels = hamerly_once(points, init, max_iters, tol)
+        cents0 = init_fn(sample, k, seed + trial)
+        cents, loss, labels = hamerly_once(points, cents0, max_iters, tol)
         if best is None or loss < best[1]:
             best = (cents, loss, labels)
     return best
@@ -350,10 +393,12 @@ def kmeans_nd(
     seed: int = 7,
     sample_rows: int = 50_000,
     vec_col: str = "features",
+    init: str = "pp",
 ) -> tuple[np.ndarray, float, DataFrame]:
     """n-D k-means over an ``array<double>`` feature column — same
     contract as :func:`kmeans` (kmeans++ seeded on a deterministic
-    hash-filtered sample, n_init restarts, min-loss run kept)."""
+    hash-filtered sample with the same ``init`` flavors, n_init
+    restarts, min-loss run kept)."""
     n = points.count()
     m = max(1, math.ceil(n / sample_rows))
     basis = points
@@ -363,10 +408,11 @@ def kmeans_nd(
         )
     pdf = basis.select("id", vec_col).toPandas().sort_values("id")
     sample = np.array(pdf[vec_col].tolist()[:sample_rows], dtype=np.float64)
+    init_fn = _INITS[init]
     best = None
     for trial in range(n_init):
-        init = kmeanspp_init(sample, k, seed + trial)
-        cents, loss, labels = lloyd_once_nd(points, init, max_iters, tol, vec_col)
+        cents0 = init_fn(sample, k, seed + trial)
+        cents, loss, labels = lloyd_once_nd(points, cents0, max_iters, tol, vec_col)
         if best is None or loss < best[1]:
             best = (cents, loss, labels)
     return best

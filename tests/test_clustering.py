@@ -312,3 +312,81 @@ def test_mst_edges_local_streams_1m_edges(spark):
     ws = [e[2] for e in edges]
     assert all(ws[i] <= ws[i + 1] for i in range(len(ws) - 1))
     assert {e[0] for e in edges} == set(range(n))
+
+
+def test_kmeanspp_prev_centroid_variant(spark):
+    # reference KMeansPlusPlus.hpp:83-112: subsequent centroids drawn
+    # with probability proportional to the distance to the PREVIOUS
+    # centroid only, via Vose's alias method. NumPy twin: replay the
+    # same seeded uniform first pick + per-step VoseAlias draws and
+    # assert the init rows match exactly; then assert the end-to-end
+    # kmeans(init="pp_prev") run is deterministic and labels every row.
+    from ffcl_spark.kernels.sampling import VoseAlias
+    from ffcl_spark.operators.kmeans import (
+        kmeans,
+        kmeanspp_init_from_previous,
+    )
+
+    pdf = points_pdf("blobs", 300)
+    sample = pdf.sort_values(["x", "y"]).reset_index(drop=True)[["x", "y"]].to_numpy()
+    k, seed = 4, 11
+    got = kmeanspp_init_from_previous(sample, k, seed)
+
+    rng = np.random.default_rng(seed)
+    prev = sample[int(rng.integers(len(sample)))]
+    exp = [prev]
+    for i in range(1, k):
+        d = np.sqrt(((sample - prev) ** 2).sum(axis=1))
+        idx = int(VoseAlias(d, seed=seed + i).draw(1)[0])
+        prev = sample[idx]
+        exp.append(prev)
+    assert np.array_equal(got, np.array(exp))
+    # picks differ from the full-kmeans++ flavor (sanity: it IS a
+    # different policy on this fixture)
+    from ffcl_spark.operators.kmeans import kmeanspp_init
+
+    assert not np.array_equal(got, kmeanspp_init(sample, k, seed))
+
+    df = spark.createDataFrame(pdf)
+    c1, loss1, lab1 = kmeans(df, k, seed=seed, init="pp_prev")
+    c2, loss2, lab2 = kmeans(df, k, seed=seed, init="pp_prev")
+    assert np.array_equal(c1, c2) and loss1 == loss2
+    a = lab1.toPandas().sort_values("id").reset_index(drop=True)
+    b = lab2.toPandas().sort_values("id").reset_index(drop=True)
+    assert (a["label"].to_numpy() == b["label"].to_numpy()).all()
+    assert len(a) == len(pdf)
+
+
+def test_slt_tree_json_matches_local_kernel(spark):
+    # reference SingleLinkageClusterTree.hpp:81,240-245 — the serialized
+    # merge tree. The distributed export must equal the tree built by
+    # the pytest-trusted local kernels over the local Prim MST on the
+    # same fixture (no distance ties at this fixture, so the MST and
+    # hence the dendrogram are unique).
+    import json
+
+    from ffcl_spark.config import EngineConfig
+    from ffcl_spark.kernels.hierarchy import single_linkage_tree, slt_to_json
+    from ffcl_spark.kernels.mst_local import prim_mst
+    from ffcl_spark.operators.hdbscan import slt_tree_json
+
+    pdf = points_pdf("blobs", 150)
+    df = spark.createDataFrame(pdf)
+    got = json.loads(slt_tree_json(df, EngineConfig(resolution=3)))
+
+    mat = pdf.sort_values("id")[["x", "y"]].to_numpy()
+    edges = prim_mst(mat, pdf.sort_values("id")["id"].to_numpy())
+    root = single_linkage_tree(sorted(pdf["id"]), edges)
+    exp = slt_to_json(root)
+    assert got == json.loads(json.dumps(exp))  # normalize types via json
+
+    # bounded export: depth-2 horizon is a strict prefix of the full tree
+    shallow = json.loads(slt_tree_json(df, EngineConfig(resolution=3), max_depth=2))
+
+    def depth_of(node, d=0):
+        return max([d] + [depth_of(c, d + 1) for c in node["children"]])
+
+    assert depth_of(shallow["root"]) <= 2
+    assert shallow["root"]["size"] == got["root"]["size"]
+    assert shallow["root"]["rep"] == got["root"]["rep"]
+    assert shallow["root"]["level"] == got["root"]["level"]

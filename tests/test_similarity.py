@@ -130,3 +130,54 @@ def test_pq_topk_recall_vs_exact_l2(spark):
     for _, r in sample.iterrows():
         true_l2 = float(np.sum((V[id_to_row[r.q_id]] - V[id_to_row[r.n_id]]) ** 2))
         assert abs(true_l2 - r.l2) < 1e-9
+
+
+def test_ivf_pq_topk_recall_and_bucket_prune(spark):
+    # IVF×PQ composition (FAISS IndexIVFPQ shape): codes scanned only
+    # within probed buckets; recall vs exact L2 pinned; every returned
+    # l2 is the TRUE distance (exact re-rank); deterministic.
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    qs = emb.where(F.col("vec_id") % 25 == 0)
+    k = 5
+    cents = SIM.train_ivf_centroids(emb, 8)
+    cb = SIM.train_pq_codebooks(emb, m=8, k_codes=16)
+    got = SIM.ivf_pq_topk(emb, qs, k, cents, cb, n_probe=4, refine=8).toPandas()
+
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    V = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    ids = pdf.vec_id.to_numpy()
+    exact_pairs = set()
+    for qi in np.nonzero(ids % 25 == 0)[0]:
+        d = np.sum((V - V[qi]) ** 2, axis=1)
+        d[qi] = np.inf
+        order = np.lexsort((ids, d))[:k]
+        exact_pairs |= {(ids[qi], ids[j]) for j in order}
+    got_pairs = set(zip(got.q_id, got.n_id))
+    recall = len(exact_pairs & got_pairs) / len(exact_pairs)
+    assert recall >= 0.5, recall
+
+    # true-distance re-rank: returned l2 equals the exact L2
+    id_to_row = {i: n for n, i in enumerate(ids)}
+    for _, r in got.head(20).iterrows():
+        d = np.sum(
+            (V[id_to_row[r.q_id]].astype(np.float64) - V[id_to_row[r.n_id]]) ** 2
+        )
+        assert abs(d - r.l2) < 1e-9
+
+    # bucket prune is real: every returned neighbor lies in one of its
+    # query's probed buckets (replay the assignment in NumPy)
+    dq = (
+        np.sum(V**2, axis=1)[:, None]
+        + np.sum(cents**2, axis=1)[None, :]
+        - 2.0 * V @ cents.T
+    )
+    bucket_of = {ids[i]: int(np.lexsort((np.arange(len(cents)), dq[i]))[0]) for i in range(len(ids))}
+    probes = {
+        ids[i]: set(np.lexsort((np.arange(len(cents)), dq[i]))[:4].tolist())
+        for i in np.nonzero(ids % 25 == 0)[0]
+    }
+    for _, r in got.iterrows():
+        assert bucket_of[r.n_id] in probes[r.q_id], (r.q_id, r.n_id)
+
+    again = SIM.ivf_pq_topk(emb, qs, k, cents, cb, n_probe=4, refine=8).toPandas()
+    assert set(zip(again.q_id, again.n_id)) == got_pairs
