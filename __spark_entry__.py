@@ -708,6 +708,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "offset", "width", "height"
         )
 
+    def q_multimodal_transform(spark, sf):
+        # image resize + video frame-sampling over REAL re-encoded PPM
+        # payloads, one variant-tagged union gate (r5). The oracle
+        # recomputes output dims, the sampled frame-index set, and the
+        # EXACT re-encoded byte length (P6 header + w·h·3) in SQL —
+        # so a kernel that mangles the re-encode (wrong dims, lost
+        # pixels, broken header) fails the driver gate, not just pytest
+        # (pixel-exact decode parity lives in tests/test_multimodal.py).
+        docs = _docs(spark, sf)
+
+        def shape(df, variant, frame_idx=None):
+            fi = F.col("frame_idx") if frame_idx is None else F.lit(frame_idx)
+            return df.select(
+                F.lit(variant).alias("variant"),
+                "doc_id",
+                "offset",
+                fi.cast("int").alias("frame_idx"),
+                "width",
+                "height",
+                F.length("media_bytes").cast("int").alias("n_bytes"),
+            )
+
+        rs = MM.resize_images(
+            MM.media_binary(docs, payload="ppm"), out_w=4, out_h=3
+        )
+        fr = MM.sample_frames(MM.media_binary(docs, payload="ppmseq"), every=2)
+        return shape(rs, "resize", frame_idx=-1).unionByName(shape(fr, "frame"))
+
     def q_sessions(spark, sf):
         # batch twin of the stateful streaming sessionizer (stream ==
         # batch parity lives in tests/test_streaming.py)
@@ -755,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_transform": q_multimodal_transform,
         "embed_topk": q_embed_topk,
         "core_distance_nd": q_core_distance_nd,
         "vectorize": q_vectorize,
@@ -1537,6 +1566,21 @@ sp AS (SELECT d, s.off FROM src CROSS JOIN (VALUES (0), (2)) s(off))
 SELECT 'doc-' || d AS doc_id, CAST(off AS INTEGER) AS offset,
        CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height
 FROM sp
+"""
+
+    o["multimodal_transform"] = """
+WITH src AS (SELECT doc_id AS d FROM documents),
+sp AS (SELECT d, s.off FROM src CROSS JOIN (VALUES (0), (2)) s(off)),
+rs AS (SELECT 'resize' AS variant, d, off, -1 AS fi, 4 AS w, 3 AS h FROM sp),
+fr AS (SELECT 'frame' AS variant, d, off, f.fi, 8 AS w, 6 AS h
+       FROM sp CROSS JOIN (VALUES (0), (2)) f(fi)),
+u AS (SELECT * FROM rs UNION ALL SELECT * FROM fr)
+SELECT variant, 'doc-' || d AS doc_id, CAST(off AS INTEGER) AS offset,
+  CAST(fi AS INTEGER) AS frame_idx,
+  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+  CAST(length('P6' || chr(10) || w || ' ' || h || chr(10) || '255' || chr(10))
+       + w * h * 3 AS INTEGER) AS n_bytes
+FROM u
 """
 
     o["sessions"] = """

@@ -37,6 +37,9 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+# frames per synthesized "video" payload (payload='ppmseq')
+SEQ_FRAMES = 4
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType()),
@@ -77,14 +80,26 @@ def media_binary(docs: DataFrame, payload: str = "ref") -> DataFrame:
             F.encode(F.col("ref"), "utf-8").alias("media_bytes"),
             F.lit("image/fake").alias("media_kind"),
         )
-    if payload not in ("ppm", "wav"):
+    if payload not in ("ppm", "wav", "ppmseq"):
         raise ValueError(f"unknown payload kind {payload!r}")
-    kind = "image/ppm" if payload == "ppm" else "audio/wav"
+    kind = {"ppm": "image/ppm", "wav": "audio/wav", "ppmseq": "video/ppmseq"}[payload]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = []
             for ref in pdf["ref"]:
+                if payload == "ppmseq":
+                    # a "video": SEQ_FRAMES concatenated P6 frames, each
+                    # seeded by (ref, frame index) so frames differ
+                    blobs.append(
+                        b"".join(
+                            encode_ppm(
+                                _ref_bytes(f"{ref}#f{i}", 8 * 6 * 3).reshape(6, 8, 3)
+                            )
+                            for i in range(SEQ_FRAMES)
+                        )
+                    )
+                    continue
                 raw = _ref_bytes(ref, 8 * 6 * 3 if payload == "ppm" else 128)
                 blobs.append(
                     encode_ppm(raw.reshape(6, 8, 3))
@@ -201,6 +216,169 @@ def decode_wav_pcm16(data: bytes) -> tuple[np.ndarray, int]:
     raise ValueError("no data chunk")
 
 
+def ppm_frame_size(data: bytes, offset: int = 0) -> tuple[int, int, int]:
+    """Parse one P6 header starting at ``offset``; return (width,
+    height, total frame byte length including header). Lets a
+    concatenated-PPM "video" buffer be walked frame by frame without
+    copying pixels."""
+    if data[offset : offset + 2] != b"P6":
+        raise ValueError("not a P6 frame at offset %d" % offset)
+    tokens: list[bytes] = []
+    i = offset + 2
+    while len(tokens) < 3:
+        while i < len(data) and data[i : i + 1].isspace():
+            i += 1
+        if data[i : i + 1] == b"#":
+            while i < len(data) and data[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j : j + 1].isspace():
+            j += 1
+        tokens.append(data[i:j])
+        i = j
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM supported")
+    i += 1  # single whitespace after maxval
+    return w, h, (i - offset) + w * h * 3
+
+
+def split_ppm_frames(data: bytes) -> list[np.ndarray]:
+    """Concatenated P6 frames → list of (h, w, 3) uint8 arrays."""
+    frames, off = [], 0
+    while off < len(data):
+        w, h, size = ppm_frame_size(data, off)
+        frames.append(decode_ppm(data[off : off + size]))
+        off += size
+    return frames
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure NumPy index gather (the classic
+    floor((i + 0.5) * in/out) source mapping — deterministic, no
+    interpolation state)."""
+    h, w, _ = img.shape
+    yi = ((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64).clip(0, h - 1)
+    xi = ((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64).clip(0, w - 1)
+    return img[yi][:, xi]
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("media_bytes", T.BinaryType()),
+        T.StructField("media_kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Arrow-batched image resize: PPM in → nearest-neighbor resized
+    PPM out (real decode → NumPy gather → real re-encode; no codec
+    stub). Non-image kinds raise loudly — route audio through
+    ``extract_features_decoded`` / video through ``sample_frames``.
+
+    Plan shape: ``mapInPandas`` over whatever partitioning the media
+    table already has — per-row independent, zero shuffle, and the
+    binary column never crosses Python row-at-a-time (one Arrow batch
+    in, one out)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for blob, kind in zip(pdf["media_bytes"], pdf["media_kind"]):
+                if kind != "image/ppm":
+                    raise NotImplementedError(f"resize_images on {kind!r}")
+                blobs.append(
+                    encode_ppm(resize_nearest(decode_ppm(bytes(blob)), out_w, out_h))
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "offset": pdf["offset"].astype("int32"),
+                    "media_bytes": blobs,
+                    "media_kind": pdf["media_kind"],
+                    "width": pd.array([out_w] * len(pdf), dtype="int32"),
+                    "height": pd.array([out_h] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("media_bytes", T.BinaryType()),
+        T.StructField("media_kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def sample_frames(
+    media: DataFrame, every: int = 2, max_frames: int | None = None
+) -> DataFrame:
+    """Deterministic frame sampling over ``video/ppmseq`` payloads
+    (concatenated P6 frames): keep frames 0, every, 2·every, … up to
+    ``max_frames``, emitting one row per kept frame with the frame
+    re-encoded as a standalone ``image/ppm`` payload — the output is
+    directly consumable by ``resize_images`` / ``extract_features_decoded``.
+
+    The fan-out happens inside the Arrow kernel (no explode shuffle);
+    output rows ≤ ceil(SEQ_FRAMES/every) per video, so partition sizes
+    stay bounded by the input batch size × a small constant."""
+    if every < 1:
+        raise ValueError("every must be >= 1")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "offset": [],
+                "frame_idx": [],
+                "media_bytes": [],
+                "width": [],
+                "height": [],
+            }
+            for doc_id, off, blob, kind in zip(
+                pdf["doc_id"], pdf["offset"], pdf["media_bytes"], pdf["media_kind"]
+            ):
+                if kind != "video/ppmseq":
+                    raise NotImplementedError(f"sample_frames on {kind!r}")
+                frames = split_ppm_frames(bytes(blob))
+                kept = frames[::every]
+                if max_frames is not None:
+                    kept = kept[:max_frames]
+                for i, frame in enumerate(kept):
+                    out["doc_id"].append(doc_id)
+                    out["offset"].append(off)
+                    out["frame_idx"].append(i * every)
+                    out["media_bytes"].append(encode_ppm(frame))
+                    out["height"].append(frame.shape[0])
+                    out["width"].append(frame.shape[1])
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "offset": pd.array(out["offset"], dtype="int32"),
+                    "frame_idx": pd.array(out["frame_idx"], dtype="int32"),
+                    "media_bytes": out["media_bytes"],
+                    "media_kind": ["image/ppm"] * len(out["doc_id"]),
+                    "width": pd.array(out["width"], dtype="int32"),
+                    "height": pd.array(out["height"], dtype="int32"),
+                }
+            )
+
+    return media.mapInPandas(kernel, FRAME_SCHEMA)
+
+
 def decode_real(media_kind: str, data: bytes | None = None):
     """Real decode for the supported formats; raises NotImplementedError
     naming the needed dependency for formats this container can't
@@ -221,8 +399,9 @@ def extract_features(media: DataFrame, batch_hint: int = 10_000) -> DataFrame:
 
     The kernel sees pandas batches of (doc_id, offset, media_bytes);
     per batch it vectorizes over the byte payloads. Features here are
-    the deterministic stub (length, mean byte, crc32) standing in for
-    image resize / frame-sample / spectrogram steps.
+    the kind-agnostic opaque-bytes signals (length, mean byte, crc32);
+    the decoded transforms live in ``extract_features_decoded``,
+    ``resize_images`` and ``sample_frames``.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
