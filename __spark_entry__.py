@@ -637,23 +637,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # product-quantization ADC + exact re-rank, with the same
         # driver-visible recall scheme as q_embed_ivf (exact side =
         # brute L2 top-k in the same query; measured min hits 4/10,
-        # mean 8.0 at sf0.01). Codebook determinism, NumPy encode
-        # parity, and re-rank exactness stay in pytest.
+        # mean 8.0 at sf0.01). Two variants of the same semantics:
+        # `topk` = bounded-broadcast queries (driver-built LUTs),
+        # `join` = distributed-query blocked ADC join (r5 — the
+        # all-pairs-capable form, LUTs built inside the cogroup
+        # kernel). Codebook determinism, NumPy encode parity, re-rank
+        # exactness, and pq_join partitioning invariance stay in pytest.
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         qs = emb.where(F.col("vec_id") % EMB_QMOD == 0)
         cb = SIM.train_pq_codebooks(emb, m=8, k_codes=16)
-        approx = SIM.pq_topk(emb, qs, EMB_K, cb, refine=8).select("q_id", "n_id")
         exact = _exact_l2_topk(emb, qs, EMB_K)
-        hits = approx.join(exact, ["q_id", "n_id"]).groupBy("q_id").agg(
-            F.count(F.lit(1)).alias("hits")
-        )
-        return (
-            qs.select(F.col("vec_id").alias("q_id"))
-            .join(hits, "q_id", "left")
-            .select(
-                "q_id",
-                (F.coalesce("hits", F.lit(0)) >= ANN_HIT_FLOOR).alias("recall_ok"),
+
+        def recall(approx, variant):
+            hits = approx.select("q_id", "n_id").join(
+                exact, ["q_id", "n_id"]
+            ).groupBy("q_id").agg(F.count(F.lit(1)).alias("hits"))
+            return (
+                qs.select(F.col("vec_id").alias("q_id"))
+                .join(hits, "q_id", "left")
+                .select(
+                    F.lit(variant).alias("variant"),
+                    "q_id",
+                    (F.coalesce("hits", F.lit(0)) >= ANN_HIT_FLOOR).alias(
+                        "recall_ok"
+                    ),
+                )
             )
+
+        return recall(SIM.pq_topk(emb, qs, EMB_K, cb, refine=8), "topk").unionByName(
+            recall(SIM.pq_join(qs, emb, EMB_K, cb, refine=8), "join")
         )
 
     # (the float-sum `feature_stats` gate was retired in r4: it
@@ -1762,7 +1774,9 @@ FROM embeddings WHERE vec_id % {EMB_QMOD} = 0
     o["embed_ivf"] = _variants(
         ("ivf", _ann_queries_sql), ("ivf_pq", _ann_queries_sql)
     )
-    o["embed_pq"] = _ann_queries_sql
+    o["embed_pq"] = _variants(
+        ("topk", _ann_queries_sql), ("join", _ann_queries_sql)
+    )
 
     # exact near-dup pairs over the planted corpus (base ∪ mixed
     # copies), recomputed in SQL: the mix replays Spark's arithmetic —

@@ -8,6 +8,11 @@
   (driver NumPy over a bounded sample), refs bucketed by nearest
   centroid, queries probe the top-``n_probe`` nearest buckets only.
   Recall is tested against the brute-force baseline in pytest.
+- PQ (product quantization) ANN: ADC over compressed codes + exact
+  re-rank, in two query contracts — ``pq_topk`` (bounded broadcast
+  query set, driver-built LUTs) and ``pq_join`` (queries as a
+  DataFrame: blocked cogroup, LUTs built in-kernel — the
+  all-pairs-capable form); ``ivf_pq_topk`` composes both prunes.
 """
 
 from __future__ import annotations
@@ -431,6 +436,146 @@ def pq_topk(
     w = Window.partitionBy("q_id").orderBy("l2", "n_id")
     return (
         shortlist.join(F.broadcast(qv), "q_id")
+        .join(rv, "n_id")
+        .withColumn("l2", l2)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "rank", "l2")
+    )
+
+
+def pq_join(
+    queries: DataFrame,
+    refs: DataFrame,
+    k: int,
+    codebooks: np.ndarray,
+    refine: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+    ref_block_rows: int = 100_000,
+    query_block_rows: int = 4_096,
+) -> DataFrame:
+    """Distributed-query ADC kNN join: ``pq_topk`` semantics with the
+    QUERY SET as a DataFrame — the all-pairs-capable form (``pq_topk``
+    holds its queries on the driver, the bounded-broadcast contract).
+
+    Plan (the ``knn_join_nd_blocked`` blocking with the roles priced by
+    what each side ships): queries hash into blocks carrying their
+    vectors (needed to build ADC LUTs), refs ship only the m-int code
+    column (~32× narrower than the vector column — so replicating refs
+    across query blocks costs m ints/row, not the embedding). Each
+    (query-block × ref-block) cogroup task builds the per-query
+    (m × k_codes) LUTs from the closure codebooks and ADC-scans the
+    code matrix; per task it emits the block-local ADC top-(k·refine+1)
+    under the deterministic (adc, n_id) order, ONE global window merges
+    the scalar candidates (exact w.r.t. the ADC order — every global
+    shortlist member is in its block's top list under the same order),
+    and the exact L2 re-rank reads true vectors for shortlist rows only
+    via shuffled id joins (no driver materialization anywhere).
+
+    Output (q_id, n_id, rank, l2): rank by TRUE L2 over the shortlist,
+    self excluded, ties to the smaller n_id — deterministic at any
+    partitioning. Approximate by construction (shortlist misses only);
+    recall vs exact pinned in pytest."""
+    import math
+
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ffcl_spark.kernels.neighbors import topk_rows
+
+    m, k_codes, dsub = codebooks.shape
+    if codes is None:
+        codes = pq_encode(refs, codebooks, id_col, vec_col)
+    nq = queries.count()
+    nr = refs.count()
+    n_rb = max(1, math.ceil(nr / ref_block_rows))
+    n_qb = max(1, math.ceil(nq / query_block_rows))
+    cand_k = k * refine + 1  # +1 so a self-hit cannot evict a candidate
+
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_qb)).alias("qb"),
+        )
+        .withColumn("rb", F.explode(F.sequence(F.lit(0), F.lit(n_rb - 1))))
+        .select("q_id", "v", (F.col("qb") * n_rb + F.col("rb")).alias("blk"))
+    )
+    r = (
+        codes.select(
+            F.col("id").alias("n_id"),
+            "code",
+            F.pmod(F.xxhash64(F.col("id")), F.lit(n_rb)).alias("rb"),
+        )
+        .withColumn("qb", F.explode(F.sequence(F.lit(0), F.lit(n_qb - 1))))
+        .select("n_id", "code", (F.col("qb") * n_rb + F.col("rb")).alias("blk"))
+    )
+
+    id_type = queries.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("q_id", id_type),
+            T.StructField("n_id", refs.schema[id_col].dataType),
+            T.StructField("adc", T.DoubleType()),
+        ]
+    )
+    cb = codebooks  # closure constant (a few KiB)
+    c_sq = np.sum(cb**2, axis=2)  # (m, k_codes)
+
+    def kernel(qpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        if len(qpdf) == 0 or len(rpdf) == 0:
+            return pd.DataFrame({"q_id": [], "n_id": [], "adc": []})
+        C = np.array(rpdf["code"].tolist(), dtype=np.int64)  # (n, m)
+        rids = rpdf["n_id"].to_numpy()
+        order = np.argsort(rids, kind="stable")  # (adc, n_id) tie-break
+        C, rids = C[order], rids[order]
+        Q = np.array(qpdf["v"].tolist(), dtype=np.float64)
+        qids = qpdf["q_id"].to_numpy()
+        # per-query LUTs — identical arithmetic to pq_topk's driver LUT
+        dist = np.zeros((len(Q), len(rids)))
+        for j in range(m):
+            qs = Q[:, j * dsub : (j + 1) * dsub]
+            lut = (
+                np.sum(qs**2, axis=1)[:, None]
+                + c_sq[j][None, :]
+                - 2.0 * qs @ cb[j].T
+            )
+            dist += lut[:, C[:, j]]
+        kk = min(cand_k, len(rids))
+        idx, dd = topk_rows(dist, kk)
+        return pd.DataFrame(
+            {
+                "q_id": np.repeat(qids, kk),
+                "n_id": rids[idx.ravel()],
+                "adc": dd.ravel(),
+            }
+        )
+
+    cands = q.groupBy("blk").cogroup(r.groupBy("blk")).applyInPandas(kernel, out_schema)
+    w_adc = Window.partitionBy("q_id").orderBy("adc", "n_id")
+    shortlist = (
+        cands.where(F.col("q_id") != F.col("n_id"))
+        .withColumn("crank", F.row_number().over(w_adc))
+        .where(F.col("crank") <= cand_k)
+        .select("q_id", "n_id")
+    )
+    qv = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    rv = refs.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"))
+    l2 = F.aggregate(
+        F.zip_with(
+            F.col("q_vec"),
+            F.col("n_vec"),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    w = Window.partitionBy("q_id").orderBy("l2", "n_id")
+    return (
+        shortlist.join(qv, "q_id")
         .join(rv, "n_id")
         .withColumn("l2", l2)
         .withColumn("rank", F.row_number().over(w))

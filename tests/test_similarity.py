@@ -181,3 +181,49 @@ def test_ivf_pq_topk_recall_and_bucket_prune(spark):
 
     again = SIM.ivf_pq_topk(emb, qs, k, cents, cb, n_probe=4, refine=8).toPandas()
     assert set(zip(again.q_id, again.n_id)) == got_pairs
+
+
+def test_pq_join_distributed_queries(spark):
+    """pq_join: the distributed-query ADC path. Recall vs exact L2,
+    true-distance re-rank, and partitioning invariance (multi-block
+    forced) — the properties that make it the all-pairs-capable form."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    qs = emb.where(F.col("vec_id") % 25 == 0)
+    cb = SIM.train_pq_codebooks(emb, m=8, k_codes=16)
+    k = 5
+    got = SIM.pq_join(qs, emb, k, cb, refine=8).toPandas()
+
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    V = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    ids = pdf.vec_id.to_numpy()
+    exact_pairs = set()
+    for qi in np.nonzero(ids % 25 == 0)[0]:
+        d = np.sum((V - V[qi]) ** 2, axis=1)
+        d[qi] = np.inf
+        order = np.lexsort((ids, d))[:k]
+        exact_pairs |= {(ids[qi], ids[j]) for j in order}
+    got_pairs = set(zip(got.q_id, got.n_id))
+    assert len(got) == k * qs.count()
+    recall = len(exact_pairs & got_pairs) / len(exact_pairs)
+    assert recall >= 0.6, recall
+    # returned l2 values are TRUE distances (exact re-rank)
+    id_to_row = {i: n for n, i in enumerate(ids)}
+    for _, r in got.head(20).iterrows():
+        true_l2 = float(np.sum((V[id_to_row[r.q_id]] - V[id_to_row[r.n_id]]) ** 2))
+        assert abs(true_l2 - r.l2) < 1e-9
+    # partitioning invariance: force multi-block on BOTH sides and a
+    # different input partitioning — identical rows (deterministic
+    # (adc, n_id) block tie-break + scalar global merge)
+    again = SIM.pq_join(
+        qs.repartition(7),
+        emb.repartition(13),
+        k,
+        cb,
+        refine=8,
+        ref_block_rows=100,
+        query_block_rows=8,
+    ).toPandas()
+    a = got.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    b = again.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    assert a[["q_id", "n_id", "rank"]].equals(b[["q_id", "n_id", "rank"]])
+    assert np.allclose(a.l2.to_numpy(), b.l2.to_numpy(), rtol=0, atol=0)
