@@ -233,5 +233,8 @@ def test_knn_enrich_stream_no_cache_growth(spark, tmp_path):
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         time.sleep(0.5)
-    assert n_persistent() == before
+    # <= not ==: the ContextCleaner may also collect a stale cached RDD
+    # left by an earlier test in the shared session during the poll —
+    # the property guarded here is "no growth", and a leak is > before
+    assert n_persistent() <= before
     refs.unpersist()
