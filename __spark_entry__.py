@@ -631,7 +631,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit("ivf_pq").alias("variant"),
             )
         )
-        return ivf.unionByName(ivf_pq)
+        # `ivf_pq_join` = the same composition with the QUERY SET as a
+        # DataFrame (r5 — bucket-keyed cogroup, probe assignment in the
+        # Arrow kernel); same recall floor vs the same exact side
+        approx3 = SIM.ivf_pq_join(
+            qs, emb, EMB_K, cents, cb, n_probe=4, refine=8
+        ).select("q_id", "n_id")
+        hits3 = approx3.join(exact2, ["q_id", "n_id"]).groupBy("q_id").agg(
+            F.count(F.lit(1)).alias("hits")
+        )
+        ivf_pq_join = (
+            qs.select(F.col("vec_id").alias("q_id"))
+            .join(hits3, "q_id", "left")
+            .select(
+                "q_id",
+                (F.coalesce("hits", F.lit(0)) >= ANN_HIT_FLOOR).alias("recall_ok"),
+                F.lit("ivf_pq_join").alias("variant"),
+            )
+        )
+        return ivf.unionByName(ivf_pq).unionByName(ivf_pq_join)
 
     def q_embed_pq(spark, sf):
         # product-quantization ADC + exact re-rank, with the same
@@ -1773,7 +1791,9 @@ SELECT CAST(vec_id AS BIGINT) AS q_id, TRUE AS recall_ok
 FROM embeddings WHERE vec_id % {EMB_QMOD} = 0
 """
     o["embed_ivf"] = _variants(
-        ("ivf", _ann_queries_sql), ("ivf_pq", _ann_queries_sql)
+        ("ivf", _ann_queries_sql),
+        ("ivf_pq", _ann_queries_sql),
+        ("ivf_pq_join", _ann_queries_sql),
     )
     o["embed_pq"] = _variants(
         ("topk", _ann_queries_sql), ("join", _ann_queries_sql)

@@ -227,3 +227,57 @@ def test_pq_join_distributed_queries(spark):
     b = again.sort_values(["q_id", "rank"]).reset_index(drop=True)
     assert a[["q_id", "n_id", "rank"]].equals(b[["q_id", "n_id", "rank"]])
     assert np.allclose(a.l2.to_numpy(), b.l2.to_numpy(), rtol=0, atol=0)
+
+
+def test_ivf_pq_join_distributed_queries(spark):
+    """ivf_pq_join: distributed-query IVF x PQ. Recall vs exact L2,
+    bucket-prune containment (every returned neighbor lies in one of
+    the query's probed buckets), true-distance re-rank, and
+    partitioning invariance."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    qs = emb.where(F.col("vec_id") % 25 == 0)
+    cents = SIM.train_ivf_centroids(emb, 8)
+    cb = SIM.train_pq_codebooks(emb, m=8, k_codes=16)
+    k, n_probe = 5, 4
+    got = SIM.ivf_pq_join(qs, emb, k, cents, cb, n_probe=n_probe, refine=8).toPandas()
+
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    V = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    ids = pdf.vec_id.to_numpy()
+    id_to_row = {i: n for n, i in enumerate(ids)}
+    # NumPy twin of bucket assignment and probe sets
+    d_c = (
+        np.sum(V**2, axis=1)[:, None]
+        + np.sum(cents**2, axis=1)[None, :]
+        - 2.0 * V @ cents.T
+    )
+    ref_bucket = np.lexsort(
+        (np.broadcast_to(np.arange(len(cents)), d_c.shape), d_c), axis=1
+    )[:, 0]
+    probes = np.lexsort(
+        (np.broadcast_to(np.arange(len(cents)), d_c.shape), d_c), axis=1
+    )[:, :n_probe]
+
+    exact_pairs = set()
+    for qi in np.nonzero(ids % 25 == 0)[0]:
+        d = np.sum((V - V[qi]) ** 2, axis=1)
+        d[qi] = np.inf
+        order = np.lexsort((ids, d))[:k]
+        exact_pairs |= {(ids[qi], ids[j]) for j in order}
+    got_pairs = set(zip(got.q_id, got.n_id))
+    recall = len(exact_pairs & got_pairs) / len(exact_pairs)
+    assert recall >= 0.5, recall
+    for q_id, n_id in got_pairs:
+        # returned neighbor must be inside the query's probed buckets
+        assert ref_bucket[id_to_row[n_id]] in probes[id_to_row[q_id]]
+    # true-distance re-rank
+    for _, r in got.head(20).iterrows():
+        true_l2 = float(np.sum((V[id_to_row[r.q_id]] - V[id_to_row[r.n_id]]) ** 2))
+        assert abs(true_l2 - r.l2) < 1e-9
+    # partitioning invariance
+    again = SIM.ivf_pq_join(
+        qs.repartition(7), emb.repartition(13), k, cents, cb, n_probe=n_probe, refine=8
+    ).toPandas()
+    a = got.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    b = again.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    assert a[["q_id", "n_id", "rank"]].equals(b[["q_id", "n_id", "rank"]])
