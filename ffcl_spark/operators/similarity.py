@@ -12,7 +12,8 @@
   re-rank, in two query contracts — ``pq_topk`` (bounded broadcast
   query set, driver-built LUTs) and ``pq_join`` (queries as a
   DataFrame: blocked cogroup, LUTs built in-kernel — the
-  all-pairs-capable form); ``ivf_pq_topk`` composes both prunes.
+  all-pairs-capable form); ``ivf_pq_topk`` / ``ivf_pq_join`` compose
+  both prunes under the same two query contracts.
 """
 
 from __future__ import annotations
