@@ -398,20 +398,36 @@ def pq_topk(
     )
 
     def kernel(batches):
+        from ffcl_spark.kernels.neighbors import topk_rows
+
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
             C = np.array(pdf["code"].tolist(), dtype=np.int64)  # (n, m)
+            rids = pdf["id"].to_numpy()
+            order = np.argsort(rids, kind="stable")  # (adc, id) tie-break
+            C, rids = C[order], rids[order]
             dist = np.zeros((nq, n))
             for j in range(m):
                 dist += lut[:, j, C[:, j]]
+            # self excluded BEFORE the local top — otherwise the self
+            # row consumes a slot in whichever batch holds it and the
+            # shortlist's boundary element becomes batching-dependent
+            dist[q_ids[:, None] == rids[None, :]] = np.inf
             top = min(cand_k, n)
-            idx = np.argpartition(dist, top - 1, axis=1)[:, :top]  # (nq, top)
+            # deterministic local top: with the (adc, id) order per
+            # batch, the global windowed shortlist is invariant to how
+            # rows are batched (each global top element is in its own
+            # batch's non-self top under the same total order)
+            idx, dd = topk_rows(dist, top)
             rows_q = np.repeat(q_ids, top)
-            rows_n = pdf["id"].to_numpy()[idx.ravel()]
-            rows_d = np.take_along_axis(dist, idx, axis=1).ravel()
-            yield pd.DataFrame({"q_id": rows_q, "n_id": rows_n, "adc": rows_d})
+            rows_n = rids[idx.ravel()]
+            rows_d = dd.ravel()
+            keep = np.isfinite(rows_d)
+            yield pd.DataFrame(
+                {"q_id": rows_q[keep], "n_id": rows_n[keep], "adc": rows_d[keep]}
+            )
 
     cands = codes.mapInPandas(kernel, out_schema)
     w_adc = Window.partitionBy("q_id").orderBy("adc", "n_id")
@@ -442,6 +458,79 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "l2")
+    )
+
+
+def _bucket_assign_refs(
+    refs: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str
+) -> DataFrame:
+    """(id, bucket): nearest-IVF-centroid per ref — the shared JVM fold
+    + (d2, bucket) tie order used by every IVF path."""
+    spark = refs.sparkSession
+    cent_rows = [(i, [float(v) for v in c]) for i, c in enumerate(centroids)]
+    cents_df = spark.createDataFrame(cent_rows, "bucket int, cvec array<double>")
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("v"), F.col("cvec"), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    wb = Window.partitionBy("id").orderBy("d2", "bucket")
+    return (
+        refs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .crossJoin(F.broadcast(cents_df))
+        .withColumn("d2", d2)
+        .withColumn("brank", F.row_number().over(wb))
+        .where(F.col("brank") == 1)
+        .select("id", "bucket")
+    )
+
+
+def write_ann_index(
+    refs: DataFrame,
+    centroids: np.ndarray,
+    codebooks: np.ndarray,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Persist the IVF×PQ index at rest: the (id, code, bucket) table
+    written as parquet PARTITIONED BY bucket, plus a small JSON sidecar
+    carrying centroids + codebooks. Train once, encode once, query many
+    times — and because the code table is bucket-partitioned, the
+    probed-bucket filter in ``ivf_pq_topk`` partition-prunes at the
+    SCAN (only probed buckets' files are read at all). The sidecar is
+    index metadata (a few KiB), not data — the codes ride Spark."""
+    import json
+
+    coded = pq_encode(refs, codebooks, id_col, vec_col).join(
+        _bucket_assign_refs(refs, centroids, id_col, vec_col), "id"
+    )
+    coded.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/codes")
+    meta = {
+        "centroids": [[float(v) for v in c] for c in centroids],
+        "codebooks": [[[float(v) for v in cw] for cw in sub] for sub in codebooks],
+    }
+    jvm_free_write = f"{path}/meta.json"
+    with open(jvm_free_write.replace("file:", ""), "w") as f:
+        json.dump(meta, f)
+
+
+def read_ann_index(spark, path: str) -> tuple[DataFrame, np.ndarray, np.ndarray]:
+    """Load an index written by ``write_ann_index``: returns the
+    bucket-partitioned (id, code, bucket) DataFrame (bucket filters
+    partition-prune — verify PushedFilters/PartitionFilters in
+    explain) plus centroids and codebooks."""
+    import json
+
+    with open(f"{path}/meta.json".replace("file:", "")) as f:
+        meta = json.load(f)
+    coded = spark.read.parquet(f"{path}/codes")
+    return (
+        coded,
+        np.array(meta["centroids"], dtype=np.float64),
+        np.array(meta["codebooks"], dtype=np.float64),
     )
 
 
@@ -544,14 +633,17 @@ def pq_join(
                 - 2.0 * qs @ cb[j].T
             )
             dist += lut[:, C[:, j]]
+        # self excluded BEFORE the local top (shortlist boundary must
+        # not depend on which block pair holds the self row)
+        dist[qids[:, None] == rids[None, :]] = np.inf
         kk = min(cand_k, len(rids))
         idx, dd = topk_rows(dist, kk)
+        rows_q = np.repeat(qids, kk)
+        rows_n = rids[idx.ravel()]
+        rows_d = dd.ravel()
+        keep = np.isfinite(rows_d)
         return pd.DataFrame(
-            {
-                "q_id": np.repeat(qids, kk),
-                "n_id": rids[idx.ravel()],
-                "adc": dd.ravel(),
-            }
+            {"q_id": rows_q[keep], "n_id": rows_n[keep], "adc": rows_d[keep]}
         )
 
     cands = q.groupBy("blk").cogroup(r.groupBy("blk")).applyInPandas(kernel, out_schema)
@@ -596,6 +688,7 @@ def ivf_pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codes: DataFrame | None = None,
+    coded: DataFrame | None = None,
 ) -> DataFrame:
     """IVF × PQ composition (the FAISS IndexIVFPQ search shape; the
     COVERAGE.md scale claim "assign codes within probed buckets"):
@@ -617,29 +710,16 @@ def ivf_pq_topk(
 
     m, k_codes, dsub = codebooks.shape
     # ref bucket = nearest centroid (JVM fold, same expression as
-    # ivf_topk's assignment) riding next to the code column
-    spark = refs.sparkSession
-    cent_rows = [(i, [float(v) for v in c]) for i, c in enumerate(centroids)]
-    cents_df = spark.createDataFrame(cent_rows, "bucket int, cvec array<double>")
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("v"), F.col("cvec"), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        ),
-        F.lit(0.0),
-        lambda a, v: a + v,
-    )
-    wb = Window.partitionBy("id").orderBy("d2", "bucket")
-    if codes is None:
-        codes = pq_encode(refs, codebooks, id_col, vec_col)
-    r_bucket = (
-        refs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(cents_df))
-        .withColumn("d2", d2)
-        .withColumn("brank", F.row_number().over(wb))
-        .where(F.col("brank") == 1)
-        .select("id", "bucket")
-    )
-    coded = codes.join(r_bucket, "id")
+    # ivf_topk's assignment) riding next to the code column; a stored
+    # index (``coded`` from read_ann_index — bucket-partitioned at
+    # rest) skips both the encode and the assignment, and the probed-
+    # bucket filter below partition-prunes its scan
+    if coded is None:
+        if codes is None:
+            codes = pq_encode(refs, codebooks, id_col, vec_col)
+        coded = codes.join(
+            _bucket_assign_refs(refs, centroids, id_col, vec_col), "id"
+        )
 
     # query-side: probe sets + ADC LUTs are driver NumPy (bounded
     # broadcast query contract)
@@ -685,23 +765,33 @@ def ivf_pq_topk(
     )
 
     def kernel(batches):
+        from ffcl_spark.kernels.neighbors import topk_rows
+
         for pdf in batches:
             n = len(pdf)
             if n == 0:
                 continue
             C = np.array(pdf["code"].tolist(), dtype=np.int64)  # (n, m)
-            buckets = pdf["bucket"].to_numpy()
+            rids = pdf["id"].to_numpy()
+            order = np.argsort(rids, kind="stable")  # (adc, id) tie-break
+            C, rids = C[order], rids[order]
+            buckets = pdf["bucket"].to_numpy()[order]
             dist = np.zeros((nq, n))
             for j in range(m):
                 dist += lut[:, j, C[:, j]]
             # per-query bucket mask: a row outside the query's probe
             # set must not shortlist for it
             dist[~probe_mask[:, buckets]] = np.inf
+            # self excluded BEFORE the local top (see pq_topk — keeps
+            # the shortlist boundary batching-invariant)
+            dist[q_ids[:, None] == rids[None, :]] = np.inf
             top = min(cand_k, n)
-            idx = np.argpartition(dist, top - 1, axis=1)[:, :top]
+            # deterministic local top (see pq_topk) — masked rows sort
+            # last (inf) and are dropped below
+            idx, dd = topk_rows(dist, top)
             rows_q = np.repeat(q_ids, top)
-            rows_n = pdf["id"].to_numpy()[idx.ravel()]
-            rows_d = np.take_along_axis(dist, idx, axis=1).ravel()
+            rows_n = rids[idx.ravel()]
+            rows_d = dd.ravel()
             keep = np.isfinite(rows_d)
             yield pd.DataFrame(
                 {"q_id": rows_q[keep], "n_id": rows_n[keep], "adc": rows_d[keep]}
@@ -749,6 +839,7 @@ def ivf_pq_join(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codes: DataFrame | None = None,
+    coded: DataFrame | None = None,
 ) -> DataFrame:
     """Distributed-query IVF×PQ kNN join — ``ivf_pq_topk`` semantics
     with the query set as a DataFrame (completes the contract matrix:
@@ -778,33 +869,15 @@ def ivf_pq_join(
     from ffcl_spark.kernels.neighbors import topk_rows
 
     m, k_codes, dsub = codebooks.shape
-    if codes is None:
-        codes = pq_encode(refs, codebooks, id_col, vec_col)
-
-    # ref side: bucket each code row by nearest centroid (same JVM fold
-    # + (d2, bucket) tie order as ivf_topk / ivf_pq_topk)
-    spark = refs.sparkSession
-    cent_rows = [(i, [float(v) for v in c]) for i, c in enumerate(centroids)]
-    cents_df = spark.createDataFrame(cent_rows, "bucket int, cvec array<double>")
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("v"), F.col("cvec"), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        ),
-        F.lit(0.0),
-        lambda a, v: a + v,
-    )
-    wb = Window.partitionBy("id").orderBy("d2", "bucket")
-    r_bucket = (
-        refs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(cents_df))
-        .withColumn("d2", d2)
-        .withColumn("brank", F.row_number().over(wb))
-        .where(F.col("brank") == 1)
-        .select("id", "bucket")
-    )
-    r = codes.join(r_bucket, "id").select(
-        F.col("id").alias("n_id"), "code", "bucket"
-    )
+    # ref side: (id, code, bucket) — from the stored index when given
+    # (read_ann_index), else encode + nearest-centroid assignment here
+    if coded is None:
+        if codes is None:
+            codes = pq_encode(refs, codebooks, id_col, vec_col)
+        coded = codes.join(
+            _bucket_assign_refs(refs, centroids, id_col, vec_col), "id"
+        )
+    r = coded.select(F.col("id").alias("n_id"), "code", "bucket")
 
     # query side: probe buckets via an Arrow kernel against the closure
     # centroids (ties to the smaller bucket id, mirroring the lexsort
@@ -870,14 +943,16 @@ def ivf_pq_join(
                 - 2.0 * qs @ cb[j].T
             )
             dist += lut[:, C[:, j]]
+        # self excluded BEFORE the local top (see pq_join)
+        dist[qids[:, None] == rids[None, :]] = np.inf
         kk = min(cand_k, len(rids))
         idx, dd = topk_rows(dist, kk)
+        rows_q = np.repeat(qids, kk)
+        rows_n = rids[idx.ravel()]
+        rows_d = dd.ravel()
+        keep = np.isfinite(rows_d)
         return pd.DataFrame(
-            {
-                "q_id": np.repeat(qids, kk),
-                "n_id": rids[idx.ravel()],
-                "adc": dd.ravel(),
-            }
+            {"q_id": rows_q[keep], "n_id": rows_n[keep], "adc": rows_d[keep]}
         )
 
     cands = (

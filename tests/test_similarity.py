@@ -281,3 +281,50 @@ def test_ivf_pq_join_distributed_queries(spark):
     a = got.sort_values(["q_id", "rank"]).reset_index(drop=True)
     b = again.sort_values(["q_id", "rank"]).reset_index(drop=True)
     assert a[["q_id", "n_id", "rank"]].equals(b[["q_id", "n_id", "rank"]])
+
+
+def test_ann_index_at_rest(spark, tmp_path):
+    """write_ann_index / read_ann_index: stored (id, code, bucket)
+    table + metadata sidecar. Queries over the stored index must equal
+    the on-the-fly path exactly, and the bucket filter must
+    partition-prune the parquet scan (probed buckets' files only)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    qs = emb.where(F.col("vec_id") % 25 == 0)
+    cents = SIM.train_ivf_centroids(emb, 8)
+    cb = SIM.train_pq_codebooks(emb, m=8, k_codes=16)
+    path = str(tmp_path / "ann_index")
+    SIM.write_ann_index(emb, cents, cb, path)
+    coded, cents2, cb2 = SIM.read_ann_index(spark, path)
+    assert np.array_equal(cents, cents2) and np.array_equal(cb, cb2)
+    assert coded.count() == emb.count()
+
+    # partition pruning: the bucket predicate must land in the scan's
+    # PartitionFilters (inputFiles() shows the pre-pruning listing, so
+    # the physical plan is the thing to check)
+    import contextlib
+    import io
+
+    one = coded.where(F.col("bucket") == int(coded.agg(F.min("bucket")).first()[0]))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one.explain("formatted")
+    txt = buf.getvalue()
+    assert "PartitionFilters" in txt
+    assert "bucket" in txt.split("PartitionFilters", 1)[1][:200]
+
+    k = 5
+    fly_topk = SIM.ivf_pq_topk(emb, qs, k, cents, cb, n_probe=4, refine=8).toPandas()
+    idx_topk = SIM.ivf_pq_topk(
+        emb, qs, k, cents2, cb2, n_probe=4, refine=8, coded=coded
+    ).toPandas()
+    a = fly_topk.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    b = idx_topk.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    assert a[["q_id", "n_id", "rank"]].equals(b[["q_id", "n_id", "rank"]])
+
+    fly_join = SIM.ivf_pq_join(qs, emb, k, cents, cb, n_probe=4, refine=8).toPandas()
+    idx_join = SIM.ivf_pq_join(
+        qs, emb, k, cents2, cb2, n_probe=4, refine=8, coded=coded
+    ).toPandas()
+    a = fly_join.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    b = idx_join.sort_values(["q_id", "rank"]).reset_index(drop=True)
+    assert a[["q_id", "n_id", "rank"]].equals(b[["q_id", "n_id", "rank"]])
