@@ -461,6 +461,76 @@ def pq_topk(
     )
 
 
+# peak dense-ADC slab per kernel invocation, in float64 cells (~64 MB):
+# the distributed-query kernels chunk their query axis to this bound, so
+# task memory stays flat no matter how many queries share one
+# block/bucket (a hot IVF bucket receives ALL queries probing it)
+_ADC_SLAB_CELLS = 8_000_000
+
+
+def _adc_block_candidates(
+    qpdf, rpdf, cand_k: int, cb: np.ndarray, c_sq: np.ndarray, slab_cells: int
+):
+    """Shared ADC scan for the distributed-query kNN-join kernels
+    (``pq_join`` / ``ivf_pq_join``): per-query LUTs from the closure
+    codebooks, self masked BEFORE the local top, (adc, n_id)-ordered
+    top-``cand_k`` per query. The query axis is processed in chunks of
+    ≤ ``_ADC_SLAB_CELLS / n_refs`` rows so the dense (queries × refs)
+    distance slab stays bounded. Queries are processed in sorted-id
+    order, so chunk composition (hence every BLAS call shape) is a pure
+    function of the group's membership — results are deterministic at
+    any arrival order / physical batching for a fixed slab size.
+    Changing the slab size itself regroups the matmuls and may perturb
+    adc values in the last ulp (BLAS is not shape-associative); the
+    operator's final output is re-ranked by exact L2 over a
+    refine-margin shortlist, so rank output is stable (pinned by the
+    chunk-invariance test)."""
+    import pandas as pd
+
+    from ffcl_spark.kernels.neighbors import topk_rows
+
+    m, _, dsub = cb.shape
+    if len(qpdf) == 0 or len(rpdf) == 0:
+        return pd.DataFrame({"q_id": [], "n_id": [], "adc": []})
+    C = np.array(rpdf["code"].tolist(), dtype=np.int64)  # (n, m)
+    rids = rpdf["n_id"].to_numpy()
+    order = np.argsort(rids, kind="stable")  # (adc, n_id) tie-break
+    C, rids = C[order], rids[order]
+    Q_all = np.array(qpdf["v"].tolist(), dtype=np.float64)
+    qids_all = qpdf["q_id"].to_numpy()
+    qorder = np.argsort(qids_all, kind="stable")
+    Q_all, qids_all = Q_all[qorder], qids_all[qorder]
+    kk = min(cand_k, len(rids))
+    chunk = max(1, slab_cells // max(1, len(rids)))
+    outs = []
+    for s in range(0, len(qids_all), chunk):
+        Q = Q_all[s : s + chunk]
+        qids = qids_all[s : s + chunk]
+        dist = np.zeros((len(Q), len(rids)))
+        for j in range(m):
+            qs = Q[:, j * dsub : (j + 1) * dsub]
+            lut = (
+                np.sum(qs**2, axis=1)[:, None]
+                + c_sq[j][None, :]
+                - 2.0 * qs @ cb[j].T
+            )
+            dist += lut[:, C[:, j]]
+        # self excluded BEFORE the local top (shortlist boundary must
+        # not depend on which block/bucket task holds the self row)
+        dist[qids[:, None] == rids[None, :]] = np.inf
+        idx, dd = topk_rows(dist, kk)
+        rows_q = np.repeat(qids, kk)
+        rows_n = rids[idx.ravel()]
+        rows_d = dd.ravel()
+        keep = np.isfinite(rows_d)
+        outs.append(
+            pd.DataFrame(
+                {"q_id": rows_q[keep], "n_id": rows_n[keep], "adc": rows_d[keep]}
+            )
+        )
+    return outs[0] if len(outs) == 1 else pd.concat(outs, ignore_index=True)
+
+
 def _bucket_assign_refs(
     refs: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str
 ) -> DataFrame:
@@ -573,8 +643,6 @@ def pq_join(
     import pandas as pd
     from pyspark.sql import types as T
 
-    from ffcl_spark.kernels.neighbors import topk_rows
-
     m, k_codes, dsub = codebooks.shape
     if codes is None:
         codes = pq_encode(refs, codebooks, id_col, vec_col)
@@ -614,37 +682,12 @@ def pq_join(
     cb = codebooks  # closure constant (a few KiB)
     c_sq = np.sum(cb**2, axis=2)  # (m, k_codes)
 
+    slab = _ADC_SLAB_CELLS  # captured driver-side so overrides ship
+
     def kernel(qpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        if len(qpdf) == 0 or len(rpdf) == 0:
-            return pd.DataFrame({"q_id": [], "n_id": [], "adc": []})
-        C = np.array(rpdf["code"].tolist(), dtype=np.int64)  # (n, m)
-        rids = rpdf["n_id"].to_numpy()
-        order = np.argsort(rids, kind="stable")  # (adc, n_id) tie-break
-        C, rids = C[order], rids[order]
-        Q = np.array(qpdf["v"].tolist(), dtype=np.float64)
-        qids = qpdf["q_id"].to_numpy()
-        # per-query LUTs — identical arithmetic to pq_topk's driver LUT
-        dist = np.zeros((len(Q), len(rids)))
-        for j in range(m):
-            qs = Q[:, j * dsub : (j + 1) * dsub]
-            lut = (
-                np.sum(qs**2, axis=1)[:, None]
-                + c_sq[j][None, :]
-                - 2.0 * qs @ cb[j].T
-            )
-            dist += lut[:, C[:, j]]
-        # self excluded BEFORE the local top (shortlist boundary must
-        # not depend on which block pair holds the self row)
-        dist[qids[:, None] == rids[None, :]] = np.inf
-        kk = min(cand_k, len(rids))
-        idx, dd = topk_rows(dist, kk)
-        rows_q = np.repeat(qids, kk)
-        rows_n = rids[idx.ravel()]
-        rows_d = dd.ravel()
-        keep = np.isfinite(rows_d)
-        return pd.DataFrame(
-            {"q_id": rows_q[keep], "n_id": rows_n[keep], "adc": rows_d[keep]}
-        )
+        # query-chunked shared ADC scan — identical arithmetic to
+        # pq_topk's driver LUT, task memory bounded by the slab cap
+        return _adc_block_candidates(qpdf, rpdf, cand_k, cb, c_sq, slab)
 
     cands = q.groupBy("blk").cogroup(r.groupBy("blk")).applyInPandas(kernel, out_schema)
     w_adc = Window.partitionBy("q_id").orderBy("adc", "n_id")
@@ -861,14 +904,10 @@ def ivf_pq_join(
     all its probing queries) — size ``len(centroids)`` to the cluster
     (≫ cores) in production; skewed buckets split further by AQE only
     at the shuffle, so prefer more/finer centroids over fewer."""
-    import math
-
     import pandas as pd
     from pyspark.sql import types as T
 
-    from ffcl_spark.kernels.neighbors import topk_rows
-
-    m, k_codes, dsub = codebooks.shape
+    m, _k_codes, dsub = codebooks.shape
     # ref side: (id, code, bucket) — from the stored index when given
     # (read_ann_index), else encode + nearest-centroid assignment here
     if coded is None:
@@ -925,35 +964,13 @@ def ivf_pq_join(
     cb = codebooks
     c_sq = np.sum(cb**2, axis=2)
 
+    slab = _ADC_SLAB_CELLS  # captured driver-side so overrides ship
+
     def adc_kernel(qpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
-        if len(qpdf) == 0 or len(rpdf) == 0:
-            return pd.DataFrame({"q_id": [], "n_id": [], "adc": []})
-        C = np.array(rpdf["code"].tolist(), dtype=np.int64)
-        rids = rpdf["n_id"].to_numpy()
-        order = np.argsort(rids, kind="stable")
-        C, rids = C[order], rids[order]
-        Q = np.array(qpdf["v"].tolist(), dtype=np.float64)
-        qids = qpdf["q_id"].to_numpy()
-        dist = np.zeros((len(Q), len(rids)))
-        for j in range(m):
-            qs = Q[:, j * dsub : (j + 1) * dsub]
-            lut = (
-                np.sum(qs**2, axis=1)[:, None]
-                + c_sq[j][None, :]
-                - 2.0 * qs @ cb[j].T
-            )
-            dist += lut[:, C[:, j]]
-        # self excluded BEFORE the local top (see pq_join)
-        dist[qids[:, None] == rids[None, :]] = np.inf
-        kk = min(cand_k, len(rids))
-        idx, dd = topk_rows(dist, kk)
-        rows_q = np.repeat(qids, kk)
-        rows_n = rids[idx.ravel()]
-        rows_d = dd.ravel()
-        keep = np.isfinite(rows_d)
-        return pd.DataFrame(
-            {"q_id": rows_q[keep], "n_id": rows_n[keep], "adc": rows_d[keep]}
-        )
+        # query-chunked shared ADC scan (see pq_join): a hot bucket
+        # receives ALL queries probing it, so the chunk bound is what
+        # keeps task memory flat under query-side skew
+        return _adc_block_candidates(qpdf, rpdf, cand_k, cb, c_sq, slab)
 
     cands = (
         q.groupBy("bucket").cogroup(r.groupBy("bucket")).applyInPandas(adc_kernel, out_schema)
