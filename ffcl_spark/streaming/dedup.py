@@ -205,20 +205,28 @@ def dedup_batch(
                 .select("id_a", "id_b")
                 .distinct()
             )
-            # exact verification over batch texts + ONLY the candidate
-            # history texts (semi-join before the store scan)
-            hist_t = _read_store(spark, store_dir, TEXTS, epoch_id).join(
-                cand_hist.select(F.col("id_a").alias("id")), "id", "left_semi"
-            )
-            ver_src = admitted.select(F.col("doc_id").alias("id"), "text").unionByName(
-                hist_t
-            )
-            hist_pairs = ngram_jaccard_pairs(
-                ver_src, threshold, "id", "text", shingle_n, candidates=cand_hist
-            )
-            held.append(hist_pairs)
-            drop_hist = hist_pairs.select(F.col("id_b").alias("doc_id")).distinct()
-            surv = _cut(admitted.join(drop_hist, "doc_id", "left_anti"), held)
+            # common-path short-circuit: most epochs of a healthy
+            # stream share no band key with history — one cheap isEmpty
+            # on the blocking join skips the whole shingle-verification
+            # pipeline (and its jobs) when there is nothing to verify
+            if cand_hist.isEmpty():
+                surv = admitted
+            else:
+                # exact verification over batch texts + ONLY the
+                # candidate history texts (semi-join before the store
+                # scan)
+                hist_t = _read_store(spark, store_dir, TEXTS, epoch_id).join(
+                    cand_hist.select(F.col("id_a").alias("id")), "id", "left_semi"
+                )
+                ver_src = admitted.select(
+                    F.col("doc_id").alias("id"), "text"
+                ).unionByName(hist_t)
+                hist_pairs = ngram_jaccard_pairs(
+                    ver_src, threshold, "id", "text", shingle_n, candidates=cand_hist
+                )
+                held.append(hist_pairs)
+                drop_hist = hist_pairs.select(F.col("id_b").alias("doc_id")).distinct()
+                surv = _cut(admitted.join(drop_hist, "doc_id", "left_anti"), held)
 
             # within-batch closure == the batch operator: candidates
             # from the batch's own band keys, verified pairs → CC →
@@ -233,26 +241,35 @@ def dedup_batch(
                 .select("id_a", "id_b")
                 .distinct()
             )
-            wb_pairs = ngram_jaccard_pairs(
-                surv.select(F.col("doc_id").alias("id"), "text"),
-                threshold,
-                "id",
-                "text",
-                shingle_n,
-                candidates=wb_cands,
-            )
-            groups = dedup_groups(surv, threshold, "doc_id", "text", shingle_n, pairs=wb_pairs)
-            held.append(groups)
-            final = _cut(
-                surv.join(
-                    groups.where(F.col("id") == F.col("canonical_id")).select(
-                        F.col("id").alias("doc_id")
+            # same short-circuit within the batch: no shared band key
+            # between two survivors ⇒ no pairs ⇒ every survivor is its
+            # own canonical — skip verification AND the component
+            # closure's contraction rounds outright
+            if wb_cands.isEmpty():
+                final = surv
+            else:
+                wb_pairs = ngram_jaccard_pairs(
+                    surv.select(F.col("doc_id").alias("id"), "text"),
+                    threshold,
+                    "id",
+                    "text",
+                    shingle_n,
+                    candidates=wb_cands,
+                )
+                groups = dedup_groups(
+                    surv, threshold, "doc_id", "text", shingle_n, pairs=wb_pairs
+                )
+                held.append(groups)
+                final = _cut(
+                    surv.join(
+                        groups.where(F.col("id") == F.col("canonical_id")).select(
+                            F.col("id").alias("doc_id")
+                        ),
+                        "doc_id",
+                        "left_semi",
                     ),
-                    "doc_id",
-                    "left_semi",
-                ),
-                held,
-            )
+                    held,
+                )
         else:
             final = admitted
 

@@ -252,7 +252,10 @@ def test_dedup_stream_no_cache_growth(spark, tmp_path):
         for p in spark.read.parquet(f"{store}/hashes/epoch=*").inputFiles()
     }
     assert len(epochs) >= 8
-    deadline = time.time() + 30
+    # drop terminated-query retention, then allow a generous settle —
+    # see the matching note in test_streaming.py's no-growth test
+    spark.streams.resetTerminated()
+    deadline = time.time() + 120
     while time.time() < deadline:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
