@@ -52,6 +52,7 @@ K_EDGES = 5
 # BM25 probe queries (gate q_bm25_rank): fixed strings over the
 # documents vocabulary, inlined as VALUES in the DuckDB oracle
 BM25_QUERIES = ("spark join table", "query sort window group", "data stream batch")
+DUP_N = 4  # duplicated-span window width (gate q_dup_spans)
 
 # n-D operator gates: 8-D dyadic-exact fixture (sources.vectors) —
 # every distance is exactly representable, so value hashes match the
@@ -216,8 +217,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return l2.unionByName(l1)
 
-    def q_core_distance(spark, sf):
-        return S.core_distances(_doc_points(spark, sf), K, CFG)
+    def q_core_distance_plans(spark, sf):
+        # both core-distance forms in one variant-tagged gate (r5
+        # consolidation freeing a dict entry for dup_spans): `d2` =
+        # 2-D doc points through the grid kNN join, `nd` = 8-D
+        # features through the n-D path. CoreDistances.hpp:39-54
+        # semantics (k-th NN, self counted) in both.
+        from ffcl_spark.operators.search_nd import core_distances_nd
+
+        d2 = S.core_distances(_doc_points(spark, sf), K, CFG).select(
+            F.lit("d2").alias("variant"),
+            F.col("id").cast("string").alias("id"),
+            "core_distance",
+        )
+        nd = core_distances_nd(_nd_points(spark, sf), K, CFG_ND).select(
+            F.lit("nd").alias("variant"),
+            F.col("id").cast("string").alias("id"),
+            "core_distance",
+        )
+        return d2.unionByName(nd)
+
+    def q_dup_spans(spark, sf):
+        # substring-level exact dedup (r5): `spans` = positions of
+        # 4-token windows occurring in ≥ 2 distinct docs (the
+        # fixed-width distillation of suffix-array training-data
+        # dedup), `stats` = per-doc (n_windows, n_dup_windows) — the
+        # boilerplate-fraction quality signal. Generic int columns
+        # (a, b) share one schema: spans → (pos, win_hash), stats →
+        # (n_windows, n_dup_windows). 60-bit md5 window hashes are
+        # recomputed identically by the SQL oracle.
+        from ffcl_spark.operators.dedup import (
+            duplicate_ngram_spans,
+            duplicate_span_stats,
+        )
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        spans = duplicate_ngram_spans(docs, n=DUP_N).select(
+            F.lit("spans").alias("variant"),
+            "id",
+            F.col("pos").cast("long").alias("a"),
+            F.col("win_hash").alias("b"),
+        )
+        stats = duplicate_span_stats(docs, n=DUP_N).select(
+            F.lit("stats").alias("variant"),
+            "id",
+            F.col("n_windows").cast("long").alias("a"),
+            F.col("n_dup_windows").cast("long").alias("b"),
+        )
+        return spans.unionByName(stats)
 
     def q_knn_lineitem(spark, sf):
         from ffcl_spark.sources.points import media_points
@@ -409,10 +456,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).withColumn("variant", F.lit("blocked"))
         return grid.unionByName(blocked)
 
-    def q_core_distance_nd(spark, sf):
-        from ffcl_spark.operators.search_nd import core_distances_nd
-
-        return core_distances_nd(_nd_points(spark, sf), K, CFG_ND)
 
 
     def q_kmedoids_labels(spark, sf):
@@ -961,9 +1004,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # response is twofold: (a) same-operator plan/metric/variant gates
     # are consolidated into variant-tagged union gates — 50 entries
     # now (r5: +multimodal_transform, +sample_ops, then box_search+
-    # box_nd → box_plans and embed_ivf+embed_pq → embed_ann to make
-    # room for +asof_events, +bm25_rank), every one a distinct
-    # operator family, exactly at the 50-entry cap by
+    # box_nd → box_plans, embed_ivf+embed_pq → embed_ann, and
+    # core_distance+core_distance_nd → core_distance_plans to make
+    # room for +asof_events, +bm25_rank, +dup_spans), every one a
+    # distinct operator family, exactly at the 50-entry cap by
     # construction; (b) ordering
     # stays by measured per-gate cost
     # (scripts/check_entry.py at sf0.01) so a time cut still cannot
@@ -984,10 +1028,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_transform": q_multimodal_transform,
         "embed_topk": q_embed_topk,
-        "core_distance_nd": q_core_distance_nd,
         "vectorize": q_vectorize,
         "minhash_sigs": q_minhash_sigs,
         "simhash": q_simhash,
+        "dup_spans": q_dup_spans,
         "pip_tiles": q_pip_tiles,
         "sessions": q_sessions,
         "kmedoids_cells": q_kmedoids_cells,
@@ -1002,7 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "radius_docs_metrics": q_radius_docs_metrics,
         "slt_cut": q_slt_cut,
         "dbscan_labels": q_dbscan_labels,
-        "core_distance": q_core_distance,
+        "core_distance_plans": q_core_distance_plans,
         "closest_pair": q_closest_pair,
         "ngram_jaccard": q_ngram_jaccard,
         "edit_distance": q_edit_distance,
@@ -1317,13 +1361,14 @@ FROM (SELECT unnest(ws) AS w FROM final)
 
     o["mst_dist"] = _prim_sql(_PTS_DOCS, _mst_sub_sql(64), _DIST)
 
-    o["core_distance"] = f"""
+    _core_d2_sql = f"""
 WITH {_PTS_DOCS},
 nn AS (
   SELECT q.id AS q_id, {_DIST} AS dist,
          row_number() OVER (PARTITION BY q.id ORDER BY {_DIST}, r.id) AS rnk
   FROM pts q CROSS JOIN pts r QUALIFY rnk <= {K})
-SELECT q_id AS id, max(dist) AS core_distance FROM nn GROUP BY q_id
+SELECT CAST(q_id AS VARCHAR) AS id, max(dist) AS core_distance
+FROM nn GROUP BY q_id
 """
 
     o["knn_lineitem"] = _knn_sql(
@@ -1434,14 +1479,21 @@ SELECT cell,
 FROM s
 """
 
-    o["core_distance_nd"] = f"""
+    o["core_distance_plans"] = _variants(
+        ("d2", _core_d2_sql),
+        (
+            "nd",
+            f"""
 WITH {nd_cte},
 nn AS (
   SELECT q.id AS q_id, {dist_nd} AS dist,
          row_number() OVER (PARTITION BY q.id ORDER BY {dist_nd}, r.id) AS rnk
   FROM vecs q CROSS JOIN vecs r QUALIFY rnk <= {K})
-SELECT q_id AS id, max(dist) AS core_distance FROM nn GROUP BY q_id
-"""
+SELECT CAST(q_id AS VARCHAR) AS id, max(dist) AS core_distance
+FROM nn GROUP BY q_id
+""",
+        ),
+    )
 
     o["mst_weights"] = _variants(
         ("docs2d", _prim_sql(_PTS_DOCS, _mst_sub_sql(16), _DIST)),
@@ -1656,6 +1708,37 @@ FROM m
 """
 
     o["ngram_jaccard"] = _jaccard_sql()
+
+    # substring-level dedup: windows recomputed from scratch — the
+    # 60-bit hash is the same md5-prefix rule both engines evaluate on
+    # the identical space-joined window string
+    _dup_win = "||' '||".join(f"toks[i+{j}]" for j in range(DUP_N))
+    _dup_cte = f"""
+tk AS (SELECT doc_id AS id, {_TOKS} AS toks FROM documents),
+wl AS (SELECT id,
+         [struct_pack(pos := i-1,
+            win_hash := CAST('0x' || substr(md5({_dup_win}), 1, 15) AS BIGINT))
+          FOR i IN generate_series(1, len(toks)-{DUP_N - 1})] AS ws
+       FROM tk WHERE len(toks) >= {DUP_N}),
+w AS (SELECT id, u.pos AS pos, u.win_hash AS win_hash
+      FROM (SELECT id, unnest(ws) AS u FROM wl)),
+d AS (SELECT win_hash FROM w GROUP BY win_hash
+      HAVING count(DISTINCT id) >= 2)
+"""
+    o["dup_spans"] = f"""
+WITH {_dup_cte}
+SELECT 'spans' AS variant, id, CAST(pos AS BIGINT) AS a, win_hash AS b
+FROM w JOIN d USING (win_hash)
+UNION ALL
+SELECT 'stats' AS variant, dd.doc_id AS id,
+  coalesce(nw.n, 0) AS a, coalesce(ndw.n, 0) AS b
+FROM documents dd
+LEFT JOIN (SELECT id, count(*) AS n FROM w GROUP BY id) nw
+  ON nw.id = dd.doc_id
+LEFT JOIN (SELECT id, count(*) AS n FROM w JOIN d USING (win_hash)
+           GROUP BY id) ndw
+  ON ndw.id = dd.doc_id
+"""
 
     sig_cols = ", ".join(f"sig_{j}" for j in range(32))
     o["minhash_sigs"] = f"WITH {_minhash_sig_cte()} SELECT id, {sig_cols} FROM sig"

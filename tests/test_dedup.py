@@ -145,3 +145,73 @@ def test_dedup_groups_matches_local_union_find(spark):
     for _, row in got.iterrows():
         assert row.canonical_id == roots[row.id]
         assert int(row.group_size) == sizes[roots[row.id]]
+
+
+def _span_oracle(rows, n, min_docs=2):
+    wins = {}
+    per_doc = []
+    for doc_id, text in rows:
+        toks = [t for t in text.split(" ") if t]
+        ws = [
+            (doc_id, i, " ".join(toks[i : i + n]))
+            for i in range(len(toks) - n + 1)
+        ]
+        per_doc.extend(ws)
+        for _, _, w in ws:
+            wins.setdefault(w, set()).add(doc_id)
+    dup = {w for w, ids in wins.items() if len(ids) >= min_docs}
+    spans = {(d, p) for d, p, w in per_doc if w in dup}
+    stats = {}
+    for doc_id, text in rows:
+        mine = [(d, p, w) for d, p, w in per_doc if d == doc_id]
+        stats[doc_id] = (len(mine), sum(1 for _, _, w in mine if w in dup))
+    return spans, stats
+
+
+def test_duplicate_ngram_spans_match_oracle(spark):
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "x y a b c d q r"),     # shares window "a b c d" with 0
+        (2, "a b c d e z z z"),     # shares two windows with 0
+        (3, "totally different words here now"),
+        (4, "shorty"),              # shorter than n -> no windows
+    ]
+    n = 4
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = DD.duplicate_ngram_spans(df, n=n).toPandas()
+    want_spans, want_stats = _span_oracle(rows, n)
+    assert set(zip(got.id, got.pos)) == want_spans
+    # the same window string gets the same hash everywhere
+    by_hash = got.groupby("win_hash")["id"].nunique()
+    assert (by_hash >= 2).all()
+
+    stats = DD.duplicate_span_stats(df, n=n).toPandas().set_index("id")
+    for doc_id, (nw, nd) in want_stats.items():
+        assert stats.loc[doc_id].n_windows == nw
+        assert stats.loc[doc_id].n_dup_windows == nd
+    assert stats.loc[4].n_windows == 0  # short doc present with zeros
+
+
+def test_duplicate_spans_runs_of_consecutive_windows(spark):
+    # a long shared substring appears as a RUN of consecutive
+    # duplicated windows — the suffix-array-dedup signature
+    shared = "one two three four five six seven eight nine ten"
+    rows = [(0, f"{shared} tail0 t0"), (1, f"head1 h1 {shared}")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = DD.duplicate_ngram_spans(df, n=4).toPandas()
+    pos0 = sorted(got[got.id == 0].pos)
+    assert pos0 == list(range(0, 7))  # 10-token share -> 7 windows, contiguous
+    pos1 = sorted(got[got.id == 1].pos)
+    assert pos1 == list(range(2, 9))
+
+
+def test_duplicate_spans_release_caches(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a b c d e")], "doc_id long, text string"
+    )
+    from ffcl_spark.plans.cache import release
+
+    out = DD.duplicate_ngram_spans(df, n=3)
+    assert out.count() > 0
+    release(out)
+    assert getattr(out, "_ffcl_cached", None) == []
