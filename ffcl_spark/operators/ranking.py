@@ -35,7 +35,15 @@ from pyspark.sql import functions as F
 
 from ffcl_spark.functions import text as X
 
-__all__ = ["doc_term_freqs", "tf_idf", "bm25_scores", "bm25_topk"]
+__all__ = [
+    "doc_term_freqs",
+    "tf_idf",
+    "bm25_scores",
+    "bm25_topk",
+    "write_postings",
+    "read_postings",
+    "bm25_index_topk",
+]
 
 
 def doc_term_freqs(
@@ -174,4 +182,139 @@ def bm25_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
+    )
+
+
+# ------------------------------------------------------ postings at rest
+
+def _term_bucket_py(term: str, n_buckets: int) -> int:
+    """Driver twin of the Spark bucket rule (md5-prefix mod)."""
+    import hashlib
+
+    return int(hashlib.md5(term.encode()).hexdigest()[:8], 16) % n_buckets
+
+
+def _term_bucket_col(term, n_buckets: int):
+    return F.pmod(
+        F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    ).cast("int")
+
+
+def write_postings(
+    docs: DataFrame,
+    path: str,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Persist the inverted index at rest: the (doc_id, term, tf, dl)
+    postings written as parquet PARTITIONED BY a term-hash bucket,
+    plus a JSON sidecar with the exact corpus stats (n_docs, sum_dl
+    as integers). Tokenize once, query many times — probe-term bucket
+    filters partition-prune the scan, so a BM25 probe reads only the
+    buckets its terms hash to, never the corpus. The text twin of
+    ``similarity.write_ann_index``."""
+    import json
+
+    postings = doc_term_freqs(docs, id_col, text_col)
+    bucketed = postings.withColumn(
+        "bucket", _term_bucket_col(F.col("term"), n_buckets)
+    )
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{path}/postings"
+    )
+    row = (
+        postings.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+        )
+        .first()
+    )
+    meta = {
+        "n_docs": int(row["n_docs"]),
+        "sum_dl": int(row["sum_dl"]),
+        "n_buckets": int(n_buckets),
+    }
+    with open(f"{path}/meta.json".replace("file:", ""), "w") as f:
+        json.dump(meta, f)
+
+
+def read_postings(
+    spark, path: str, terms: list[str] | None = None
+) -> tuple[DataFrame, dict]:
+    """Load postings written by ``write_postings``. With ``terms``,
+    the scan carries a bucket IN-filter over the partition column —
+    only those buckets' files are read (PartitionFilters in the
+    physical plan). Returns (postings, meta)."""
+    import json
+
+    with open(f"{path}/meta.json".replace("file:", "")) as f:
+        meta = json.load(f)
+    df = spark.read.parquet(f"{path}/postings")
+    if terms is not None:
+        buckets = sorted({_term_bucket_py(t, meta["n_buckets"]) for t in terms})
+        df = df.where(F.col("bucket").isin(buckets))
+    return df, meta
+
+
+def bm25_index_topk(
+    spark,
+    path: str,
+    queries: list[tuple[int, str]],
+    k: int,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 top-k against postings AT REST: probe terms are known on
+    the driver (queries is a bounded (q_id, text) list — the probe-set
+    contract, same position as ``pq_topk``'s query set), so their
+    buckets prune the postings scan; document frequencies come from
+    the pruned buckets (each term's postings are colocated in its
+    bucket, so per-term counts are complete); corpus stats come from
+    the exact integer sidecar. Value-identical to ``bm25_topk`` on the
+    fly (pinned in pytest)."""
+    all_terms = sorted(
+        {t for _, text in queries for t in text.split(" ") if t}
+    )
+    postings, meta = read_postings(spark, path, terms=all_terms)
+    qdf = spark.createDataFrame(
+        [(int(i), t) for i, t in queries], "q_id long, q_text string"
+    )
+    # df per term from the pruned buckets; stats from the sidecar —
+    # the same IEEE division the in-plan stats aggregate performs
+    stats = spark.createDataFrame(
+        [(meta["n_docs"], float(meta["sum_dl"]) / float(meta["n_docs"]))],
+        "n_docs long, avgdl double",
+    )
+    qterms = qdf.select(
+        "q_id",
+        F.explode(F.array_distinct(X.tokens(F.col("q_text")))).alias("term"),
+    )
+    dfreq = (
+        postings.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / norm
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("q_id", "doc_id")
+        .agg(F.sum(contrib).alias("score"), F.count(F.lit(1)).alias("n_terms"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).where(
+        F.col("rank") <= k
     )

@@ -3,6 +3,7 @@ import math
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from ffcl_spark.operators.ranking import bm25_scores, bm25_topk, doc_term_freqs, tf_idf
 
@@ -153,3 +154,54 @@ def test_ranking_plans_are_jvm_only(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_postings_at_rest_roundtrip(spark, tmp_path):
+    # stored == fly: BM25 against the bucket-partitioned postings index
+    # must be value-identical to the self-computing operator
+    from ffcl_spark.operators.ranking import (
+        bm25_index_topk,
+        read_postings,
+        write_postings,
+    )
+
+    docs = spark.createDataFrame(DOCS)
+    path = str(tmp_path / "postings_idx")
+    write_postings(docs, path, n_buckets=8)
+
+    queries = [(0, "spark join"), (1, "sort sort window")]
+    got = (
+        bm25_index_topk(spark, path, queries, 3)
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    qdf = spark.createDataFrame(pd.DataFrame(queries, columns=["q_id", "q_text"]))
+    want = (
+        bm25_topk(docs, qdf, 3)
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # sidecar stats are exact integers
+    _, meta = read_postings(spark, path)
+    assert meta["n_docs"] == len(DOCS)
+    assert meta["sum_dl"] == sum(len(_tok(t)) for t in DOCS.text)
+
+
+def test_postings_probe_partition_prunes(spark, tmp_path):
+    from ffcl_spark.operators.ranking import read_postings, write_postings
+
+    docs = spark.createDataFrame(DOCS)
+    path = str(tmp_path / "postings_prune")
+    write_postings(docs, path, n_buckets=8)
+    pruned, _ = read_postings(spark, path, terms=["spark"])
+    txt = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in txt
+    assert "bucket" in txt.split("PartitionFilters", 1)[1][:200]
+    # and the pruned read still contains every 'spark' posting
+    got = pruned.where(F.col("term") == "spark").toPandas()
+    want = sum(1 for t in DOCS.text if "spark" in _tok(t))
+    assert got.doc_id.nunique() == want
