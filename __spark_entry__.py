@@ -246,7 +246,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (a, b) share one schema: spans → (pos, win_hash), stats →
         # (n_windows, n_dup_windows). 60-bit md5 window hashes are
         # recomputed identically by the SQL oracle.
+        # `contam` = benchmark decontamination: corpus windows also
+        # present in a probe set (docs with doc_id % 29 == 0 standing
+        # in for an eval benchmark) — the cross-table form
         from ffcl_spark.operators.dedup import (
+            contamination_spans,
             duplicate_ngram_spans,
             duplicate_span_stats,
         )
@@ -264,7 +268,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_windows").cast("long").alias("a"),
             F.col("n_dup_windows").cast("long").alias("b"),
         )
-        return spans.unionByName(stats)
+        probes = docs.where(F.col("doc_id") % 29 == 0)
+        contam = contamination_spans(docs, probes, n=DUP_N).select(
+            F.lit("contam").alias("variant"),
+            "id",
+            F.col("pos").cast("long").alias("a"),
+            F.col("win_hash").alias("b"),
+        )
+        return spans.unionByName(stats).unionByName(contam)
 
     def q_knn_lineitem(spark, sf):
         from ffcl_spark.sources.points import media_points
@@ -1738,6 +1749,10 @@ LEFT JOIN (SELECT id, count(*) AS n FROM w GROUP BY id) nw
 LEFT JOIN (SELECT id, count(*) AS n FROM w JOIN d USING (win_hash)
            GROUP BY id) ndw
   ON ndw.id = dd.doc_id
+UNION ALL
+SELECT 'contam' AS variant, id, CAST(pos AS BIGINT) AS a, win_hash AS b
+FROM w SEMI JOIN (SELECT DISTINCT win_hash FROM w WHERE id % 29 = 0) p
+  USING (win_hash)
 """
 
     sig_cols = ", ".join(f"sig_{j}" for j in range(32))

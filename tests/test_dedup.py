@@ -215,3 +215,25 @@ def test_duplicate_spans_release_caches(spark):
     assert out.count() > 0
     release(out)
     assert getattr(out, "_ffcl_cached", None) == []
+
+
+def test_contamination_spans_cross_table(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "clean text with no benchmark overlap at all"),
+            (2, "prefix words then alpha beta gamma delta suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, "xx alpha beta gamma delta yy")], "doc_id long, text string"
+    )
+    got = DD.contamination_spans(corpus, probes, n=4).toPandas()
+    # doc 0 leaks the probe 4-gram at pos 0; doc 2 at pos 3; doc 1 clean
+    assert set(zip(got.id, got.pos)) == {(0, 0), (2, 3)}
+    # empty probe set -> nothing flagged
+    none = DD.contamination_spans(
+        corpus, probes.where("doc_id < 0"), n=4
+    ).toPandas()
+    assert len(none) == 0
