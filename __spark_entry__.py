@@ -53,6 +53,7 @@ K_EDGES = 5
 # documents vocabulary, inlined as VALUES in the DuckDB oracle
 BM25_QUERIES = ("spark join table", "query sort window group", "data stream batch")
 DUP_N = 4  # duplicated-span window width (gate q_dup_spans)
+PACK_CHUNK = 2048  # concat-then-chunk shard size (gate q_sample_ops:pack)
 
 # n-D operator gates: 8-D dyadic-exact fixture (sources.vectors) —
 # every distance is exactly representable, so value hashes match the
@@ -591,6 +592,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .unionByName(
                 tag(SP.topk_sample(docs, 50, seed=13), "topk", F.lit("sample"))
+            )
+            .unionByName(
+                # `pack` = concat-then-chunk training layout (r5):
+                # shard:offset of each doc's first token under the
+                # distributed two-phase prefix sum — the oracle
+                # recomputes it with a plain window cumsum
+                tag(
+                    SP.pack_chunks(docs, PACK_CHUNK).withColumnRenamed(
+                        "id", "doc_id"
+                    ),
+                    "pack",
+                    F.concat_ws(
+                        ":",
+                        F.col("shard").cast("string"),
+                        F.col("offset").cast("string"),
+                    ),
+                )
             )
         )
 
@@ -1672,6 +1690,16 @@ UNION ALL
 SELECT 'topk', doc_id, 'sample' FROM (
   SELECT doc_id FROM documents
   ORDER BY {_bkt("doc_id", 13)}, doc_id LIMIT 50)
+UNION ALL
+SELECT 'pack', doc_id,
+  CAST(strt // {PACK_CHUNK} AS VARCHAR) || ':' ||
+  CAST(strt % {PACK_CHUNK} AS VARCHAR) AS part
+FROM (
+  SELECT doc_id,
+    coalesce(sum(len({_TOKS})) OVER (
+      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+    ), 0) AS strt
+  FROM documents)
 """
 
     markers = {

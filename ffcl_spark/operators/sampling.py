@@ -179,3 +179,88 @@ def topk_sample(
     per-partition heaps, no full sort), the scale form of the
     reference's Fisher–Yates ``select_n_elements``."""
     return df.orderBy(seeded_bucket(F.col(id_col), seed), F.col(id_col)).limit(n)
+
+
+def pack_chunks(
+    df: DataFrame,
+    chunk_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    order_col: str | None = None,
+    partitions: int | None = None,
+) -> DataFrame:
+    """(id, n_tokens, shard, offset): the concat-then-chunk training
+    layout — documents are concatenated in ``order_col`` order
+    (default: id order) and the token stream is split into fixed
+    ``chunk_tokens`` shards; each document gets the shard and
+    within-shard offset where its FIRST token lands. Chunk boundaries
+    cut straddling documents, exactly as LLM-pretraining packing does.
+
+    Plan — distributed prefix sum without a global sort:
+
+    1. range-partition by the (order, id) key, so partition i holds a
+       contiguous, disjoint key range below partition i+1's;
+    2. one tiny aggregate of per-partition token subtotals (bounded by
+       the partition count — the hot-groups pattern) becomes a
+       broadcast of exclusive partition offsets;
+    3. a per-partition window cumsum adds the local exclusive prefix.
+
+    The result depends only on the global order and the token counts —
+    partition boundaries cancel out — so the assignment is
+    deterministic at any parallelism (pinned in pytest)."""
+    from ffcl_spark.functions import text as X
+
+    order = order_col or id_col
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(order).alias("ord"),
+        F.size(X.tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    n_part = partitions or df.sparkSession.sparkContext.defaultParallelism
+    # localCheckpoint pins ONE materialized partitioning: the range
+    # partitioner SAMPLES its boundaries per execution, and this frame
+    # is consumed twice (the subtotal collect and the final plan) —
+    # without the cut, the two executions could disagree on which pid
+    # a key lands in and the broadcast offsets would join wrongly
+    ranged = (
+        base.repartitionByRange(n_part, F.col("ord"), F.col("id"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    # bounded collect: one row per partition (the hot-groups pattern)
+    totals = (
+        ranged.groupBy("pid")
+        .agg(
+            F.sum("n_tokens").alias("t"),
+            F.min(F.struct("ord", "id")).alias("lo"),
+        )
+        .collect()
+    )
+    # partition ids are assigned by the range partitioner in key order,
+    # but sort by the partition's minimum key to make the offsets
+    # independent of that contract
+    running, offsets = 0, {}
+    for row in sorted(totals, key=lambda r: (r["lo"]["ord"], r["lo"]["id"])):
+        offsets[row["pid"]] = running
+        running += row["t"]
+    off_df = df.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "pid int, part_off long"
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("ord", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) + F.col("part_off")
+    return (
+        ranged.join(F.broadcast(off_df), "pid")
+        .withColumn("start", start)
+        .select(
+            "id",
+            "n_tokens",
+            F.floor(F.col("start") / F.lit(chunk_tokens)).alias("shard"),
+            (F.col("start") % F.lit(chunk_tokens)).alias("offset"),
+        )
+    )

@@ -134,3 +134,64 @@ def test_topk_sample_exact_size_and_twin(docs):
     got = sorted(r.doc_id for r in SP.topk_sample(df, 40, seed=13).collect())
     twin = sorted(sorted(pdf.doc_id, key=lambda i: (bucket(i, 13), i))[:40])
     assert got == twin
+
+
+def test_pack_chunks_matches_prefix_sum_oracle(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(200, dtype=np.int64),
+            "text": [
+                " ".join(f"w{j}" for j in range(rng.integers(1, 40)))
+                for _ in range(200)
+            ],
+        }
+    )
+    from ffcl_spark.operators.sampling import pack_chunks
+
+    chunk = 128
+    got = (
+        pack_chunks(spark.createDataFrame(pdf), chunk)
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    n_tok = pdf.text.str.split().str.len().to_numpy()
+    start = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+    assert got.n_tokens.tolist() == n_tok.tolist()
+    assert got.shard.tolist() == (start // chunk).tolist()
+    assert got.offset.tolist() == (start % chunk).tolist()
+    # a straddling doc exists on this fixture (boundaries cut docs)
+    assert ((start % chunk) + n_tok > chunk).any()
+
+
+def test_pack_chunks_invariant_across_partitioning(spark):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(5)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(300, dtype=np.int64),
+            "text": [
+                " ".join("x" * 1 for _ in range(rng.integers(1, 25)))
+                for _ in range(300)
+            ],
+        }
+    )
+    from ffcl_spark.operators.sampling import pack_chunks
+
+    frames = []
+    for parts in (1, 3, 16):
+        df = spark.createDataFrame(pdf.sample(frac=1.0, random_state=parts))
+        frames.append(
+            pack_chunks(df, 64, partitions=parts)
+            .toPandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(frames[0], frames[1])
+    pd.testing.assert_frame_equal(frames[0], frames[2])
