@@ -166,3 +166,105 @@ def tree_to_json(tree_rows: list, max_depth: int | None = None) -> dict:
         return node
 
     return {"roots": [attach(dict(r)) for r in sorted(roots, key=lambda n: n["cell"])]}
+
+
+# --------------------------------------------------- point index at rest
+
+def write_point_index(points: DataFrame, path: str, cfg: EngineConfig) -> None:
+    """Persist the spatial index at rest: the (id, doc_id, offset,
+    x, y) points written as parquet PARTITIONED BY their grid cell,
+    plus a JSON sidecar with the grid parameters. Extract + index
+    once, query many times — a box/radius probe's covered cells become
+    partition filters, so the scan reads only those cells' files. The
+    spatial member of the at-rest trilogy (`similarity.write_ann_index`
+    for vectors, `ranking.write_postings` for text)."""
+    import json
+
+    with_cell(points, cfg).write.mode("overwrite").partitionBy("cell").parquet(
+        f"{path}/points"
+    )
+    meta = {
+        "x0": cfg.x0,
+        "y0": cfg.y0,
+        "domain": cfg.domain,
+        "resolution": cfg.resolution,
+    }
+    with open(f"{path}/meta.json".replace("file:", ""), "w") as f:
+        json.dump(meta, f)
+
+
+def read_point_index(spark, path: str, cells: list[int] | None = None):
+    """Load a point index written by ``write_point_index``. With
+    ``cells``, the scan carries a cell IN-filter over the partition
+    column (PartitionFilters — only those cells' files are read).
+    Returns (points_with_cell, cfg)."""
+    import json
+
+    with open(f"{path}/meta.json".replace("file:", "")) as f:
+        m = json.load(f)
+    cfg = EngineConfig(
+        x0=m["x0"], y0=m["y0"], domain=m["domain"], resolution=m["resolution"]
+    )
+    df = spark.read.parquet(f"{path}/points")
+    if cells is not None:
+        df = df.where(F.col("cell").isin([int(c) for c in cells]))
+    return df, cfg
+
+
+def cover_cells(
+    x_lo: float, y_lo: float, x_hi: float, y_hi: float, cfg: EngineConfig
+) -> list[int]:
+    """Driver twin of the cell packing: every grid cell whose square
+    intersects the box (clamped at the domain edge, mirroring
+    ``functions.cells.axis_index``). Bounded by the probe's area in
+    cells — the 2-D analogue of the probe-term bucket list."""
+    grid_n = 1 << cfg.resolution
+    base = cfg.resolution * (1 << 52)
+
+    def axis(lo: float, hi: float, origin: float) -> range:
+        i_lo = max(0, min(grid_n - 1, int((lo - origin) // cfg.cell_size)))
+        i_hi = max(0, min(grid_n - 1, int((hi - origin) // cfg.cell_size)))
+        return range(i_lo, i_hi + 1)
+
+    return [
+        base + ix * (1 << 26) + iy
+        for ix in axis(x_lo, x_hi, cfg.x0)
+        for iy in axis(y_lo, y_hi, cfg.y0)
+    ]
+
+
+def box_search_indexed(
+    spark, path: str, x_lo: float, y_lo: float, x_hi: float, y_hi: float
+) -> DataFrame:
+    """Box search against the index at rest: covered cells prune the
+    scan, then the exact inclusive box predicate filters — value-
+    identical to ``search.box_search`` on the fly (pinned)."""
+    pts, cfg = read_point_index(spark, path)
+    covered = cover_cells(x_lo, y_lo, x_hi, y_hi, cfg)
+    return (
+        pts.where(F.col("cell").isin(covered))
+        .where(
+            F.col("x").between(x_lo, x_hi) & F.col("y").between(y_lo, y_hi)
+        )
+        .drop("cell")
+    )
+
+
+def radius_probe_indexed(
+    spark, path: str, qx: float, qy: float, radius: float
+) -> DataFrame:
+    """All stored points with strict ``dist < radius`` of one probe
+    point (reference Ball.hpp semantics), reading only the cells the
+    ball's bounding box covers."""
+    pts, cfg = read_point_index(spark, path)
+    covered = cover_cells(qx - radius, qy - radius, qx + radius, qy + radius, cfg)
+    d = F.sqrt(
+        (F.col("x") - F.lit(qx)) * (F.col("x") - F.lit(qx))
+        + (F.col("y") - F.lit(qy)) * (F.col("y") - F.lit(qy))
+    )
+    return (
+        pts.where(F.col("cell").isin(covered))
+        .withColumn("dist", d)
+        .where(F.col("dist") < radius)
+        .drop("cell")
+    )

@@ -133,3 +133,40 @@ def test_index_tree_snapshot(spark, cfg, blobs):
         return 1 + sum(count_nodes(c) for c in node["children"])
     assert count_nodes(j["roots"][0]) == len(tree)
     assert j["roots"][0]["n"] == n
+
+
+def test_point_index_at_rest(spark, cfg, blobs, tmp_path):
+    import numpy as np
+
+    from ffcl_spark.operators import search as S
+    from ffcl_spark.sources.points import (
+        box_search_indexed,
+        radius_probe_indexed,
+        read_point_index,
+        write_point_index,
+    )
+
+    df, pdf = blobs
+    path = str(tmp_path / "pt_idx")
+    write_point_index(df, path, cfg)
+
+    # stored == fly: box over the index equals the on-the-fly operator
+    box = (-5.0, -5.0, 5.0, 5.0)
+    got = set(box_search_indexed(spark, path, *box).toPandas()["id"])
+    want = set(S.box_search(df, *box).toPandas()["id"])
+    assert got == want and len(want) > 0
+
+    # radius probe: strict < r vs NumPy brute force
+    qx, qy, r = float(pdf.x.iloc[0]), float(pdf.y.iloc[0]), 3.0
+    got_r = radius_probe_indexed(spark, path, qx, qy, r).toPandas()
+    d = np.sqrt((pdf.x - qx) ** 2 + (pdf.y - qy) ** 2)
+    want_ids = set(pdf.id[d < r])
+    assert set(got_r["id"]) == want_ids and len(want_ids) > 1
+
+    # the probed read partition-prunes at the scan
+    pts, c = read_point_index(spark, path, cells=[int(
+        spark.read.parquet(f"{path}/points").agg({"cell": "min"}).first()[0]
+    )])
+    txt = pts._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in txt
+    assert "cell" in txt.split("PartitionFilters", 1)[1][:200]
