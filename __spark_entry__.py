@@ -176,11 +176,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return index_tree(_doc_points(spark, sf), CFG)
 
     def q_box_plans(spark, sf):
-        # both box-search forms in one variant-tagged gate (r5
+        # all three box-search forms in one variant-tagged gate (r5
         # consolidation freeing dict entries for the temporal/ranking
         # gates): `d2` = 2-D doc points (pure Catalyst BETWEEN
-        # predicates), `nd` = 8-D per-feature segments
+        # predicates), `nd` = 8-D per-feature segments, `idx` = the
+        # same 2-D box probed against the point index AT REST
+        # (cell-partitioned parquet; covered cells become
+        # PartitionFilters) — the driver artifact's stored==fly proof
+        import tempfile
+
         from ffcl_spark.operators.search_nd import box_search_nd
+        from ffcl_spark.sources.points import box_search_indexed, write_point_index
 
         d2 = S.box_search(_doc_points(spark, sf), *BOX).select(
             F.lit("d2").alias("variant"), F.col("id").cast("string").alias("id")
@@ -188,7 +194,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nd = box_search_nd(_nd_points(spark, sf), [BOX_ND] * DIMS_ND).select(
             F.lit("nd").alias("variant"), F.col("id").cast("string").alias("id")
         )
-        return d2.unionByName(nd)
+        idx_dir = tempfile.mkdtemp(prefix="ffcl_gate_ptidx_")
+        write_point_index(_doc_points(spark, sf), idx_dir, CFG)
+        idx = box_search_indexed(spark, idx_dir, *BOX).select(
+            F.lit("idx").alias("variant"), F.col("id").cast("string").alias("id")
+        )
+        return d2.unionByName(nd).unionByName(idx)
 
     # 2-D kNN over doc points: ALL THREE physical plans in one
     # variant-tagged gate (r4 consolidation — one entry, one driver
@@ -1574,6 +1585,10 @@ FROM vecs LEFT JOIN lab l ON l.id = vecs.id
             "nd",
             f"WITH {nd_cte} SELECT CAST(id AS VARCHAR) AS id FROM vecs WHERE {box_pred}",
         ),
+        # `idx` probes the at-rest cell-partitioned index — covered-cell
+        # partition pruning must not change the result set, so the
+        # oracle is the identical box SQL
+        ("idx", _box_d2_sql),
     )
 
     o["pip_tiles"] = f"""
