@@ -524,13 +524,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         tiles = TL.grid_tiles(spark, CFG, side=TILE_SIDE)
         return TL.pip_join(pts, tiles, CFG)
 
-    def q_rasterize(spark, sf):
+    def q_raster_plans(spark, sf):
+        # raster↔vector round trip in one variant-tagged gate (r5
+        # consolidation freeing a dict entry for rep_metrics):
+        # `raster` = polygon → covered-cell set, `vector` = cell set →
+        # tight boxes back. Nullable common schema — cell rides as a
+        # string (base-10 cell ids exceed 2^53, double would round),
+        # box coords stay doubles.
         tiles = TL.grid_tiles(spark, CFG, side=TILE_SIDE)
-        return TL.rasterize(tiles, CFG)
+        ras = TL.rasterize(tiles, CFG)
+        box_cols = ("x_lo", "y_lo", "x_hi", "y_hi")
+        r = ras.select(
+            F.lit("raster").alias("variant"),
+            "tile_id",
+            F.col("cell").cast("string").alias("cell"),
+            *[F.lit(None).cast("double").alias(c) for c in box_cols],
+        )
+        v = TL.vectorize(ras, CFG).select(
+            F.lit("vector").alias("variant"),
+            "tile_id",
+            F.lit(None).cast("string").alias("cell"),
+            *box_cols,
+        )
+        return r.unionByName(v)
 
-    def q_vectorize(spark, sf):
-        tiles = TL.grid_tiles(spark, CFG, side=TILE_SIDE)
-        return TL.vectorize(TL.rasterize(tiles, CFG), CFG)
+    def q_rep_metrics(spark, sf):
+        # within-document repetition quality signals (the Gopher-rule
+        # family): duplicate-token fraction, most-frequent-bigram
+        # character fraction, and exact token-position coverage of
+        # repeated trigrams
+        return TO.repetition_metrics(_documents(spark, sf))
 
     def q_span_digest(spark, sf):
         return span_sequence_digest(_docs(spark, sf))
@@ -1068,7 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "multimodal_transform": q_multimodal_transform,
         "embed_topk": q_embed_topk,
-        "vectorize": q_vectorize,
+        "raster_plans": q_raster_plans,
         "minhash_sigs": q_minhash_sigs,
         "simhash": q_simhash,
         "dup_spans": q_dup_spans,
@@ -1079,7 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_nd_metrics": q_knn_nd_metrics,
         "index_tree": q_index_tree,
         "radius_nd_plans": q_radius_nd_plans,
-        "rasterize": q_rasterize,
+        "rep_metrics": q_rep_metrics,
         "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "knn_embed_plans": q_knn_embed_plans,
@@ -1605,7 +1628,7 @@ FROM pts p JOIN tiles t
 """
 
     n_tiles = int(60 / TILE_SIDE)
-    o["rasterize"] = f"""
+    _raster_sql = f"""
 WITH tiles AS (
   SELECT tx, ty FROM generate_series(0, {n_tiles - 1}) g1(tx)
   CROSS JOIN generate_series(0, {n_tiles - 1}) g2(ty)),
@@ -1625,8 +1648,8 @@ FROM bounds, grid
 WHERE ix >= ixlo AND ix <= ixhi AND iy >= iylo AND iy <= iyhi
 """
 
-    o["vectorize"] = f"""
-WITH r AS ({o['rasterize']}),
+    _vector_sql = f"""
+WITH r AS ({_raster_sql}),
 d AS (SELECT tile_id, (cell >> 26) & 67108863 AS ix, cell & 67108863 AS iy FROM r)
 SELECT tile_id,
   -30.0 + CAST(min(ix) AS DOUBLE) * {_CS} AS x_lo,
@@ -1634,6 +1657,65 @@ SELECT tile_id,
   -30.0 + CAST(max(ix) + 1 AS DOUBLE) * {_CS} AS x_hi,
   -30.0 + CAST(max(iy) + 1 AS DOUBLE) * {_CS} AS y_hi
 FROM d GROUP BY tile_id
+"""
+    # raster↔vector union gate: cell rides as VARCHAR (ids exceed
+    # 2^53 — a DOUBLE cast would round), box coords stay DOUBLE
+    o["raster_plans"] = f"""
+SELECT 'raster' AS variant, tile_id, CAST(cell AS VARCHAR) AS cell,
+       CAST(NULL AS DOUBLE) AS x_lo, CAST(NULL AS DOUBLE) AS y_lo,
+       CAST(NULL AS DOUBLE) AS x_hi, CAST(NULL AS DOUBLE) AS y_hi
+FROM ({_raster_sql})
+UNION ALL
+SELECT 'vector' AS variant, tile_id, CAST(NULL AS VARCHAR) AS cell,
+       x_lo, y_lo, x_hi, y_hi
+FROM ({_vector_sql})
+"""
+
+    # within-document repetition (Gopher rules): duplicate-token
+    # fraction, top-bigram character fraction (ties → lexicographically
+    # greatest gram), and exact token-position coverage of trigrams
+    # occurring ≥ 2 times — every ratio a single int/int division
+    o["rep_metrics"] = f"""
+WITH tk AS (SELECT doc_id, length(text) AS n_chars, {_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id, n_chars, toks, len(toks) AS n_tokens FROM tk),
+scal AS (
+  SELECT doc_id, n_chars, CAST(n_tokens AS INTEGER) AS n_tokens,
+         CAST(n_tokens - len(list_distinct(toks)) AS DOUBLE)
+           / CAST(n_tokens AS DOUBLE) AS dup_token_frac
+  FROM b),
+g2 AS (
+  SELECT doc_id, n_chars,
+         unnest([toks[i] || ' ' || toks[i+1]
+                 FOR i IN generate_series(1, len(toks) - 1)]) AS gram
+  FROM b WHERE len(toks) >= 2),
+t2 AS (SELECT doc_id, any_value(n_chars) AS n_chars, gram, count(*) AS c
+       FROM g2 GROUP BY doc_id, gram),
+top1 AS (
+  SELECT doc_id, gram AS top_gram, CAST(c AS INTEGER) AS top_gram_count,
+         CAST(c * length(gram) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS top_gram_frac
+  FROM (SELECT *, row_number() OVER (
+          PARTITION BY doc_id ORDER BY c DESC, gram DESC) AS rk FROM t2)
+  WHERE rk = 1),
+g3 AS (
+  SELECT doc_id,
+         unnest(generate_series(0, len(toks) - 3)) AS pos,
+         unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 FOR i IN generate_series(1, len(toks) - 2)]) AS gram
+  FROM b WHERE len(toks) >= 3),
+c3 AS (SELECT doc_id, gram FROM g3 GROUP BY doc_id, gram HAVING count(*) >= 2),
+cov AS (SELECT DISTINCT g3.doc_id, g3.pos + d.d AS p
+        FROM g3 JOIN c3 USING (doc_id, gram)
+        CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS d) d),
+covn AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY doc_id)
+SELECT s.doc_id, s.n_tokens, s.dup_token_frac,
+       coalesce(t.top_gram, '') AS top_gram,
+       coalesce(t.top_gram_count, 0) AS top_gram_count,
+       coalesce(t.top_gram_frac, 0.0) AS top_gram_frac,
+       CAST(coalesce(c.covered, 0) AS DOUBLE)
+         / CAST(s.n_tokens AS DOUBLE) AS dup_span_frac
+FROM scal s
+LEFT JOIN top1 t USING (doc_id)
+LEFT JOIN covn c USING (doc_id)
 """
 
     o["span_digest"] = f"""

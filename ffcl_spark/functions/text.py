@@ -73,6 +73,22 @@ def shingles(toks: Column, n: int = 3) -> Column:
     )
 
 
+def pos_ngrams(toks: Column, n: int) -> Column:
+    """ALL n-gram token windows in document order (space-joined,
+    duplicates kept — unlike ``shingles``, which is the distinct set).
+    Array position j is the window starting at token j, so a
+    ``posexplode`` yields exact token coverage spans. Same short-doc
+    guard as ``shingles``."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def stopword_count(toks: Column) -> Column:
     arr = F.array(*[F.lit(s) for s in STOPWORDS])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))

@@ -136,3 +136,120 @@ def edit_distance_pairs(
             F.levenshtein(F.col("text_a"), F.col("text_b")).cast("int").alias("edit_dist"),
         )
     )
+
+
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 2,
+    dup_n: int = 3,
+) -> DataFrame:
+    """Within-document repetition quality signals, the Gopher-rule
+    family (Rae et al. 2021, table A1) adapted to token windows:
+
+    - ``dup_token_frac`` — fraction of tokens that are repeats of an
+      earlier token (1 − distinct/total);
+    - ``top_gram``/``top_gram_count``/``top_gram_frac`` — the most
+      frequent ``top_n``-gram and the fraction of the document's
+      characters its occurrences cover (count × gram length /
+      n_chars); ties break to the lexicographically greatest gram;
+    - ``dup_span_frac`` — the fraction of token POSITIONS covered by
+      some ``dup_n``-gram that occurs ≥ 2 times in the document
+      (exact coverage, overlaps counted once — bounded ≤ 1, unlike
+      the count×len approximation).
+
+    Complement of ``dedup.duplicate_ngram_spans``: that one finds
+    spans repeated ACROSS documents; this scores repetition WITHIN a
+    document — the "remove boilerplate-y, looping text" filter of a
+    training-data pipeline.
+
+    Plan shape: per-doc scalars are one codegen scan, no shuffle; the
+    top-gram branch is one (doc, gram) partial-agg + a per-doc top-1
+    window; coverage is a candidate-restricted self-join on narrow
+    (doc, pos, gram) triples — grams with count < 2 never join. All
+    ratios are single int/int → double divisions (bit-exact
+    cross-engine); no Python rows anywhere.
+    """
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    toks = X.tokens(t)
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(t).alias("n_chars"),
+        toks.alias("toks"),
+    ).withColumn("n_tokens", F.size("toks"))
+
+    scal = base.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        (
+            (F.col("n_tokens") - F.size(F.array_distinct("toks"))).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("dup_token_frac"),
+    )
+
+    def grams(n: int) -> DataFrame:
+        return base.select(
+            "doc_id",
+            "n_chars",
+            F.posexplode(X.pos_ngrams(F.col("toks"), n)).alias("pos", "gram"),
+        )
+
+    top = (
+        grams(top_n)
+        .groupBy("doc_id", "n_chars", "gram")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy(F.desc("c"), F.desc("gram"))
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_gram"),
+            F.col("c").cast("int").alias("top_gram_count"),
+            (
+                (F.col("c") * F.length("gram")).cast("double")
+                / F.col("n_chars").cast("double")
+            ).alias("top_gram_frac"),
+        )
+    )
+
+    gd = grams(dup_n)
+    dup_grams = (
+        gd.groupBy("doc_id", "gram").agg(F.count("*").alias("c")).where(F.col("c") >= 2)
+    )
+    covered = (
+        gd.join(dup_grams.select("doc_id", "gram"), ["doc_id", "gram"])
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (dup_n - 1))).alias("p"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("covered"))
+    )
+
+    return (
+        scal.join(top, "doc_id", "left")
+        .join(covered, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_token_frac",
+            F.coalesce(F.col("top_gram"), F.lit("")).alias("top_gram"),
+            F.coalesce(F.col("top_gram_count"), F.lit(0)).cast("int").alias(
+                "top_gram_count"
+            ),
+            F.coalesce(F.col("top_gram_frac"), F.lit(0.0)).alias("top_gram_frac"),
+            (
+                F.coalesce(F.col("covered"), F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("dup_span_frac"),
+        )
+    )

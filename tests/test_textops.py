@@ -73,3 +73,66 @@ def test_bpe_token_counts_matches_python_re(spark):
     exp = pdf["text"].map(lambda t: len(re.findall(BPE_PATTERN, t or "")))
     assert (got["n_bpe"].to_numpy() == exp.to_numpy()).all()
     assert (got["n_bpe"] >= got["n_tokens"]).all()  # subwords ≥ whitespace tokens
+
+
+def _rep_oracle(text, top_n=2, dup_n=3):
+    """Pure-Python twin of repetition_metrics for one document."""
+    toks = [t for t in text.split(" ") if t]
+    n = len(toks)
+    n_chars = len(text)
+    dup_token_frac = (n - len(set(toks))) / n
+    g = lambda w: [" ".join(toks[i : i + w]) for i in range(n - w + 1)] if n >= w else []
+    from collections import Counter
+
+    c2 = Counter(g(top_n))
+    if c2:
+        top = max(c2, key=lambda x: (c2[x], x))
+        top_cnt, top_frac = c2[top], c2[top] * len(top) / n_chars
+    else:
+        top, top_cnt, top_frac = "", 0, 0.0
+    g3 = g(dup_n)
+    c3 = Counter(g3)
+    covered = set()
+    for i, gr in enumerate(g3):
+        if c3[gr] >= 2:
+            covered.update(range(i, i + dup_n))
+    return dup_token_frac, top, top_cnt, top_frac, len(covered) / n
+
+
+def test_repetition_metrics(spark):
+    rows = [
+        (0, "a b a b a b c"),            # heavy bigram repetition
+        (1, "x y z w"),                   # no repeats at all
+        (2, "p q r p q r p q r"),        # full trigram coverage
+        (3, "one two"),                   # too short for trigrams
+        (4, "s"),                         # single token, no bigrams
+        (5, "t t t t"),                   # one distinct token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = TO.repetition_metrics(df).toPandas().set_index("doc_id").sort_index()
+    assert len(got) == len(rows)
+    for did, text in rows:
+        dtf, top, cnt, frac, span = _rep_oracle(text)
+        r = got.loc[did]
+        assert r.dup_token_frac == dtf, (did, "dup_token_frac")
+        assert r.top_gram == top, (did, "top_gram")
+        assert r.top_gram_count == cnt, (did, "top_gram_count")
+        assert r.top_gram_frac == frac, (did, "top_gram_frac")
+        assert r.dup_span_frac == span, (did, "dup_span_frac")
+    # the repeated-trigram doc is fully covered; the clean doc not at all
+    assert got.loc[2].dup_span_frac == 1.0
+    assert got.loc[1].dup_span_frac == 0.0 and got.loc[1].dup_token_frac == 0.0
+    # tie-break: doc 0 bigrams "a b" (3×) beats "b a" (2×)
+    assert got.loc[0].top_gram == "a b" and got.loc[0].top_gram_count == 3
+
+
+def test_repetition_metrics_testdata(spark):
+    """Random-document spot check against the pure-Python oracle on
+    real corpus rows (long docs, realistic vocabulary)."""
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    got = TO.repetition_metrics(df).toPandas().set_index("doc_id")
+    for _, row in df.select("doc_id", "text").toPandas().iterrows():
+        dtf, top, cnt, frac, span = _rep_oracle(row.text)
+        r = got.loc[row.doc_id]
+        assert (r.dup_token_frac, r.top_gram, r.top_gram_count) == (dtf, top, cnt)
+        assert r.top_gram_frac == frac and r.dup_span_frac == span
