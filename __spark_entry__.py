@@ -319,19 +319,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         visited = pts.where(F.col("offset") == 0).select("id")
         return S.knn_with_memory(pts, pts, visited, K, CFG.with_resolution(RES - 1))
 
-    def q_closest_pair(spark, sf):
+    def q_pair_edges(spark, sf):
+        # dual-set shortest-edge family in one variant-tagged gate (r5
+        # consolidation freeing a dict entry for embed_moments):
+        # `closest` = the single globally shortest edge, `kth` = the k
+        # globally shortest (Search.hpp:169-194 k-edge priority-queue
+        # semantics)
         pts = _doc_points(spark, sf)
         a = pts.where(F.col("offset") == 0)
         b = pts.where(F.col("offset") != 0)
-        return S.closest_pair(a, b, CFG)
+        c1 = S.closest_pair(a, b, CFG).select(
+            F.lit("closest").alias("variant"),
+            "src",
+            "dst",
+            "dist",
+            F.lit(1).cast("int").alias("rank"),
+        )
+        ck = S.closest_pair(a, b, CFG, k=K_EDGES).select(
+            F.lit("kth").alias("variant"),
+            "src",
+            "dst",
+            "dist",
+            F.col("rank").cast("int").alias("rank"),
+        )
+        return c1.unionByName(ck)
 
-    def q_kth_closest_pairs(spark, sf):
-        # k globally shortest edges — reference Search.hpp:169-194
-        # k-edge priority-queue semantics
-        pts = _doc_points(spark, sf)
-        a = pts.where(F.col("offset") == 0)
-        b = pts.where(F.col("offset") != 0)
-        return S.closest_pair(a, b, CFG, k=K_EDGES)
+    def q_embed_moments(spark, sf):
+        # exact distributed covariance of the 64-d embedding column
+        # (fixed-point integer sums, decimal(38,0) numerators) — the
+        # PCA/whitening input computed with zero float-order dependence
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        return SIM.embedding_moments_exact(emb, 64)
 
     def q_kmeans_labels(spark, sf):
         # all three k-means forms in one variant-tagged gate (r4
@@ -1110,7 +1128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "slt_cut": q_slt_cut,
         "dbscan_labels": q_dbscan_labels,
         "core_distance_plans": q_core_distance_plans,
-        "closest_pair": q_closest_pair,
+        "pair_edges": q_pair_edges,
         "ngram_jaccard": q_ngram_jaccard,
         "edit_distance": q_edit_distance,
         "silhouette": q_silhouette,
@@ -1121,7 +1139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hdbscan_labels": q_hdbscan_labels,
         "mst_weights": q_mst_weights,
         "mst_dist": q_mst_dist,
-        "kth_closest_pairs": q_kth_closest_pairs,
+        "embed_moments": q_embed_moments,
         "knn_lineitem": q_knn_lineitem,
         "kmeans_labels": q_kmeans_labels,
         "mutual_reach": q_mutual_reach,
@@ -1467,7 +1485,7 @@ WHERE r.off != 0
 QUALIFY rank <= {K}
 """
 
-    o["closest_pair"] = f"""
+    _closest_sql = f"""
 WITH {_PTS_DOCS}
 SELECT q.id AS src, r.id AS dst, {_DIST} AS dist
 FROM pts q CROSS JOIN pts r
@@ -1475,7 +1493,7 @@ WHERE q.off = 0 AND r.off != 0 AND {_DIST} > 0
 ORDER BY dist, src, dst LIMIT 1
 """
 
-    o["kth_closest_pairs"] = f"""
+    _kth_sql = f"""
 WITH {_PTS_DOCS},
 edges AS (
   SELECT q.id AS src, r.id AS dst, {_DIST} AS dist
@@ -1485,6 +1503,39 @@ SELECT src, dst, dist,
        CAST(row_number() OVER (ORDER BY dist, src, dst) AS INTEGER) AS rank
 FROM edges
 ORDER BY dist, src, dst LIMIT {K_EDGES}
+"""
+    o["pair_edges"] = f"""
+SELECT 'closest' AS variant, src, dst, dist, CAST(1 AS INTEGER) AS rank
+FROM ({_closest_sql})
+UNION ALL
+SELECT 'kth' AS variant, src, dst, dist, rank FROM ({_kth_sql})
+"""
+
+    # exact fixed-point embedding covariance: HUGEINT sums land on the
+    # same integers as Spark's decimal(38,0); one double cast, then the
+    # identical division chain — bit-equal. DuckDB round() is
+    # half-away-from-zero, matching Spark's HALF_UP.
+    o["embed_moments"] = """
+WITH q AS (
+  SELECT [CAST(round(CAST(x AS DOUBLE) * 10000, 0) AS BIGINT) FOR x IN embedding] AS qv
+  FROM embeddings),
+idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+sums AS (
+  SELECT i.i AS k, sum(CAST(qv[i.i + 1] AS HUGEINT)) AS sk, count(*) AS n
+  FROM q, idx i GROUP BY 1),
+prods AS (
+  SELECT a.i AS i, b.i AS j,
+         sum(CAST(qv[a.i + 1] AS HUGEINT) * qv[b.i + 1]) AS s, count(*) AS n
+  FROM q, idx a, idx b WHERE b.i >= a.i GROUP BY 1, 2)
+SELECT CAST(p.i AS INTEGER) AS i, CAST(p.j AS INTEGER) AS j,
+       CAST(p.n AS INTEGER) AS n,
+       CAST(si.sk AS DOUBLE) / p.n / 10000 AS mean_i,
+       CAST(sj.sk AS DOUBLE) / p.n / 10000 AS mean_j,
+       CAST(p.n * p.s - si.sk * sj.sk AS DOUBLE)
+         / CAST(p.n * (p.n - 1) AS DOUBLE) / 100000000.0 AS cov
+FROM prods p
+JOIN sums si ON si.k = p.i
+JOIN sums sj ON sj.k = p.j
 """
 
     # ---- n-D gates: shared dyadic-exact fixture CTE

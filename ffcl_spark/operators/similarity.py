@@ -1059,3 +1059,163 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("q_id", "n_id", "rank", "cos")
     )
+
+
+# ----------------------------------------------- exact moments + PCA
+
+def embedding_moments_exact(
+    df: DataFrame,
+    dims: int,
+    vec_col: str = "embedding",
+    scale: int = 10**4,
+) -> DataFrame:
+    """Partitioning-invariant mean vector + covariance matrix of an
+    embedding column via FIXED-POINT integer sums — the d-dimensional
+    generalization of ``stats.feature_stats_exact``.
+
+    ``q_i = round(v_i · scale)`` is an exact int64; every Σq_i and
+    Σq_i·q_j is an exact integer (order-free), accumulated in
+    decimal(38,0) so the covariance numerator n·Σq_iq_j − Σq_i·Σq_j
+    never rounds (DuckDB's HUGEINT lands on the same integer). Each
+    output value is then ONE float division chain — identical bits at
+    any parallelism and in any engine.
+
+    Output: one row per upper-triangle pair (i ≤ j) with
+    ``(i, j, n, mean_i, mean_j, cov)`` where cov is the sample
+    covariance. Diagonal rows carry the per-dimension variance.
+
+    Plan shape: one corpus scan → Arrow-batched integer-matmul
+    partial sums (QᵀQ per batch, exact int64) → (i, j) agg of the
+    partials. The shuffle is O(batches · d²) rows of three integers —
+    never O(n) — and the output is d(d+1)/2 rows regardless of corpus
+    size. This is the covariance input of a PCA/whitening stage
+    (OPQ-style ANN preprocessing) computed distributedly but exactly.
+    """
+    import pandas as pd
+
+    dec = "decimal(38,0)"
+    iu, ju = np.triu_indices(dims)
+    n_tri = len(iu)
+
+    # Arrow-batched partial-sum kernel: per batch, one int64 matmul
+    # QᵀQ (BLAS-fast, EXACT — |entry| ≤ batch_rows·q_max², safe to
+    # ~10⁹ rows/batch at q_max = 10⁵; Arrow batches are ~10⁴ rows) +
+    # column sums. Emits d(d+1)/2 + d partial rows per batch; marker
+    # j = −1 rows carry the plain sums Σq_i. A d²-term column
+    # expression would blow whole-stage codegen (interpreted-eval
+    # hazard, the round-4 MinHash lesson) — the kernel keeps the hot
+    # loop in vectorized integer NumPy with zero per-row Python.
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(pdf[vec_col].tolist(), dtype=np.float64) * scale
+            # Spark/DuckDB round() is HALF_UP (away from zero)
+            q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5)).astype(
+                np.int64
+            )
+            c = q.T @ q
+            s = q.sum(axis=0)
+            n = len(q)
+            yield pd.DataFrame(
+                {
+                    "i": np.concatenate([np.arange(dims), iu]).astype(np.int32),
+                    "j": np.concatenate([np.full(dims, -1), ju]).astype(np.int32),
+                    "s": np.concatenate([s, c[iu, ju]]),
+                    "cnt": np.full(dims + n_tri, n, dtype=np.int64),
+                }
+            )
+
+    part = df.select(vec_col).mapInPandas(partials, schema="i int, j int, s long, cnt long")
+    agg = part.groupBy("i", "j").agg(
+        F.sum(F.col("s").cast(dec)).alias("s"), F.sum("cnt").alias("n")
+    )
+    sums = agg.where(F.col("j") == -1).select(
+        F.col("i").alias("k"), F.col("s").alias("sk")
+    )
+    prods = agg.where(F.col("j") >= 0)
+
+    n = F.col("n")
+    num = n.cast(dec) * F.col("s") - F.col("si") * F.col("sj")
+    s2 = float(scale * scale)
+    return (
+        prods.join(sums.select(F.col("k").alias("i"), F.col("sk").alias("si")), "i")
+        .join(sums.select(F.col("k").alias("j"), F.col("sk").alias("sj")), "j")
+        .select(
+            "i",
+            "j",
+            n.cast("int").alias("n"),
+            (F.col("si").cast("double") / n / scale).alias("mean_i"),
+            (F.col("sj").cast("double") / n / scale).alias("mean_j"),
+            F.when(
+                n > 1,
+                num.cast("double") / (n * (n - 1)).cast("double") / F.lit(s2),
+            ).alias("cov"),
+        )
+    )
+
+
+def pca_components(
+    df: DataFrame,
+    dims: int,
+    k: int,
+    vec_col: str = "embedding",
+    scale: int = 10**4,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Top-``k`` principal components from the EXACT distributed
+    covariance (``embedding_moments_exact`` — the only corpus pass;
+    the eigensolve is a driver-side d×d NumPy ``eigh``, d² floats).
+    Deterministic sign: each eigenvector's largest-|component| entry is
+    made positive (first index wins ties). Returns
+    ``(mean[d], components[k, d], explained_variance[k])``."""
+    rows = embedding_moments_exact(df, dims, vec_col, scale).collect()
+    mean = np.zeros(dims)
+    cov = np.zeros((dims, dims))
+    for r in rows:
+        cov[r["i"], r["j"]] = cov[r["j"], r["i"]] = r["cov"]
+        mean[r["i"]] = r["mean_i"]
+        mean[r["j"]] = r["mean_j"]
+    w, v = np.linalg.eigh(cov)          # ascending eigenvalues
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T               # (k, d)
+    for c in comps:
+        m = np.argmax(np.abs(c))
+        if c[m] < 0:
+            c *= -1.0
+    return mean, comps, w[order]
+
+
+def pca_project(
+    df: DataFrame,
+    dims: int,
+    k: int,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+    scale: int = 10**4,
+    components: tuple[np.ndarray, np.ndarray] | None = None,
+) -> DataFrame:
+    """Append a ``k``-dim PCA projection column: centered dot products
+    against the (broadcast-literal) component matrix, all JVM-side
+    (zip_with + aggregate — no Python rows). Pass ``components=
+    (mean, comps)`` from :func:`pca_components` to reuse a fit; else
+    one is computed. At 100 TB the fit is one exact-covariance pass and
+    the transform is a map-only scan — nothing shuffles."""
+    if components is None:
+        mean, comps, _ = pca_components(df, dims, k, vec_col, scale)
+    else:
+        mean, comps = components
+    mean_lit = F.array(*[F.lit(float(m)) for m in mean])
+    centered = F.zip_with(
+        F.col(vec_col), mean_lit, lambda x, m: x.cast("double") - m
+    )
+    proj_cols = []
+    for j in range(comps.shape[0]):
+        w = F.array(*[F.lit(float(c)) for c in comps[j]])
+        proj_cols.append(
+            F.aggregate(
+                F.zip_with(centered, w, lambda x, c: x * c),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        )
+    return df.withColumn(out_col, F.array(*proj_cols))

@@ -385,3 +385,75 @@ def test_adc_query_chunking_invariance(spark, monkeypatch):
         b = tiny.sort_values(["q_id", "rank"]).reset_index(drop=True)
         assert a[["q_id", "n_id", "rank"]].equals(b[["q_id", "n_id", "rank"]])
         assert np.allclose(a.l2.to_numpy(), b.l2.to_numpy(), rtol=0, atol=0)
+
+
+def _moments_twin(V, scale=10**4):
+    """Exact-integer twin of embedding_moments_exact (Python ints)."""
+    import numpy as np
+
+    x = V.astype(np.float64) * scale
+    # Spark F.round is HALF_UP (away from zero); np.round is half-even
+    q = np.where(x >= 0, np.floor(x + 0.5), np.ceil(x - 0.5))
+    q = np.vectorize(int)(q.astype(object))
+    n, d = q.shape
+    s = q.sum(axis=0)
+    out = {}
+    for i in range(d):
+        for j in range(i, d):
+            spp = int((q[:, i] * q[:, j]).sum())
+            num = n * spp - int(s[i]) * int(s[j])
+            cov = float(num) / float(n * (n - 1)) / float(scale * scale)
+            out[(i, j)] = (
+                float(int(s[i])) / n / scale,
+                float(int(s[j])) / n / scale,
+                cov,
+            )
+    return out
+
+
+def test_embedding_moments_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.toPandas().sort_values("vec_id")
+    V = np.array(pdf.embedding.tolist(), dtype=np.float32)
+    d = V.shape[1]
+    got = SIM.embedding_moments_exact(emb, d).toPandas()
+    assert len(got) == d * (d + 1) // 2
+    want = _moments_twin(V)
+    for _, r in got.iterrows():
+        mi, mj, cov = want[(r.i, r.j)]
+        # fixed-point integer sums → bit-exact, not approximately equal
+        assert r.mean_i == mi and r.mean_j == mj, (r.i, r.j)
+        assert r["cov"] == cov, (r.i, r.j)  # ["cov"]: .cov is a pandas method
+    # partitioning invariance: same bits at different parallelism
+    got2 = (
+        SIM.embedding_moments_exact(emb.repartition(13), d)
+        .toPandas()
+        .sort_values(["i", "j"])
+        .reset_index(drop=True)
+    )
+    g1 = got.sort_values(["i", "j"]).reset_index(drop=True)
+    assert (g1["cov"] == got2["cov"]).all() and (g1.mean_i == got2.mean_i).all()
+
+
+def test_pca_project_matches_numpy(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    V = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    d, k = V.shape[1], 4
+
+    mean, comps, ev = SIM.pca_components(emb, d, k)
+    # components are orthonormal, variances descending
+    assert np.allclose(comps @ comps.T, np.eye(k), atol=1e-9)
+    assert (np.diff(ev) <= 1e-12).all()
+    # deterministic sign: largest-|component| entry positive
+    for c in comps:
+        assert c[np.argmax(np.abs(c))] > 0
+
+    out = SIM.pca_project(emb, d, k, components=(mean, comps))
+    got = out.select("vec_id", "pca").toPandas().sort_values("vec_id")
+    P = np.array(got.pca.tolist())
+    want = (V - mean) @ comps.T
+    assert P.shape == (len(V), k)
+    assert np.allclose(P, want, atol=1e-9)
+    # projection really captures the top of the spectrum
+    assert ev[0] >= np.var(V, axis=0, ddof=1).max() - 1e-9
