@@ -538,9 +538,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_pip_tiles(spark, sf):
+        # tile-assignment family, variant-tagged: `pip` = containment
+        # join (boundary-inclusive, a point on a shared edge matches
+        # BOTH tiles), `nearest` = nearest-tile join (every point gets
+        # exactly one tile: dist 0 inside, else distance to the
+        # closest box — map-only literal-fold plan, no shuffle)
         pts = _doc_points(spark, sf)
         tiles = TL.grid_tiles(spark, CFG, side=TILE_SIDE)
-        return TL.pip_join(pts, tiles, CFG)
+        pip = TL.pip_join(pts, tiles, CFG).select(
+            F.lit("pip").alias("variant"),
+            "id",
+            "tile_id",
+            F.lit(None).cast("double").alias("dist"),
+        )
+        n_t = int(60 / TILE_SIDE)
+        boxes = spark.createDataFrame(
+            [
+                (
+                    f"tile-{tx}-{ty}",
+                    -30.0 + TILE_SIDE * tx,
+                    -30.0 + TILE_SIDE * ty,
+                    -30.0 + TILE_SIDE * (tx + 1),
+                    -30.0 + TILE_SIDE * (ty + 1),
+                )
+                for tx in range(n_t)
+                for ty in range(n_t)
+            ],
+            "tile_id string, x_lo double, y_lo double, x_hi double, y_hi double",
+        )
+        near = TL.nearest_tile_boxes(pts, boxes).select(
+            F.lit("nearest").alias("variant"), "id", "tile_id", "dist"
+        )
+        return pip.unionByName(near)
 
     def q_raster_plans(spark, sf):
         # raster↔vector round trip in one variant-tagged gate (r5
@@ -1672,10 +1701,20 @@ tiles AS (
          -30.0 + {TILE_SIDE}*tx AS xlo, -30.0 + {TILE_SIDE}*(tx+1) AS xhi,
          -30.0 + {TILE_SIDE}*ty AS ylo, -30.0 + {TILE_SIDE}*(ty+1) AS yhi
   FROM generate_series(0, {int(60 / TILE_SIDE) - 1}) g1(tx)
-  CROSS JOIN generate_series(0, {int(60 / TILE_SIDE) - 1}) g2(ty))
-SELECT p.id, t.tile_id
+  CROSS JOIN generate_series(0, {int(60 / TILE_SIDE) - 1}) g2(ty)),
+gd AS (
+  SELECT p.id, t.tile_id,
+         greatest(0.0, t.xlo - p.x, p.x - t.xhi) AS gx,
+         greatest(0.0, t.ylo - p.y, p.y - t.yhi) AS gy
+  FROM pts p CROSS JOIN tiles t),
+nd AS (SELECT id, tile_id, sqrt(gx*gx + gy*gy) AS dist FROM gd)
+SELECT 'pip' AS variant, p.id, t.tile_id, CAST(NULL AS DOUBLE) AS dist
 FROM pts p JOIN tiles t
   ON p.x BETWEEN t.xlo AND t.xhi AND p.y BETWEEN t.ylo AND t.yhi
+UNION ALL
+SELECT 'nearest' AS variant, id, tile_id, dist FROM (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY dist, tile_id) AS rk
+  FROM nd) WHERE rk = 1
 """
 
     n_tiles = int(60 / TILE_SIDE)

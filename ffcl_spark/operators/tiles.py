@@ -298,3 +298,138 @@ def vectorize(tile_cells: DataFrame, cfg: EngineConfig) -> DataFrame:
         (F.lit(cfg.x0) + (F.max("ix") + 1).cast("double") * s).alias("x_hi"),
         (F.lit(cfg.y0) + (F.max("iy") + 1).cast("double") * s).alias("y_hi"),
     )
+
+
+# ------------------------------------------------- nearest-tile join
+
+def _fold_min_tile(tiles_arr, dist_fn):
+    """Fold a literal tile array to the per-row argmin struct
+    ``(dist, tile_id)`` with the deterministic (dist, tile_id)
+    tie-break. ``dist_fn(tile_struct) -> Column(double)``."""
+    init = F.struct(
+        F.lit(float("inf")).alias("dist"), F.lit("").alias("tile_id")
+    )
+
+    def step(acc, t):
+        d = dist_fn(t)
+        cand = F.struct(d.alias("dist"), t["tile_id"].alias("tile_id"))
+        better = (d < acc["dist"]) | (
+            (d == acc["dist"]) & (t["tile_id"] < acc["tile_id"])
+        )
+        return F.when(better, cand).otherwise(acc)
+
+    return F.aggregate(tiles_arr, init, step)
+
+
+def nearest_tile_boxes(points: DataFrame, boxes: DataFrame) -> DataFrame:
+    """Nearest-box join: for every point, the closest axis-aligned
+    tile ``(id, tile_id, dist)`` — dist 0 when inside (boundary
+    inclusive, matching ``pip_join``'s BETWEEN semantics), else the
+    Euclidean distance to the box; ties break to the smallest tile_id.
+
+    Plan: MAP-ONLY. The box table is bounded by contract (same
+    contract as ``pip_join``'s closure path) and ships as ONE literal
+    array of structs folded per row with ``aggregate`` — no join, no
+    shuffle, nothing N-dependent; at 1000 executors every task scans
+    only its own point partition. The distance is a single expression
+    ``sqrt(gx² + gy²)``, ``gx = greatest(0, x_lo − x, x − x_hi)`` —
+    bit-reproducible in any engine evaluating the same tree (the gate
+    oracle recomputes it in SQL)."""
+    rows = boxes.select("tile_id", "x_lo", "y_lo", "x_hi", "y_hi").collect()
+    tiles_arr = F.array(
+        *[
+            F.struct(
+                F.lit(r["tile_id"]).alias("tile_id"),
+                F.lit(float(r["x_lo"])).alias("x_lo"),
+                F.lit(float(r["y_lo"])).alias("y_lo"),
+                F.lit(float(r["x_hi"])).alias("x_hi"),
+                F.lit(float(r["y_hi"])).alias("y_hi"),
+            )
+            for r in sorted(rows, key=lambda r: r["tile_id"])
+        ]
+    )
+    x, y = F.col("x"), F.col("y")
+
+    def dist(t):
+        gx = F.greatest(F.lit(0.0), t["x_lo"] - x, x - t["x_hi"])
+        gy = F.greatest(F.lit(0.0), t["y_lo"] - y, y - t["y_hi"])
+        return F.sqrt(gx * gx + gy * gy)
+
+    best = _fold_min_tile(tiles_arr, dist)
+    return points.select(
+        "id",
+        best["tile_id"].alias("tile_id"),
+        best["dist"].alias("dist"),
+    )
+
+
+def nearest_tile(points: DataFrame, tiles: DataFrame) -> DataFrame:
+    """Nearest-polygon join for general (convex or not) rings:
+    ``(id, tile_id, dist)`` with dist 0 inside (even–odd rule) and the
+    exact minimum point-to-boundary segment distance outside; ties
+    break to the smallest tile_id. Same map-only literal-fold plan as
+    :func:`nearest_tile_boxes`; the per-tile work is O(edges) inside
+    the JVM's array-expression interpreter — no Python rows, no
+    shuffle. NumPy-twin parity pinned in pytest (float expression
+    trees differ from any SQL restatement, so this form is not a
+    hash-gate; the axis-aligned fast path above is)."""
+    rows = tiles.select("tile_id", "ring").collect()
+    tile_structs = []
+    for r in sorted(rows, key=lambda r: r["tile_id"]):
+        ring = r["ring"]
+        edges = [
+            F.struct(
+                F.lit(float(a["x"])).alias("ax"),
+                F.lit(float(a["y"])).alias("ay"),
+                F.lit(float(b["x"])).alias("bx"),
+                F.lit(float(b["y"])).alias("by"),
+            )
+            for a, b in zip(ring[:-1], ring[1:])
+        ]
+        tile_structs.append(
+            F.struct(
+                F.lit(r["tile_id"]).alias("tile_id"),
+                F.array(*edges).alias("edges"),
+            )
+        )
+    tiles_arr = F.array(*tile_structs)
+    x, y = F.col("x"), F.col("y")
+
+    def seg_dist(e):
+        vx, vy = e["bx"] - e["ax"], e["by"] - e["ay"]
+        den = vx * vx + vy * vy
+        t = F.when(
+            den > 0,
+            F.greatest(
+                F.lit(0.0),
+                F.least(
+                    F.lit(1.0), ((x - e["ax"]) * vx + (y - e["ay"]) * vy) / den
+                ),
+            ),
+        ).otherwise(F.lit(0.0))
+        dx = x - (e["ax"] + t * vx)
+        dy = y - (e["ay"] + t * vy)
+        return F.sqrt(dx * dx + dy * dy)
+
+    def crosses(e):
+        # even–odd ray cast to +x: edge straddles the horizontal line
+        # through y AND the intersection lies right of x
+        straddle = (e["ay"] > y) != (e["by"] > y)
+        xint = e["ax"] + (y - e["ay"]) / (e["by"] - e["ay"]) * (
+            e["bx"] - e["ax"]
+        )
+        return straddle & (x < xint)
+
+    def dist(t):
+        boundary = F.array_min(F.transform(t["edges"], seg_dist))
+        inside = (
+            F.size(F.filter(t["edges"], crosses)) % 2 == 1
+        )
+        return F.when(inside, F.lit(0.0)).otherwise(boundary)
+
+    best = _fold_min_tile(tiles_arr, dist)
+    return points.select(
+        "id",
+        best["tile_id"].alias("tile_id"),
+        best["dist"].alias("dist"),
+    )

@@ -79,3 +79,75 @@ def test_pip_join_routes_large_tile_tables(spark, cfg):
     a = pip_join(pts, tiles, cfg, closure_tile_limit=1).toPandas()
     b = pip_join(pts, tiles, cfg).toPandas()
     assert set(zip(a.id, a.tile_id)) == set(zip(b.id, b.tile_id))
+
+
+def _box_dist(x, y, xlo, ylo, xhi, yhi):
+    gx = max(0.0, xlo - x, x - xhi)
+    gy = max(0.0, ylo - y, y - yhi)
+    return float(np.sqrt(gx * gx + gy * gy))
+
+
+def test_nearest_tile_boxes(spark, cfg, blobs):
+    df, pdf = blobs
+    # a sparse box set so most points are OUTSIDE every box
+    rows = [
+        ("box-a", -20.0, -20.0, -10.0, -10.0),
+        ("box-b", 5.0, 5.0, 15.0, 15.0),
+        ("box-c", -2.0, -2.0, 2.0, 2.0),
+    ]
+    boxes = spark.createDataFrame(
+        rows, "tile_id string, x_lo double, y_lo double, x_hi double, y_hi double"
+    )
+    got = TL.nearest_tile_boxes(df, boxes).toPandas().set_index("id")
+    inside = outside = 0
+    for _, r in pdf.iterrows():
+        ds = sorted(
+            (_box_dist(r.x, r.y, *b[1:]), b[0]) for b in rows
+        )
+        assert got.loc[r.id].tile_id == ds[0][1], r.id
+        assert got.loc[r.id].dist == ds[0][0], r.id
+        inside += ds[0][0] == 0.0
+        outside += ds[0][0] > 0.0
+    assert inside > 0 and outside > 0  # both regimes exercised
+
+
+def test_nearest_tile_boxes_tie_break(spark):
+    # point equidistant between two boxes → smallest tile_id wins
+    pts = spark.createDataFrame([(1, 0.0, 0.0)], "id long, x double, y double")
+    boxes = spark.createDataFrame(
+        [("z", 2.0, -1.0, 4.0, 1.0), ("a", -4.0, -1.0, -2.0, 1.0)],
+        "tile_id string, x_lo double, y_lo double, x_hi double, y_hi double",
+    )
+    r = TL.nearest_tile_boxes(pts, boxes).collect()[0]
+    assert r.tile_id == "a" and r.dist == 2.0
+
+
+def test_nearest_tile_rings_matches_numpy(spark, cfg, circles):
+    df, pdf = circles
+    tiles = TL.convex_tiles(spark, cfg, n_tiles=5)
+    got = TL.nearest_tile(df, tiles).toPandas().set_index("id")
+    tl = [
+        (t.tile_id, np.array([[v["x"], v["y"]] for v in t.ring]))
+        for t in tiles.toPandas().itertuples()
+    ]
+
+    def seg_d(px, py, a, b):
+        vx, vy = b[0] - a[0], b[1] - a[1]
+        den = vx * vx + vy * vy
+        t = max(0.0, min(1.0, ((px - a[0]) * vx + (py - a[1]) * vy) / den)) if den > 0 else 0.0
+        return float(np.hypot(px - (a[0] + t * vx), py - (a[1] + t * vy)))
+
+    n_zero = 0
+    for _, r in pdf.iterrows():
+        best = (np.inf, "")
+        for tid, ring in sorted(tl):
+            if points_in_polygon(np.array([r.x]), np.array([r.y]), ring)[0]:
+                d = 0.0
+            else:
+                d = min(seg_d(r.x, r.y, ring[i], ring[i + 1]) for i in range(len(ring) - 1))
+            if (d, tid) < best:
+                best = (d, tid)
+        assert got.loc[r.id].tile_id == best[1], r.id
+        assert np.isclose(got.loc[r.id].dist, best[0], atol=1e-12), r.id
+        n_zero += best[0] == 0.0
+    assert n_zero > 0 and n_zero < len(pdf)  # inside and outside both hit
