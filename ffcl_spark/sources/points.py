@@ -268,3 +268,79 @@ def radius_probe_indexed(
         .where(F.col("dist") < radius)
         .drop("cell")
     )
+
+
+def knn_probe_indexed(spark, path: str, qx: float, qy: float, k: int) -> DataFrame:
+    """k nearest stored points of one probe point against the index at
+    rest — the reference's headline single-tree kNN query
+    (``TreeTraverser.hpp:218-269``) over the cell-partitioned store.
+
+    Ring expansion in cell space: load the probe's cell, then widening
+    Chebyshev rings, each read partition-pruned to ONLY that ring's
+    files. Terminates when the current k-th distance is strictly
+    inside the loaded square's boundary (the engine-wide twin of the
+    sibling-visit rule ``KDNodeView.hpp:235-243`` — expand while
+    ``kth ≥ boundary`` so an unloaded equal-distance tie can never be
+    missed), or when the whole grid is loaded. Ties break
+    deterministically by (dist, id). Returns (id, x, y, dist, rank);
+    bytes read scale with the rings the answer needs, not the corpus.
+    """
+    pts, cfg = read_point_index(spark, path)
+    grid_n = 1 << cfg.resolution
+    cs = cfg.cell_size
+    base = cfg.resolution * (1 << 52)
+
+    def clamp(i: int) -> int:
+        return max(0, min(grid_n - 1, i))
+
+    qix, qiy = clamp(int((qx - cfg.x0) // cs)), clamp(int((qy - cfg.y0) // cs))
+
+    d = F.sqrt(
+        (F.col("x") - F.lit(qx)) * (F.col("x") - F.lit(qx))
+        + (F.col("y") - F.lit(qy)) * (F.col("y") - F.lit(qy))
+    )
+    best: list = []  # (dist, id, x, y), lexicographic → deterministic ties
+    loaded: list[int] = []
+    max_r = grid_n  # covers the grid from any (clamped) probe cell
+    for r in range(max_r + 1):
+        ring = [
+            base + ix * (1 << 26) + iy
+            for ix in range(clamp(qix - r), clamp(qix + r) + 1)
+            for iy in range(clamp(qiy - r), clamp(qiy + r) + 1)
+            if max(abs(ix - qix), abs(iy - qiy)) == r
+        ]
+        if ring:
+            loaded.extend(ring)
+            rows = (
+                pts.where(F.col("cell").isin(ring))
+                .select("id", "x", "y", d.alias("dist"))
+                .orderBy("dist", "id")
+                .limit(k)
+                .collect()
+            )
+            best.extend((row["dist"], row["id"], row["x"], row["y"]) for row in rows)
+            best.sort()
+            best = best[:k]
+        # min distance from the probe to OUTSIDE the loaded square
+        # (sides clamped at the domain edge have nothing beyond them)
+        edges = []
+        if qix - r > 0:
+            edges.append(qx - (cfg.x0 + (qix - r) * cs))
+        if qix + r < grid_n - 1:
+            edges.append((cfg.x0 + (qix + r + 1) * cs) - qx)
+        if qiy - r > 0:
+            edges.append(qy - (cfg.y0 + (qiy - r) * cs))
+        if qiy + r < grid_n - 1:
+            edges.append((cfg.y0 + (qiy + r + 1) * cs) - qy)
+        if not edges:
+            break  # whole grid loaded
+        boundary = min(edges)
+        if len(best) >= k and best[k - 1][0] < boundary:
+            break
+
+    rows = [
+        (rec[1], rec[2], rec[3], rec[0], i + 1) for i, rec in enumerate(best)
+    ]
+    return spark.createDataFrame(
+        rows, "id long, x double, y double, dist double, rank int"
+    )

@@ -170,3 +170,30 @@ def test_point_index_at_rest(spark, cfg, blobs, tmp_path):
     txt = pts._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in txt
     assert "cell" in txt.split("PartitionFilters", 1)[1][:200]
+
+
+def test_knn_probe_indexed(spark, cfg, blobs, tmp_path):
+    import numpy as np
+
+    from ffcl_spark.sources.points import knn_probe_indexed, write_point_index
+
+    df, pdf = blobs
+    path = str(tmp_path / "pt_idx_knn")
+    write_point_index(df, path, cfg)
+    X = pdf[["x", "y"]].to_numpy()
+    ids = pdf.id.to_numpy()
+
+    probes = [
+        (float(pdf.x.iloc[3]), float(pdf.y.iloc[3]), 5),   # on a stored point
+        (0.0, 0.0, 1),                                     # domain center
+        (-29.9, 29.9, 7),                                  # domain corner
+        (500.0, -500.0, 3),                                # far outside domain
+        (1.0, 2.0, len(pdf) + 10),                         # k > n → all points
+    ]
+    for qx, qy, k in probes:
+        got = knn_probe_indexed(spark, path, qx, qy, k).toPandas()
+        d = np.sqrt((X[:, 0] - qx) ** 2 + (X[:, 1] - qy) ** 2)
+        order = np.lexsort((ids, d))[: min(k, len(pdf))]
+        want = [(ids[i], d[i]) for i in order]
+        assert list(zip(got.id, got.dist)) == want, (qx, qy, k)
+        assert list(got["rank"]) == list(range(1, len(want) + 1))
