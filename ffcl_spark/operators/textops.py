@@ -253,3 +253,39 @@ def repetition_metrics(
             ).alias("dup_span_frac"),
         )
     )
+
+
+def corpus_stats(
+    df: DataFrame,
+    by: tuple[str, ...] = ("lang", "source"),
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus composition report: per (…``by`` rollup) group — doc
+    count, token/char totals, and mean doc length — with subtotal and
+    grand-total rows (``ROLLUP``; grouping columns are NULL on the
+    rolled-up levels, ``level`` counts the active keys). The
+    mixture-planning summary of a training-data pipeline (what feeds
+    ``sampling.mixture_weights``).
+
+    One corpus scan, one partial-agg shuffle of |groups| rows —
+    Spark's rollup computes all levels from the same partial
+    aggregates. Totals are exact integers; the mean is a single
+    int/int double division (bit-exact cross-engine)."""
+    toks = X.tokens(F.col(text_col))
+    n_tok = F.size(toks).cast("long")
+    return (
+        df.select(*by, F.length(F.col(text_col)).cast("long").alias("nc"), n_tok.alias("nt"))
+        .rollup(*by)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.sum("nc").alias("n_chars"),
+            (F.sum("nc").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "mean_chars"
+            ),
+            (
+                F.lit(len(by)) - sum(F.grouping(c).cast("int") for c in by)
+            ).cast("int").alias("level"),
+        )
+    )

@@ -136,3 +136,47 @@ def test_repetition_metrics_testdata(spark):
         r = got.loc[row.doc_id]
         assert (r.dup_token_frac, r.top_gram, r.top_gram_count) == (dtf, top, cnt)
         assert r.top_gram_frac == frac and r.dup_span_frac == span
+
+
+def test_corpus_stats_rollup_vs_duckdb(spark):
+    """Oracle-exact vs a DuckDB ROLLUP over the same parquet — the
+    in-pytest twin of the driver gate pattern (no driver slot
+    needed)."""
+    import duckdb
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    got = (
+        TO.corpus_stats(spark.read.parquet(path))
+        .toPandas()
+        .fillna({"lang": "", "source": ""})
+        .sort_values(["level", "lang", "source"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(f"""
+WITH tk AS (
+  SELECT lang, source, CAST(length(text) AS BIGINT) AS nc,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS nt
+  FROM '{path}')
+SELECT lang, source, count(*) AS n_docs, sum(nt) AS n_tokens, sum(nc) AS n_chars,
+       CAST(sum(nc) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_chars,
+       CAST(2 - (CASE WHEN grouping(lang) = 1 THEN 1 ELSE 0 END
+               + CASE WHEN grouping(source) = 1 THEN 1 ELSE 0 END) AS INTEGER) AS level
+FROM tk GROUP BY ROLLUP (lang, source)
+""")
+        .df()
+        .fillna({"lang": "", "source": ""})
+        .sort_values(["level", "lang", "source"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 1
+    for c in ("lang", "source", "level"):
+        assert (got[c].astype(str) == want[c].astype(str)).all(), c
+    for c in ("n_docs", "n_tokens", "n_chars"):
+        assert (got[c].astype("int64") == want[c].astype("int64")).all(), c
+    assert (got.mean_chars == want.mean_chars).all()  # single division → bit-exact
+    # grand total present exactly once and consistent
+    assert (got.level == 0).sum() == 1
+    tot = got[got.level == 0].iloc[0]
+    leaves = got[got.level == 2]
+    assert tot.n_docs == leaves.n_docs.sum() and tot.n_tokens == leaves.n_tokens.sum()
