@@ -289,3 +289,40 @@ def corpus_stats(
             ).cast("int").alias("level"),
         )
     )
+
+
+# rule key → (metric column, keep-if comparator)
+_QUALITY_RULES = {
+    "min_tokens": ("n_tokens", "ge"),
+    "max_tokens": ("n_tokens", "le"),
+    "max_dup_token_frac": ("dup_token_frac", "le"),
+    "max_top_gram_frac": ("top_gram_frac", "le"),
+    "max_dup_span_frac": ("dup_span_frac", "le"),
+}
+
+
+def quality_filter(
+    df: DataFrame,
+    rules: dict,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Keep only documents passing the length/repetition quality
+    rules (``_QUALITY_RULES`` keys — thresholds over
+    :func:`repetition_metrics` columns; unknown keys raise). The
+    document-level "remove boilerplate / looping / degenerate text"
+    admission gate of a training-data pipeline. Returns ``df`` rows
+    (all columns) whose doc passes every rule; plan = the metrics
+    pass + one semi-join back on the id."""
+    unknown = set(rules) - set(_QUALITY_RULES)
+    if unknown:
+        raise ValueError(f"unknown quality rules: {sorted(unknown)}")
+    m = repetition_metrics(df, id_col, text_col)
+    cond = F.lit(True)
+    for key, val in rules.items():
+        col, op = _QUALITY_RULES[key]
+        cond = cond & (
+            F.col(col) >= F.lit(val) if op == "ge" else F.col(col) <= F.lit(val)
+        )
+    passing = m.where(cond).select(F.col("doc_id").alias(id_col))
+    return df.join(passing, id_col, "left_semi")

@@ -165,11 +165,18 @@ def dedup_batch(
     threshold: float = 0.8,
     neardup: bool = True,
     shingle_n: int = 3,
+    quality_rules: dict | None = None,
 ) -> None:
     """One epoch of the ingest-dedup pipeline (the ``foreachBatch``
     body, exposed for replay-idempotency tests): admit the batch's
     survivors to ``out_dir/epoch=<id>`` and append their index rows to
-    the three stores' ``epoch=<id>`` partitions."""
+    the three stores' ``epoch=<id>`` partitions.
+
+    ``quality_rules`` (``textops._QUALITY_RULES`` thresholds over the
+    flattened text) gates admission BEFORE dedup: a rejected doc is
+    neither admitted nor indexed, so it never blocks a future
+    higher-quality near-duplicate — quality rejection is stateless
+    filter semantics, batch-local cost only."""
     from ffcl_spark.operators.dedup import (
         dedup_groups,
         minhash_band_keys,
@@ -181,6 +188,10 @@ def dedup_batch(
     held: list[DataFrame] = []
     try:
         ck = _cut(content_keys(batch_df), held)
+        if quality_rules:
+            from ffcl_spark.operators.textops import quality_filter
+
+            ck = _cut(quality_filter(ck, quality_rules, "doc_id", "text"), held)
         # exact, within batch: min doc_id per digest survives
         keep_exact = ck.groupBy("content_hash").agg(F.min("doc_id").alias("doc_id"))
         # exact, vs history: anti-join on the digest (store side reads
@@ -306,17 +317,26 @@ def dedup_stream(
     threshold: float = 0.8,
     neardup: bool = True,
     shingle_n: int = 3,
+    quality_rules: dict | None = None,
 ):
     """Start (availableNow) the ingest-dedup stream over a file-drop
     docs source (``streaming.enrich.read_docs_stream``). Requires
     ``bootstrap_store`` to have run for ``store_dir``. Returns the
-    drained query."""
+    drained query. ``quality_rules`` adds the stateless quality
+    admission gate in front of dedup (see :func:`dedup_batch`)."""
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         dedup_batch(
-            batch_df, epoch_id, store_dir, out_dir, threshold, neardup, shingle_n
+            batch_df,
+            epoch_id,
+            store_dir,
+            out_dir,
+            threshold,
+            neardup,
+            shingle_n,
+            quality_rules,
         )
 
     q = (

@@ -263,3 +263,45 @@ def test_dedup_stream_no_cache_growth(spark, tmp_path):
             break
         time.sleep(1)
     assert n_persistent() <= before
+
+
+def test_quality_gated_admission(spark, tmp_path):
+    """quality_rules rejects degenerate docs BEFORE dedup, and a
+    rejected doc is not indexed — it never blocks a future
+    near-duplicate (stateless filter semantics)."""
+    t_spam = " ".join(["spam"] * 40)
+    t_good = _words(0, 40)
+    store = str(tmp_path / "store")
+    out = str(tmp_path / "out")
+    bootstrap_store(spark, store)
+    rules = {"min_tokens": 10, "max_dup_token_frac": 0.5}
+
+    batch0 = _docs_df(
+        spark,
+        [
+            _doc("d0", t_spam, "m0"),      # degenerate → quality reject
+            _doc("d1", t_good, "m1"),      # keep
+            _doc("d2", _words(0, 5), "m2"),  # too short → quality reject
+        ],
+    )
+    dedup_batch(batch0, 0, store, out, quality_rules=rules)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(f"{out}/epoch=0").collect()
+    ) == ["d1"]
+    # rejected docs were not indexed (one admitted row per store)
+    assert spark.read.parquet(f"{store}/hashes/epoch=0").count() == 1
+    assert spark.read.parquet(f"{store}/texts/epoch=0").count() == 1
+
+    # epoch 1: an exact clone of the REJECTED spam doc still fails on
+    # quality (not on dedup); a near-dup of the admitted doc dedups as
+    # usual; replay of epoch 0 stays idempotent under the gate
+    batch1 = _docs_df(
+        spark,
+        [_doc("d3", t_spam, "m3"), _doc("d4", t_good, "m4")],
+    )
+    dedup_batch(batch1, 1, store, out, quality_rules=rules)
+    assert spark.read.parquet(f"{out}/epoch=1").count() == 0
+    dedup_batch(batch0, 0, store, out, quality_rules=rules)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(f"{out}/epoch=*").collect()
+    ) == ["d1"]

@@ -180,3 +180,24 @@ FROM tk GROUP BY ROLLUP (lang, source)
     tot = got[got.level == 0].iloc[0]
     leaves = got[got.level == 2]
     assert tot.n_docs == leaves.n_docs.sum() and tot.n_tokens == leaves.n_tokens.sum()
+
+
+def test_quality_filter(spark):
+    import pytest
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),  # clean → keep
+        (1, "spam spam spam spam spam spam spam spam"),        # degenerate
+        (2, "too short"),                                       # under min_tokens
+        (3, "p q r p q r p q r"),                               # full trigram cover
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    rules = {"min_tokens": 4, "max_dup_token_frac": 0.5, "max_dup_span_frac": 0.9}
+    kept = sorted(r.doc_id for r in TO.quality_filter(df, rules).collect())
+    assert kept == [0]
+    # all columns survive the semi-join
+    assert TO.quality_filter(df, rules).columns == ["doc_id", "text"]
+    # no rules → everything passes; unknown rule → loud error
+    assert TO.quality_filter(df, {}).count() == len(rows)
+    with pytest.raises(ValueError, match="unknown quality rules"):
+        TO.quality_filter(df, {"min_qualityness": 3})
