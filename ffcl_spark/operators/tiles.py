@@ -336,6 +336,8 @@ def nearest_tile_boxes(points: DataFrame, boxes: DataFrame) -> DataFrame:
     bit-reproducible in any engine evaluating the same tree (the gate
     oracle recomputes it in SQL)."""
     rows = boxes.select("tile_id", "x_lo", "y_lo", "x_hi", "y_hi").collect()
+    if not rows:
+        raise ValueError("nearest_tile_boxes: empty tile table")
     tiles_arr = F.array(
         *[
             F.struct(
@@ -374,6 +376,8 @@ def nearest_tile(points: DataFrame, tiles: DataFrame) -> DataFrame:
     trees differ from any SQL restatement, so this form is not a
     hash-gate; the axis-aligned fast path above is)."""
     rows = tiles.select("tile_id", "ring").collect()
+    if not rows:
+        raise ValueError("nearest_tile: empty tile table")
     tile_structs = []
     for r in sorted(rows, key=lambda r: r["tile_id"]):
         ring = r["ring"]

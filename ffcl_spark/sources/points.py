@@ -177,12 +177,15 @@ def write_point_index(points: DataFrame, path: str, cfg: EngineConfig) -> None:
     once, query many times — a box/radius probe's covered cells become
     partition filters, so the scan reads only those cells' files. The
     spatial member of the at-rest trilogy (`similarity.write_ann_index`
-    for vectors, `ranking.write_postings` for text)."""
+    for vectors, `ranking.write_postings` for text). Layout is
+    ``cell=<id>/epoch=<n>`` with the initial build at ``epoch=0`` so
+    :func:`append_point_index` can add batches under the same
+    partition scheme."""
     import json
 
-    with_cell(points, cfg).write.mode("overwrite").partitionBy("cell").parquet(
-        f"{path}/points"
-    )
+    with_cell(points, cfg).withColumn("epoch", F.lit(0)).write.mode(
+        "overwrite"
+    ).partitionBy("cell", "epoch").parquet(f"{path}/points")
     meta = {
         "x0": cfg.x0,
         "y0": cfg.y0,
@@ -205,7 +208,7 @@ def read_point_index(spark, path: str, cells: list[int] | None = None):
     cfg = EngineConfig(
         x0=m["x0"], y0=m["y0"], domain=m["domain"], resolution=m["resolution"]
     )
-    df = spark.read.parquet(f"{path}/points")
+    df = spark.read.parquet(f"{path}/points").drop("epoch")
     if cells is not None:
         df = df.where(F.col("cell").isin([int(c) for c in cells]))
     return df, cfg
@@ -344,3 +347,23 @@ def knn_probe_indexed(spark, path: str, qx: float, qy: float, k: int) -> DataFra
     return spark.createDataFrame(
         rows, "id long, x double, y double, dist double, rank int"
     )
+
+
+def append_point_index(points: DataFrame, path: str, epoch: int) -> None:
+    """Incremental maintenance of the point index at rest: write a new
+    batch of points under ``(cell, epoch)`` partitions. Replaying an
+    epoch (crash/retry) rewrites exactly its own ``epoch=<id>``
+    subpartitions and nothing else (dynamic partition overwrite — the
+    same idempotent-epoch discipline as ``streaming.dedup``'s
+    admitted-corpus stores). Probes are unchanged: their cell
+    partition filters prune across every epoch."""
+    spark = points.sparkSession
+    _, cfg = read_point_index(spark, path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        with_cell(points, cfg).withColumn("epoch", F.lit(int(epoch))).write.mode(
+            "overwrite"
+        ).partitionBy("cell", "epoch").parquet(f"{path}/points")
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

@@ -197,3 +197,40 @@ def test_knn_probe_indexed(spark, cfg, blobs, tmp_path):
         want = [(ids[i], d[i]) for i in order]
         assert list(zip(got.id, got.dist)) == want, (qx, qy, k)
         assert list(got["rank"]) == list(range(1, len(want) + 1))
+
+
+def test_append_point_index_epochs(spark, cfg, blobs, tmp_path):
+    import numpy as np
+
+    from ffcl_spark.sources.points import (
+        append_point_index,
+        radius_probe_indexed,
+        read_point_index,
+        write_point_index,
+    )
+
+    df, pdf = blobs
+    half = len(pdf) // 2
+    base_ids = set(pdf.id.iloc[:half])
+    d0 = df.where(F.col("id").isin([int(i) for i in base_ids]))
+    d1 = df.where(~F.col("id").isin([int(i) for i in base_ids]))
+    path = str(tmp_path / "pt_idx_epochs")
+    write_point_index(d0, path, cfg)
+
+    pts, _ = read_point_index(spark, path)
+    assert set(r.id for r in pts.select("id").collect()) == base_ids
+
+    # append epoch 1: probes now see the full set
+    append_point_index(d1, path, epoch=1)
+    pts, _ = read_point_index(spark, path)
+    assert pts.count() == len(pdf)
+    qx, qy, r = float(pdf.x.iloc[0]), float(pdf.y.iloc[0]), 3.0
+    got = set(radius_probe_indexed(spark, path, qx, qy, r).toPandas()["id"])
+    d = np.sqrt((pdf.x - qx) ** 2 + (pdf.y - qy) ** 2)
+    assert got == set(pdf.id[d < r])
+
+    # replaying epoch 1 is idempotent (dynamic overwrite of its own
+    # partitions — no duplicate rows)
+    append_point_index(d1, path, epoch=1)
+    pts, _ = read_point_index(spark, path)
+    assert pts.count() == len(pdf)
