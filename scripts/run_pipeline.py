@@ -54,12 +54,38 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--tile-side", type=float, default=6.0)
     ap.add_argument("--n-chunks", type=int, default=16)
     ap.add_argument("--job-id", default="pipeline")
+    ap.add_argument(
+        "--min-tokens", type=int, default=None,
+        help="quality gate: drop docs with fewer whitespace tokens",
+    )
+    ap.add_argument(
+        "--max-dup-span-frac", type=float, default=None,
+        help="quality gate: drop docs whose repeated-trigram token coverage exceeds this",
+    )
+    ap.add_argument(
+        "--publish-index", action="store_true",
+        help="also publish the cell-partitioned point index at <out>/point_index",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name=f"ffcl_pipeline:{args.job_id}")
 
     src = spark.read.parquet(f"{args.docs}/documents.parquet")
     docs = synth_docs(src, "doc_id", "text") if "spans" not in src.columns else src
+
+    # optional quality admission gate over the flattened text — same
+    # rules as the streaming ingest (textops._QUALITY_RULES)
+    rules = {}
+    if args.min_tokens is not None:
+        rules["min_tokens"] = args.min_tokens
+    if args.max_dup_span_frac is not None:
+        rules["max_dup_span_frac"] = args.max_dup_span_frac
+    if rules:
+        from ffcl_spark.operators.textops import quality_filter
+        from ffcl_spark.streaming.dedup import content_keys
+
+        passing = quality_filter(content_keys(docs), rules).select("doc_id")
+        docs = docs.join(passing, "doc_id", "left_semi")
 
     pts = media_points(docs)
     n_pts = pts.count()
@@ -101,6 +127,14 @@ def main(argv: list[str] | None = None) -> None:
         spark, pts_xy, lambda d: TL.pip_join(d.select("id", "x", "y"), tiles, cfg),
         F.col("cell"), args.n_chunks, f"{out}/tiles", ck, job_id=f"{args.job_id}:tiles",
     )
+
+    if args.publish_index:
+        # publish the queryable index at rest (box/radius/kNN probes
+        # partition-prune to their covered cells)
+        from ffcl_spark.sources.points import write_point_index
+
+        write_point_index(pts.select("id", "doc_id", "offset", "x", "y"),
+                          f"{out}/point_index", cfg)
 
     m = job_metrics(spark, ck, f"{args.job_id}:knn").agg(
         F.count(F.lit(1)).alias("chunks"),

@@ -236,11 +236,22 @@ def test_dedup_stream_no_cache_growth(spark, tmp_path):
     bootstrap_store(spark, store)
     docs.repartition(8).write.parquet(drop)
 
-    def n_persistent():
-        return spark.sparkContext._jsc.getPersistentRDDs().size()
+    def persistent_ids():
+        return {
+            int(k)
+            for k in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        }
 
     gc.collect()
-    before = n_persistent()
+    # count only RDDs the stream itself persists (ids are monotone) —
+    # immune to the ContextCleaner concurrently collecting OTHER
+    # tests' stale caches during the poll (see the matching note in
+    # test_streaming.py's no-growth test)
+    id_floor = max(persistent_ids(), default=-1)
+
+    def n_stream_persistent():
+        return sum(1 for i in persistent_ids() if i > id_floor)
+
     dedup_stream(
         read_docs_stream(spark, drop, max_files_per_trigger=1),
         store,
@@ -252,17 +263,16 @@ def test_dedup_stream_no_cache_growth(spark, tmp_path):
         for p in spark.read.parquet(f"{store}/hashes/epoch=*").inputFiles()
     }
     assert len(epochs) >= 8
-    # drop terminated-query retention, then allow a generous settle —
-    # see the matching note in test_streaming.py's no-growth test
+    # drop terminated-query retention, then allow a generous settle
     spark.streams.resetTerminated()
-    deadline = time.time() + 120
+    deadline = time.time() + 180
     while time.time() < deadline:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
-        if n_persistent() <= before:
+        if n_stream_persistent() == 0:
             break
         time.sleep(1)
-    assert n_persistent() <= before
+    assert n_stream_persistent() == 0
 
 
 def test_quality_gated_admission(spark, tmp_path):
