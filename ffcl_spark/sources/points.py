@@ -341,12 +341,23 @@ def knn_probe_indexed(spark, path: str, qx: float, qy: float, k: int) -> DataFra
         if len(best) >= k and best[k - 1][0] < boundary:
             break
 
+    from pyspark.sql import types as T
+
     rows = [
         (rec[1], rec[2], rec[3], rec[0], i + 1) for i, rec in enumerate(best)
     ]
-    return spark.createDataFrame(
-        rows, "id long, x double, y double, dist double, rank int"
+    # id keeps the STORED column's type (string doc#offset ids in the
+    # production extraction, longs in fixtures)
+    schema = T.StructType(
+        [
+            T.StructField("id", pts.schema["id"].dataType),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("y", T.DoubleType()),
+            T.StructField("dist", T.DoubleType()),
+            T.StructField("rank", T.IntegerType()),
+        ]
     )
+    return spark.createDataFrame(rows, schema)
 
 
 def append_point_index(points: DataFrame, path: str, epoch: int) -> None:

@@ -234,3 +234,20 @@ def test_append_point_index_epochs(spark, cfg, blobs, tmp_path):
     append_point_index(d1, path, epoch=1)
     pts, _ = read_point_index(spark, path)
     assert pts.count() == len(pdf)
+
+
+def test_knn_probe_indexed_string_ids(spark, cfg, tmp_path):
+    """Production extraction ids are strings ('doc#offset') — the
+    probe's result schema must follow the stored id type (regression:
+    it hardcoded longs)."""
+    from ffcl_spark.sources.points import knn_probe_indexed, write_point_index
+
+    pts = spark.createDataFrame(
+        [(f"d{i}#0", float(i), 0.0) for i in range(8)],
+        "id string, x double, y double",
+    )
+    path = str(tmp_path / "pt_idx_str")
+    write_point_index(pts, path, cfg)
+    got = knn_probe_indexed(spark, path, 2.2, 0.0, 3).collect()
+    assert [r.id for r in got] == ["d2#0", "d3#0", "d1#0"]
+    assert got[0].dist == 0.20000000000000018  # exact IEEE sqrt((2.0-2.2)^2)
