@@ -221,24 +221,62 @@ def write_postings(
     bucketed = postings.withColumn(
         "bucket", _term_bucket_col(F.col("term"), n_buckets)
     )
-    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{path}/postings"
-    )
+    # (bucket, epoch) layout so append_postings can add batches under
+    # the same partition scheme; the initial build is epoch=0
+    bucketed.withColumn("epoch", F.lit(0)).write.mode("overwrite").partitionBy(
+        "bucket", "epoch"
+    ).parquet(f"{path}/postings")
+    meta = {"n_buckets": int(n_buckets)}
+    with open(f"{path}/meta.json".replace("file:", ""), "w") as f:
+        json.dump(meta, f)
+    _write_epoch_stats(postings, path, 0)
+
+
+def _write_epoch_stats(postings: DataFrame, path: str, epoch: int) -> None:
+    """Per-epoch exact integer stats sidecar (``stats_epoch_<n>.json``).
+    ``read_postings`` sums them, so appending an epoch updates the
+    corpus stats without rewriting anything — and replaying an epoch
+    overwrites only its own file (idempotent)."""
+    import json
+
     row = (
         postings.groupBy("doc_id")
         .agg(F.first("dl").alias("dl"))
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-        )
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
         .first()
     )
-    meta = {
-        "n_docs": int(row["n_docs"]),
-        "sum_dl": int(row["sum_dl"]),
-        "n_buckets": int(n_buckets),
-    }
-    with open(f"{path}/meta.json".replace("file:", ""), "w") as f:
-        json.dump(meta, f)
+    stats = {"n_docs": int(row["n_docs"] or 0), "sum_dl": int(row["sum_dl"] or 0)}
+    with open(f"{path}/stats_epoch_{int(epoch)}.json".replace("file:", ""), "w") as f:
+        json.dump(stats, f)
+
+
+def append_postings(
+    docs: DataFrame,
+    path: str,
+    epoch: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Incremental maintenance of the postings index at rest: tokenize
+    a new doc batch, write its postings under ``(bucket, epoch)``
+    partitions with dynamic overwrite, and record the batch's exact
+    stats in its own sidecar — an epoch replay rewrites exactly its
+    own partitions AND its own stats file, so corpus stats never
+    double-count. Probes are unchanged: probe-term bucket filters
+    prune across every epoch, and each term's postings stay colocated
+    in its bucket (df counts remain complete)."""
+    import json
+
+    from ffcl_spark.plans.epoch_write import overwrite_epoch_partitions
+
+    with open(f"{path}/meta.json".replace("file:", "")) as f:
+        n_buckets = json.load(f)["n_buckets"]
+    postings = doc_term_freqs(docs, id_col, text_col)
+    bucketed = postings.withColumn(
+        "bucket", _term_bucket_col(F.col("term"), n_buckets)
+    ).withColumn("epoch", F.lit(int(epoch)))
+    overwrite_epoch_partitions(bucketed, f"{path}/postings", "bucket", "epoch")
+    _write_epoch_stats(postings, path, epoch)
 
 
 def read_postings(
@@ -248,11 +286,20 @@ def read_postings(
     the scan carries a bucket IN-filter over the partition column —
     only those buckets' files are read (PartitionFilters in the
     physical plan). Returns (postings, meta)."""
+    import glob
     import json
 
     with open(f"{path}/meta.json".replace("file:", "")) as f:
         meta = json.load(f)
-    df = spark.read.parquet(f"{path}/postings")
+    # corpus stats = sum of the per-epoch sidecars (initial build is
+    # stats_epoch_0; appends add their own)
+    meta["n_docs"], meta["sum_dl"] = 0, 0
+    for p in glob.glob(f"{path}/stats_epoch_*.json".replace("file:", "")):
+        with open(p) as f:
+            s = json.load(f)
+        meta["n_docs"] += s["n_docs"]
+        meta["sum_dl"] += s["sum_dl"]
+    df = spark.read.parquet(f"{path}/postings").drop("epoch")
     if terms is not None:
         buckets = sorted({_term_bucket_py(t, meta["n_buckets"]) for t in terms})
         df = df.where(F.col("bucket").isin(buckets))

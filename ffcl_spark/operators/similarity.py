@@ -577,7 +577,11 @@ def write_ann_index(
     coded = pq_encode(refs, codebooks, id_col, vec_col).join(
         _bucket_assign_refs(refs, centroids, id_col, vec_col), "id"
     )
-    coded.write.mode("overwrite").partitionBy("bucket").parquet(f"{path}/codes")
+    # (bucket, epoch) layout so append_ann_index can add batches under
+    # the same partition scheme; the initial build is epoch=0
+    coded.withColumn("epoch", F.lit(0)).write.mode("overwrite").partitionBy(
+        "bucket", "epoch"
+    ).parquet(f"{path}/codes")
     meta = {
         "centroids": [[float(v) for v in c] for c in centroids],
         "codebooks": [[[float(v) for v in cw] for cw in sub] for sub in codebooks],
@@ -596,11 +600,40 @@ def read_ann_index(spark, path: str) -> tuple[DataFrame, np.ndarray, np.ndarray]
 
     with open(f"{path}/meta.json".replace("file:", "")) as f:
         meta = json.load(f)
-    coded = spark.read.parquet(f"{path}/codes")
+    coded = spark.read.parquet(f"{path}/codes").drop("epoch")
     return (
         coded,
         np.array(meta["centroids"], dtype=np.float64),
         np.array(meta["codebooks"], dtype=np.float64),
+    )
+
+
+def append_ann_index(
+    refs: DataFrame,
+    path: str,
+    epoch: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental maintenance of the ANN index at rest: encode a new
+    ref batch with the STORED centroids/codebooks (the frozen-model
+    contract of IVF/PQ maintenance — the quantizer is not retrained,
+    so old and new codes stay comparable) and write it under
+    ``(bucket, epoch)`` partitions with dynamic overwrite (idempotent
+    epoch replay). Probes are unchanged: bucket partition filters
+    prune across every epoch."""
+    from ffcl_spark.plans.epoch_write import overwrite_epoch_partitions
+
+    spark = refs.sparkSession
+    _, centroids, codebooks = read_ann_index(spark, path)
+    coded = pq_encode(refs, codebooks, id_col, vec_col).join(
+        _bucket_assign_refs(refs, centroids, id_col, vec_col), "id"
+    )
+    overwrite_epoch_partitions(
+        coded.withColumn("epoch", F.lit(int(epoch))),
+        f"{path}/codes",
+        "bucket",
+        "epoch",
     )
 
 

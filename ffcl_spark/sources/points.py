@@ -368,13 +368,12 @@ def append_point_index(points: DataFrame, path: str, epoch: int) -> None:
     same idempotent-epoch discipline as ``streaming.dedup``'s
     admitted-corpus stores). Probes are unchanged: their cell
     partition filters prune across every epoch."""
-    spark = points.sparkSession
-    _, cfg = read_point_index(spark, path)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        with_cell(points, cfg).withColumn("epoch", F.lit(int(epoch))).write.mode(
-            "overwrite"
-        ).partitionBy("cell", "epoch").parquet(f"{path}/points")
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    from ffcl_spark.plans.epoch_write import overwrite_epoch_partitions
+
+    _, cfg = read_point_index(points.sparkSession, path)
+    overwrite_epoch_partitions(
+        with_cell(points, cfg).withColumn("epoch", F.lit(int(epoch))),
+        f"{path}/points",
+        "cell",
+        "epoch",
+    )

@@ -205,3 +205,48 @@ def test_postings_probe_partition_prunes(spark, tmp_path):
     got = pruned.where(F.col("term") == "spark").toPandas()
     want = sum(1 for t in DOCS.text if "spark" in _tok(t))
     assert got.doc_id.nunique() == want
+
+
+def test_append_postings_maintenance(spark, tmp_path):
+    """Epoch append: stats accrue from the per-epoch sidecars, queries
+    over (build + append) equal the one-shot fly path, and an epoch
+    replay neither duplicates postings nor double-counts stats."""
+    from ffcl_spark.operators.ranking import (
+        append_postings,
+        bm25_index_topk,
+        read_postings,
+        write_postings,
+    )
+
+    docs = spark.createDataFrame(DOCS)
+    half0 = docs.where(F.col("doc_id") % 2 == 0)
+    half1 = docs.where(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "postings_epochs")
+    write_postings(half0, path, n_buckets=8)
+    append_postings(half1, path, epoch=1)
+
+    p, meta = read_postings(spark, path)
+    assert meta["n_docs"] == len(DOCS)
+    assert meta["sum_dl"] == sum(len(_tok(t)) for t in DOCS.text)
+
+    queries = [(0, "spark join"), (1, "sort sort window")]
+    got = (
+        bm25_index_topk(spark, path, queries, 3)
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    qdf = spark.createDataFrame(pd.DataFrame(queries, columns=["q_id", "q_text"]))
+    want = (
+        bm25_topk(docs, qdf, 3)
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # replay epoch 1: idempotent (rows and stats unchanged)
+    n_before = p.count()
+    append_postings(half1, path, epoch=1)
+    p2, meta2 = read_postings(spark, path)
+    assert p2.count() == n_before and meta2["n_docs"] == meta["n_docs"]

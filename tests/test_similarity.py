@@ -457,3 +457,42 @@ def test_pca_project_matches_numpy(spark):
     assert np.allclose(P, want, atol=1e-9)
     # projection really captures the top of the spectrum
     assert ev[0] >= np.var(V, axis=0, ddof=1).max() - 1e-9
+
+
+def test_append_ann_index_maintenance(spark, tmp_path):
+    """Epoch append with the frozen-model contract: new refs encoded
+    with the STORED centroids/codebooks; (build half + append half)
+    answers queries identically to a one-shot full build; epoch replay
+    is idempotent."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    half0 = emb.where(F.col("vec_id") % 2 == 0)
+    half1 = emb.where(F.col("vec_id") % 2 == 1)
+    qs = emb.where(F.col("vec_id") % 25 == 0)
+    cents = SIM.train_ivf_centroids(emb, 8)
+    cb = SIM.train_pq_codebooks(emb, m=8, k_codes=16)
+
+    inc = str(tmp_path / "ann_inc")
+    SIM.write_ann_index(half0, cents, cb, inc)
+    SIM.append_ann_index(half1, inc, epoch=1)
+    full = str(tmp_path / "ann_full")
+    SIM.write_ann_index(emb, cents, cb, full)
+
+    coded_i, c_i, b_i = SIM.read_ann_index(spark, inc)
+    coded_f, _, _ = SIM.read_ann_index(spark, full)
+    assert coded_i.count() == coded_f.count() == emb.count()
+
+    k = 5
+    a = (
+        SIM.ivf_pq_topk(emb, qs, k, c_i, b_i, n_probe=4, refine=8, coded=coded_i)
+        .toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    )
+    b = (
+        SIM.ivf_pq_topk(emb, qs, k, cents, cb, n_probe=4, refine=8, coded=coded_f)
+        .toPandas().sort_values(["q_id", "rank"]).reset_index(drop=True)
+    )
+    assert a[["q_id", "n_id", "rank"]].equals(b[["q_id", "n_id", "rank"]])
+
+    # replay epoch 1: no duplicate codes
+    SIM.append_ann_index(half1, inc, epoch=1)
+    coded_r, _, _ = SIM.read_ann_index(spark, inc)
+    assert coded_r.count() == emb.count()
