@@ -42,6 +42,8 @@ __all__ = [
     "bm25_topk",
     "write_postings",
     "read_postings",
+    "append_postings",
+    "compact_postings",
     "bm25_index_topk",
 ]
 
@@ -365,3 +367,27 @@ def bm25_index_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).where(
         F.col("rank") <= k
     )
+
+
+def compact_postings(spark, path: str) -> None:
+    """Collapse all postings epochs into one and merge the per-epoch
+    stats sidecars (small-files maintenance after many appends).
+    Query results are unchanged."""
+    import glob
+    import json
+    import os
+
+    from ffcl_spark.plans.epoch_write import compact_epochs
+
+    compact_epochs(spark, f"{path}/postings", "bucket")
+    n_docs = sum_dl = 0
+    files = sorted(glob.glob(f"{path}/stats_epoch_*.json".replace("file:", "")))
+    for p in files:
+        with open(p) as f:
+            s = json.load(f)
+        n_docs += s["n_docs"]
+        sum_dl += s["sum_dl"]
+    for p in files:
+        os.remove(p)
+    with open(f"{path}/stats_epoch_0.json".replace("file:", ""), "w") as f:
+        json.dump({"n_docs": n_docs, "sum_dl": sum_dl}, f)

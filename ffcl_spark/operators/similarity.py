@@ -1252,3 +1252,12 @@ def pca_project(
             )
         )
     return df.withColumn(out_col, F.array(*proj_cols))
+
+
+def compact_ann_index(spark, path: str) -> None:
+    """Collapse all code-table epochs into one (small-files
+    maintenance after many appends). The frozen centroids/codebooks
+    sidecar is untouched; query results are unchanged."""
+    from ffcl_spark.plans.epoch_write import compact_epochs
+
+    compact_epochs(spark, f"{path}/codes", "bucket")

@@ -26,3 +26,36 @@ def overwrite_epoch_partitions(df: DataFrame, path: str, *partition_cols: str) -
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
     finally:
         spark.conf.set(key, prev)
+
+
+def compact_epochs(spark, store_path: str, *partition_cols: str) -> None:
+    """Collapse every epoch of an at-rest store into ``epoch=0`` —
+    the small-files remedy after many appends (each append writes its
+    own files per touched partition; probes read them all). One job
+    rewrites the store partitioned by ``partition_cols`` + epoch=0,
+    then swaps directories. The local swap is not atomic (documented:
+    in production these stores are Iceberg tables and compaction is a
+    rewrite_data_files snapshot commit); readers must not race it."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    local = store_path.replace("file:", "")
+    tmp = f"{local}__compacting"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    (
+        spark.read.parquet(store_path)
+        .drop("epoch")
+        .withColumn("epoch", F.lit(0))
+        .write.mode("overwrite")
+        .partitionBy(*partition_cols, "epoch")
+        .parquet(tmp)
+    )
+    old = f"{local}__old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(local, old)
+    os.rename(tmp, local)
+    shutil.rmtree(old)

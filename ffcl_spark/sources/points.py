@@ -377,3 +377,11 @@ def append_point_index(points: DataFrame, path: str, epoch: int) -> None:
         "cell",
         "epoch",
     )
+
+
+def compact_point_index(spark, path: str) -> None:
+    """Collapse all epochs of a point index into one (small-files
+    maintenance after many appends). Probe results are unchanged."""
+    from ffcl_spark.plans.epoch_write import compact_epochs
+
+    compact_epochs(spark, f"{path}/points", "cell")

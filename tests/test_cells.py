@@ -251,3 +251,25 @@ def test_knn_probe_indexed_string_ids(spark, cfg, tmp_path):
     got = knn_probe_indexed(spark, path, 2.2, 0.0, 3).collect()
     assert [r.id for r in got] == ["d2#0", "d3#0", "d1#0"]
     assert got[0].dist == 0.20000000000000018  # exact IEEE sqrt((2.0-2.2)^2)
+
+
+def test_compact_point_index(spark, cfg, blobs, tmp_path):
+    import glob
+
+    from ffcl_spark.sources.points import (
+        append_point_index,
+        compact_point_index,
+        radius_probe_indexed,
+        write_point_index,
+    )
+
+    df, pdf = blobs
+    path = str(tmp_path / "pt_idx_compact")
+    write_point_index(df.limit(400), path, cfg)
+    append_point_index(df.subtract(df.limit(400)), path, epoch=1)
+    qx, qy, r = float(pdf.x.iloc[0]), float(pdf.y.iloc[0]), 4.0
+    before = set(radius_probe_indexed(spark, path, qx, qy, r).toPandas()["id"])
+    compact_point_index(spark, path)
+    assert {d.split("epoch=")[1] for d in glob.glob(f"{path}/points/cell=*/epoch=*")} == {"0"}
+    after = set(radius_probe_indexed(spark, path, qx, qy, r).toPandas()["id"])
+    assert after == before and len(before) > 0

@@ -250,3 +250,40 @@ def test_append_postings_maintenance(spark, tmp_path):
     append_postings(half1, path, epoch=1)
     p2, meta2 = read_postings(spark, path)
     assert p2.count() == n_before and meta2["n_docs"] == meta["n_docs"]
+
+
+def test_compact_postings(spark, tmp_path):
+    """Compaction collapses the epochs into one, merges the stats
+    sidecars, and changes no query result."""
+    import glob
+
+    from ffcl_spark.operators.ranking import (
+        append_postings,
+        bm25_index_topk,
+        compact_postings,
+        read_postings,
+        write_postings,
+    )
+
+    docs = spark.createDataFrame(DOCS)
+    path = str(tmp_path / "postings_compact")
+    write_postings(docs.where(F.col("doc_id") % 2 == 0), path, n_buckets=8)
+    append_postings(docs.where(F.col("doc_id") % 2 == 1), path, epoch=1)
+
+    queries = [(0, "spark join"), (1, "sort sort window")]
+    before = bm25_index_topk(spark, path, queries, 3).toPandas().sort_values(
+        ["q_id", "rank"]
+    ).reset_index(drop=True)
+    _, meta_before = read_postings(spark, path)
+
+    compact_postings(spark, path)
+    assert len(glob.glob(f"{path}/stats_epoch_*.json")) == 1
+    assert {d.split("epoch=")[1].split("/")[0]
+            for d in glob.glob(f"{path}/postings/bucket=*/epoch=*")} == {"0"}
+    after = bm25_index_topk(spark, path, queries, 3).toPandas().sort_values(
+        ["q_id", "rank"]
+    ).reset_index(drop=True)
+    _, meta_after = read_postings(spark, path)
+    assert meta_after["n_docs"] == meta_before["n_docs"]
+    assert meta_after["sum_dl"] == meta_before["sum_dl"]
+    pd.testing.assert_frame_equal(before, after, check_dtype=False)
