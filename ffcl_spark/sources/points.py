@@ -385,3 +385,36 @@ def compact_point_index(spark, path: str) -> None:
     from ffcl_spark.plans.epoch_write import compact_epochs
 
     compact_epochs(spark, f"{path}/points", "cell")
+
+
+def pip_probe_indexed(spark, path: str, ring: list[tuple[float, float]]) -> DataFrame:
+    """All stored points inside one polygon (even–odd rule, closed
+    ``ring`` of (x, y) vertices), reading only the cells the polygon's
+    bounding box covers — the fourth probe of the index at rest (box,
+    radius, kNN, polygon). The inside test is the same JVM column
+    expression as ``operators.tiles.nearest_tile`` (no Python rows)."""
+    if ring[0] != ring[-1]:
+        ring = list(ring) + [ring[0]]
+    pts, cfg = read_point_index(spark, path)
+    xs, ys = [p[0] for p in ring], [p[1] for p in ring]
+    covered = cover_cells(min(xs), min(ys), max(xs), max(ys), cfg)
+    edges = F.array(
+        *[
+            F.struct(
+                F.lit(float(a[0])).alias("ax"),
+                F.lit(float(a[1])).alias("ay"),
+                F.lit(float(b[0])).alias("bx"),
+                F.lit(float(b[1])).alias("by"),
+            )
+            for a, b in zip(ring[:-1], ring[1:])
+        ]
+    )
+    x, y = F.col("x"), F.col("y")
+
+    def crosses(e):
+        straddle = (e["ay"] > y) != (e["by"] > y)
+        xint = e["ax"] + (y - e["ay"]) / (e["by"] - e["ay"]) * (e["bx"] - e["ax"])
+        return straddle & (x < xint)
+
+    inside = F.size(F.filter(edges, crosses)) % 2 == 1
+    return pts.where(F.col("cell").isin(covered)).where(inside).drop("cell")

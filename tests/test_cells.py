@@ -273,3 +273,19 @@ def test_compact_point_index(spark, cfg, blobs, tmp_path):
     assert {d.split("epoch=")[1] for d in glob.glob(f"{path}/points/cell=*/epoch=*")} == {"0"}
     after = set(radius_probe_indexed(spark, path, qx, qy, r).toPandas()["id"])
     assert after == before and len(before) > 0
+
+
+def test_pip_probe_indexed(spark, cfg, blobs, tmp_path):
+    from ffcl_spark.kernels.pip import points_in_polygon
+    from ffcl_spark.sources.points import pip_probe_indexed, write_point_index
+
+    df, pdf = blobs
+    path = str(tmp_path / "pt_idx_pip")
+    write_point_index(df, path, cfg)
+    # a non-convex (arrow-head) polygon, unclosed on purpose
+    ring = [(-8.0, -8.0), (8.0, -6.0), (0.0, 0.0), (8.0, 8.0), (-8.0, 6.0)]
+    got = set(pip_probe_indexed(spark, path, ring).toPandas()["id"])
+    closed = np.array(ring + [ring[0]])
+    mask = points_in_polygon(pdf.x.to_numpy(), pdf.y.to_numpy(), closed)
+    want = set(pdf.id[mask])
+    assert got == want and 0 < len(want) < len(pdf)
