@@ -307,6 +307,13 @@ def dedup_batch(
             release(df)
             if df.storageLevel.useMemory or df.storageLevel.useDisk:
                 df.unpersist()
+            # DataFrame.unpersist reaches only CacheManager entries; a
+            # localCheckpoint's RDD-level persist is invisible to it
+            # and otherwise waits on GC + ContextCleaner — which can
+            # lag whole epochs on a busy driver. Free the checkpoint
+            # blocks deterministically: for a checkpointed frame,
+            # toRdd() IS the checkpoint RDD (no-op on any other).
+            df._jdf.queryExecution().toRdd().unpersist(False)
 
 
 def dedup_stream(
