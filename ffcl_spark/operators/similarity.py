@@ -1226,16 +1226,28 @@ def pca_project(
     out_col: str = "pca",
     scale: int = 10**4,
     components: tuple[np.ndarray, np.ndarray] | None = None,
+    whiten: bool = False,
 ) -> DataFrame:
     """Append a ``k``-dim PCA projection column: centered dot products
     against the (broadcast-literal) component matrix, all JVM-side
     (zip_with + aggregate — no Python rows). Pass ``components=
     (mean, comps)`` from :func:`pca_components` to reuse a fit; else
-    one is computed. At 100 TB the fit is one exact-covariance pass and
+    one is computed. ``whiten=True`` scales each axis to unit variance
+    (component rows divided by √eigenvalue — the OPQ-style
+    preprocessing that balances subspace energy before PQ; requires
+    the fit to be computed here, since the scaling needs the
+    eigenvalues). At 100 TB the fit is one exact-covariance pass and
     the transform is a map-only scan — nothing shuffles."""
     if components is None:
-        mean, comps, _ = pca_components(df, dims, k, vec_col, scale)
+        mean, comps, ev = pca_components(df, dims, k, vec_col, scale)
+        if whiten:
+            comps = comps / np.sqrt(np.maximum(ev, 1e-300))[:, None]
     else:
+        if whiten:
+            raise ValueError(
+                "whiten=True needs the eigenvalues — pass components=None "
+                "or pre-scale the component rows yourself"
+            )
         mean, comps = components
     mean_lit = F.array(*[F.lit(float(m)) for m in mean])
     centered = F.zip_with(

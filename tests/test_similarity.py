@@ -496,3 +496,20 @@ def test_append_ann_index_maintenance(spark, tmp_path):
     SIM.append_ann_index(half1, inc, epoch=1)
     coded_r, _, _ = SIM.read_ann_index(spark, inc)
     assert coded_r.count() == emb.count()
+
+
+def test_pca_whiten(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d, k = 64, 4
+    out = SIM.pca_project(emb, d, k, whiten=True).select("pca").toPandas()
+    P = np.array(out.pca.tolist())
+    # whitened projections have unit sample variance on every axis
+    # (up to the fixed-point quantization of the covariance: the
+    # eigenvalues describe the scale-1e4-rounded data, the raw floats
+    # differ in the ~1e-4 digit)
+    assert np.allclose(P.var(axis=0, ddof=1), 1.0, atol=1e-3)
+    import pytest
+
+    mean, comps, _ = SIM.pca_components(emb, d, k)
+    with pytest.raises(ValueError, match="whiten"):
+        SIM.pca_project(emb, d, k, components=(mean, comps), whiten=True)
