@@ -326,3 +326,76 @@ def quality_filter(
         )
     passing = m.where(cond).select(F.col("doc_id").alias(id_col))
     return df.join(passing, id_col, "left_semi")
+
+
+def unigram_lm(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(term, cnt): corpus unigram counts — the model table of the
+    perplexity filter. One explode + partial-agg scan; vocabulary-
+    sized output (broadcastable for any real vocabulary)."""
+    return (
+        df.select(F.explode(X.tokens(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    lm: DataFrame | None = None,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document perplexity under an add-``alpha``-smoothed unigram
+    LM — the distilled form of model-based quality filtering (KenLM-
+    style perplexity gates): degenerate/boilerplate text scores LOW
+    (its tokens are corpus-frequent), lorem-ipsum-ish or wrong-language
+    text scores HIGH. Output: (doc_id, n_tokens, sum_logprob_fp, ppl)
+    where ``ppl = exp(−Σ ln p(t) / n)``.
+
+    ``lm`` — a (term, cnt) table from :func:`unigram_lm` (defaults to
+    fitting on ``df`` itself; pass a held-out model to avoid scoring a
+    corpus under its own counts). Out-of-vocabulary tokens get the
+    smoothed floor ``alpha / (T + alpha·(V+1))``.
+
+    Determinism: each token's log-prob is rounded to a 1e-6
+    fixed-point BIGINT before the per-doc sum, so the sum is exact
+    integer arithmetic (order-free at any parallelism — the BM25
+    fixed-point discipline applied per-term instead of per-result);
+    ``ppl`` is one expression over the exact sum.
+
+    Plan: model fit is one scan + vocabulary-sized agg; scoring is one
+    explode + a broadcast-sized term join + per-doc partial agg.
+    """
+    if lm is None:
+        lm = unigram_lm(df, id_col, text_col)
+    totals = lm.agg(
+        F.sum("cnt").alias("T"), F.count(F.lit(1)).alias("V")
+    )
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(X.tokens(F.col(text_col))).alias("term"),
+    )
+    # OOV floor: cnt 0; V+1 reserves one slot for the unseen event
+    p = (F.coalesce(F.col("cnt"), F.lit(0)).cast("double") + F.lit(alpha)) / (
+        F.col("T").cast("double") + F.lit(alpha) * (F.col("V").cast("double") + 1.0)
+    )
+    lp_fp = F.round(F.log(p) * F.lit(1000000.0)).cast("long")
+    return (
+        toks.join(F.broadcast(lm), "term", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_tokens"),
+            F.sum(lp_fp).alias("sum_logprob_fp"),
+        )
+        .withColumn(
+            "ppl",
+            F.exp(
+                -(F.col("sum_logprob_fp").cast("double") / F.lit(1000000.0))
+                / F.col("n_tokens").cast("double")
+            ),
+        )
+    )

@@ -201,3 +201,67 @@ def test_quality_filter(spark):
     assert TO.quality_filter(df, {}).count() == len(rows)
     with pytest.raises(ValueError, match="unknown quality rules"):
         TO.quality_filter(df, {"min_qualityness": 3})
+
+
+def test_lm_perplexity_vs_duckdb(spark):
+    """Fixed-point per-token log-probs → exact integer sums: the whole
+    scoring pipeline is oracle-exact against a DuckDB recomputation on
+    the same parquet (in-pytest gate pattern)."""
+    import duckdb
+
+    path = "/root/testdata/sf0.001/documents.parquet"
+    got = (
+        TO.lm_perplexity(spark.read.parquet(path))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(f"""
+WITH tk AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS term
+  FROM '{path}'),
+lm AS (SELECT term, count(*) AS cnt FROM tk GROUP BY term),
+tot AS (SELECT sum(cnt) AS T, count(*) AS V FROM lm),
+scored AS (
+  SELECT tk.doc_id,
+         CAST(round(ln((CAST(coalesce(lm.cnt, 0) AS DOUBLE) + 1.0)
+               / (CAST(tot.T AS DOUBLE) + 1.0 * (CAST(tot.V AS DOUBLE) + 1.0)))
+             * 1000000.0, 0) AS BIGINT) AS lp
+  FROM tk LEFT JOIN lm USING (term) CROSS JOIN tot)
+SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+       sum(lp) AS sum_logprob_fp,
+       exp(-(CAST(sum(lp) AS DOUBLE) / 1000000.0) / CAST(count(*) AS DOUBLE)) AS ppl
+FROM scored GROUP BY doc_id ORDER BY doc_id
+""")
+        .df()
+        .reset_index(drop=True)
+    )
+    assert (got.doc_id == want.doc_id).all()
+    assert (got.n_tokens == want.n_tokens).all()
+    assert (got.sum_logprob_fp.astype("int64") == want.sum_logprob_fp.astype("int64")).all()
+    # the EXACT comparable is the integer sum above; ppl derives from
+    # it through exp(), which Java (Math.exp, 1-ulp contract) and C
+    # (libm) round differently on some inputs — compare to 2 ulp
+    import numpy as np
+
+    assert np.allclose(got.ppl, want.ppl, rtol=1e-15, atol=0)
+
+
+def test_lm_perplexity_orders_quality(spark):
+    """Frequent-token (degenerate) docs score LOW, out-of-vocabulary
+    text scores HIGH; a held-out model can be passed in."""
+    rows = [(i, "the cat sat on the mat") for i in range(20)] + [
+        (100, "the the the the the the"),       # degenerate → lowest ppl
+        (101, "zyx wvu tsr qpo nml kji"),       # pure OOV → highest ppl
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = TO.lm_perplexity(df).toPandas().set_index("doc_id")
+    assert got.ppl.loc[100] == got.ppl.min()
+    assert got.ppl.loc[101] == got.ppl.max()
+    # held-out model: score new docs under the fitted counts
+    lm = TO.unigram_lm(df)
+    fresh = spark.createDataFrame([(200, "the cat"), (201, "qqq www")],
+                                  "doc_id long, text string")
+    s = TO.lm_perplexity(fresh, lm=lm).toPandas().set_index("doc_id")
+    assert s.ppl.loc[200] < s.ppl.loc[201]
