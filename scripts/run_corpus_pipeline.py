@@ -40,11 +40,20 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--max-dup-span-frac", type=float, default=0.95)
     ap.add_argument("--neardup-threshold", type=float, default=0.8)
     ap.add_argument("--chunk-tokens", type=int, default=2048)
+    ap.add_argument(
+        "--max-ppl", type=float, default=None,
+        help="model-based gate: drop docs whose unigram-LM perplexity exceeds this",
+    )
     args = ap.parse_args(argv)
 
     from ffcl_spark.operators.dedup import dedup_groups, exact_dedup
     from ffcl_spark.operators.sampling import pack_chunks
-    from ffcl_spark.operators.textops import corpus_stats, quality_filter, text_metrics
+    from ffcl_spark.operators.textops import (
+        corpus_stats,
+        lm_perplexity,
+        quality_filter,
+        text_metrics,
+    )
 
     spark = get_spark(app_name="ffcl_corpus_pipeline")
     out = args.out.rstrip("/")
@@ -69,6 +78,20 @@ def main(argv: list[str] | None = None) -> None:
         "max_dup_span_frac": args.max_dup_span_frac,
     }
     clean = stage("quality", lambda: quality_filter(docs, rules))
+
+    # optional model-based gate: perplexity under a unigram LM fitted
+    # on the heuristic-clean survivors
+    if args.max_ppl is not None:
+        clean = stage(
+            "ppl",
+            lambda: clean.join(
+                lm_perplexity(clean)
+                .where(F.col("ppl") <= args.max_ppl)
+                .select("doc_id"),
+                "doc_id",
+                "left_semi",
+            ),
+        )
 
     # 2. dedup: exact groups first (cheap md5 partial agg), then
     # MinHash-LSH near-dup closure over the exact survivors; the kept
