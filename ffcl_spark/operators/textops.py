@@ -1,9 +1,13 @@
 """Text-analysis operators over a (id, text) document table.
 
 Training-data-pipeline extensions (task brief): token counting,
-quality scoring, language ID, document fingerprinting. All pure column
-expressions — WholeStageCodegen end to end, no shuffle except where an
-aggregation is the point.
+quality scoring, language ID, document fingerprinting — plus the
+round-5 family: within-document repetition metrics (Gopher rules),
+the rule-based admission gate (``quality_filter``), corpus
+composition ROLLUP reports (``corpus_stats``), and model-based
+filtering via unigram-LM perplexity (``lm_perplexity``). The per-doc
+signal operators are pure column expressions — WholeStageCodegen end
+to end, no shuffle except where an aggregation is the point.
 """
 
 from __future__ import annotations

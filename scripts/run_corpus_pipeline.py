@@ -127,7 +127,13 @@ def main(argv: list[str] | None = None) -> None:
     # composition report (ROLLUP levels: 2 = (lang, source) leaf,
     # 0 = grand total)
     rep = corpus_stats(corpus).orderBy("level", "lang", "source").collect()
-    tot = next(r for r in rep if r["level"] == 0)
+    # Spark's rollup yields zero rows on an empty input (no
+    # grand-total row) — report the empty corpus instead of crashing
+    tot = next((r for r in rep if r["level"] == 0), None)
+    if tot is None:
+        print(f"done: {n_in} docs in -> 0 kept; stages under {out}/")
+        spark.stop()
+        return
     print(
         f"done: {n_in} docs in -> {tot['n_docs']} kept "
         f"({tot['n_tokens']} tokens); stages under {out}/ "

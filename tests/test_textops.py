@@ -265,3 +265,23 @@ def test_lm_perplexity_orders_quality(spark):
                                   "doc_id long, text string")
     s = TO.lm_perplexity(fresh, lm=lm).toPandas().set_index("doc_id")
     assert s.ppl.loc[200] < s.ppl.loc[201]
+
+
+def test_text_ops_empty_input(spark):
+    """Every text operator degrades gracefully on an empty corpus —
+    empty output, no crash (pipelines hit empty partitions/batches
+    constantly at scale)."""
+    from pyspark.sql import functions as F
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert TO.repetition_metrics(empty).count() == 0
+    assert TO.quality_filter(empty, {"min_tokens": 5}).count() == 0
+    assert TO.text_metrics(empty).count() == 0
+    assert TO.unigram_lm(empty).count() == 0
+    assert TO.lm_perplexity(empty).count() == 0
+    # rollup of nothing: Spark emits ZERO rows (no grand-total row,
+    # unlike DuckDB's ANSI behavior of one empty-set group) — pin the
+    # engine contract so pipeline callers know to guard
+    cs = TO.corpus_stats(empty.withColumn("lang", F.lit("x")).withColumn(
+        "source", F.lit("y")).limit(0)).toPandas()
+    assert len(cs) == 0
