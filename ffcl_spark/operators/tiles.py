@@ -39,18 +39,8 @@ RING_TYPE = T.ArrayType(
 )
 
 
-def _cover_cells_box(x_lo, y_lo, x_hi, y_hi, cfg: EngineConfig) -> list[int]:
-    """Cells whose box intersects [x_lo,x_hi]×[y_lo,y_hi] (inclusive)."""
-    ix0 = int(G.axis_index(np.array([x_lo]), cfg.x0, cfg.cell_size, cfg.grid_n)[0])
-    ix1 = int(G.axis_index(np.array([x_hi]), cfg.x0, cfg.cell_size, cfg.grid_n)[0])
-    iy0 = int(G.axis_index(np.array([y_lo]), cfg.y0, cfg.cell_size, cfg.grid_n)[0])
-    iy1 = int(G.axis_index(np.array([y_hi]), cfg.y0, cfg.cell_size, cfg.grid_n)[0])
-    base = cfg.resolution << RES_SHIFT
-    return [
-        base + ix * AXIS_MOD + iy
-        for ix in range(ix0, ix1 + 1)
-        for iy in range(iy0, iy1 + 1)
-    ]
+from ffcl_spark.sources.points import cover_cells as _cover_cells_box  # noqa: E402
+# the one canonical driver-side box→cells cover (sources.points)
 
 
 def grid_tiles(spark: SparkSession, cfg: EngineConfig, side: float = 6.0) -> DataFrame:

@@ -218,21 +218,23 @@ def cover_cells(
     x_lo: float, y_lo: float, x_hi: float, y_hi: float, cfg: EngineConfig
 ) -> list[int]:
     """Driver twin of the cell packing: every grid cell whose square
-    intersects the box (clamped at the domain edge, mirroring
-    ``functions.cells.axis_index``). Bounded by the probe's area in
-    cells — the 2-D analogue of the probe-term bucket list."""
-    grid_n = 1 << cfg.resolution
+    intersects the box (clamped at the domain edge — the kernel's
+    ``axis_index`` clamping). Bounded by the probe's area in cells —
+    the 2-D analogue of the probe-term bucket list. The ONE canonical
+    driver-side cover computation (``operators.tiles`` aliases it)."""
+    import numpy as np
+
+    from ffcl_spark.kernels import grid as G
+
+    ix0 = int(G.axis_index(np.array([x_lo]), cfg.x0, cfg.cell_size, cfg.grid_n)[0])
+    ix1 = int(G.axis_index(np.array([x_hi]), cfg.x0, cfg.cell_size, cfg.grid_n)[0])
+    iy0 = int(G.axis_index(np.array([y_lo]), cfg.y0, cfg.cell_size, cfg.grid_n)[0])
+    iy1 = int(G.axis_index(np.array([y_hi]), cfg.y0, cfg.cell_size, cfg.grid_n)[0])
     base = cfg.resolution * (1 << 52)
-
-    def axis(lo: float, hi: float, origin: float) -> range:
-        i_lo = max(0, min(grid_n - 1, int((lo - origin) // cfg.cell_size)))
-        i_hi = max(0, min(grid_n - 1, int((hi - origin) // cfg.cell_size)))
-        return range(i_lo, i_hi + 1)
-
     return [
         base + ix * (1 << 26) + iy
-        for ix in axis(x_lo, x_hi, cfg.x0)
-        for iy in axis(y_lo, y_hi, cfg.y0)
+        for ix in range(ix0, ix1 + 1)
+        for iy in range(iy0, iy1 + 1)
     ]
 
 
