@@ -311,9 +311,13 @@ def dedup_batch(
             # localCheckpoint's RDD-level persist is invisible to it
             # and otherwise waits on GC + ContextCleaner — which can
             # lag whole epochs on a busy driver. Free the checkpoint
-            # blocks deterministically: for a checkpointed frame,
-            # toRdd() IS the checkpoint RDD (no-op on any other).
-            df._jdf.queryExecution().toRdd().unpersist(False)
+            # blocks deterministically: a checkpointed frame's analyzed
+            # plan is a LogicalRDD whose rdd() IS the persisted
+            # checkpoint RDD (toRdd() is NOT — it returns a derived,
+            # unpersisted RDD; verified against the persistent-RDD map).
+            plan = df._jdf.queryExecution().analyzed()
+            if plan.getClass().getName().endswith(".LogicalRDD"):
+                plan.rdd().unpersist(False)
 
 
 def dedup_stream(
