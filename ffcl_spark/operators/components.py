@@ -47,6 +47,8 @@ def connected_components(
     graph ``edges`` (columns src, dst) over the vertex universe ``ids``
     (column id). Vertices with no incident edge are their own
     component. Deterministic at any parallelism (min is order-free)."""
+    from ffcl_spark.plans.cache import carry, free_checkpoint
+
     comp = ids.select("id", F.col("id").alias("comp")).localCheckpoint()
     E = (
         edges.select(
@@ -58,7 +60,11 @@ def connected_components(
     )
     for _ in range(max_rounds):
         if E.isEmpty():
-            return comp
+            # superseded checkpoints were freed per round below; the
+            # edge frame dies here, and the final comp checkpoint rides
+            # as a carried handle so callers' release() frees it
+            free_checkpoint(E)
+            return carry(comp, comp)
         sym = E.unionByName(E.select(F.col("b").alias("a"), F.col("a").alias("b")))
         # hook: min-pointer forest over the current supernodes
         step = (
@@ -73,6 +79,7 @@ def connected_components(
         # job latency on the hierarchy gates. Fixpoint test: m₂ == m₄
         # pointwise ⇒ m₂ is idempotent ⇒ every pointer reached its
         # root. (c is always itself a hooked vertex: self-joins total.)
+        ckpt_step = step  # the checkpoint currently backing `step`
         while True:
             m2 = step.join(
                 step.select(F.col("v").alias("c"), F.col("c").alias("cc")), "c"
@@ -84,11 +91,17 @@ def connected_components(
                 .select("v", F.col("c").alias("oc"), F.col("cc").alias("c"))
                 .localCheckpoint()
             )
+            # nxt is materialized (eager checkpoint) — the previous
+            # step's checkpoint is superseded; free it now instead of
+            # waiting on GC + ContextCleaner (deterministic memory)
+            free_checkpoint(ckpt_step)
+            ckpt_step = nxt
             step = nxt.select("v", "c")
             if nxt.where(F.col("oc") != F.col("c")).isEmpty():
                 break
         # compose into the cumulative map (vertices already contracted
         # away in earlier rounds keep their label via the left join)
+        old_comp = comp
         comp = (
             comp.join(
                 step.select(F.col("v").alias("comp"), F.col("c").alias("nc")),
@@ -98,7 +111,9 @@ def connected_components(
             .select("id", F.coalesce("nc", "comp").alias("comp"))
             .localCheckpoint()
         )
+        free_checkpoint(old_comp)
         # contract: each hook tree becomes one supernode
+        old_E = E
         E = (
             E.join(step.select(F.col("v").alias("a"), F.col("c").alias("ca")), "a")
             .join(step.select(F.col("v").alias("b"), F.col("c").alias("cb")), "b")
@@ -109,6 +124,9 @@ def connected_components(
             .distinct()
             .localCheckpoint()
         )
+        free_checkpoint(old_E)
+        # the round's pointer forest served both consumers above
+        free_checkpoint(ckpt_step)
     raise RuntimeError(
         "connected_components did not converge within max_rounds — star "
         "contraction removes every non-root supernode per round, so this "

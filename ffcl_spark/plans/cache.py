@@ -32,9 +32,27 @@ def carry(out: DataFrame, *cached: DataFrame) -> DataFrame:
     return out
 
 
+def free_checkpoint(df: DataFrame) -> None:
+    """Deterministically unpersist a localCheckpointed frame's RDD.
+
+    ``DataFrame.unpersist`` reaches only CacheManager entries; the
+    checkpoint's RDD-level persist is invisible to it and otherwise
+    waits on GC + ContextCleaner, which can lag minutes on a busy
+    driver (observed: surviving checkpoint RDDs per streaming epoch in
+    the full test suite). A checkpointed frame's analyzed plan is a
+    ``LogicalRDD`` whose ``rdd()`` IS the persisted RDD — note
+    ``toRdd()`` is NOT (it returns a derived, unpersisted RDD).
+    No-op for non-checkpointed frames."""
+    plan = df._jdf.queryExecution().analyzed()
+    if plan.getClass().getName().endswith(".LogicalRDD"):
+        plan.rdd().unpersist(False)
+
+
 def release(df: DataFrame) -> None:
-    """Unpersist every cached intermediate carried by ``df`` (no-op
-    for DataFrames without carried handles)."""
+    """Unpersist every cached intermediate carried by ``df`` — both
+    CacheManager entries and checkpoint RDDs (no-op for DataFrames
+    without carried handles)."""
     for c in getattr(df, "_ffcl_cached", ()):
         c.unpersist()
+        free_checkpoint(c)
     df._ffcl_cached = []

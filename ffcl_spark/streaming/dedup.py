@@ -76,7 +76,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ffcl_spark.plans.cache import release
+from ffcl_spark.plans.cache import free_checkpoint, release
 
 HASHES, BANDS, TEXTS = "hashes", "bands", "texts"
 
@@ -307,17 +307,10 @@ def dedup_batch(
             release(df)
             if df.storageLevel.useMemory or df.storageLevel.useDisk:
                 df.unpersist()
-            # DataFrame.unpersist reaches only CacheManager entries; a
-            # localCheckpoint's RDD-level persist is invisible to it
-            # and otherwise waits on GC + ContextCleaner — which can
-            # lag whole epochs on a busy driver. Free the checkpoint
-            # blocks deterministically: a checkpointed frame's analyzed
-            # plan is a LogicalRDD whose rdd() IS the persisted
-            # checkpoint RDD (toRdd() is NOT — it returns a derived,
-            # unpersisted RDD; verified against the persistent-RDD map).
-            plan = df._jdf.queryExecution().analyzed()
-            if plan.getClass().getName().endswith(".LogicalRDD"):
-                plan.rdd().unpersist(False)
+            # checkpoint RDDs are invisible to DataFrame.unpersist —
+            # free their blocks deterministically (see
+            # plans.cache.free_checkpoint)
+            free_checkpoint(df)
 
 
 def dedup_stream(
