@@ -48,6 +48,15 @@ NEARDUP_COS = 0.42
 LSH_COS = 0.9  # near-dup regime, where SRP banding prunes hard
 ANN_HIT_FLOOR = 3  # per-query recall floor (of EMB_K): measured min 4
 JACCARD_T = 0.05
+# geodesic gate: doc points mapped onto the sphere (lat = x*3, lon =
+# y*6 — one multiply each, bit-identical in both engines); distances
+# floored to whole metres because Spark (JVM trig through the chord
+# embedding) and DuckDB (libm haversine) agree only to ~1e-12 rel —
+# margins verified offline: nearest emitted value sits 8.6e-5 m from a
+# floor boundary, 460 m from the radius cut, 123 m from a rank swap.
+GEO_RADIUS_M = 400_000.0
+GEO_K = 5
+GEO_QMOD = 5
 K_EDGES = 5
 # BM25 probe queries (gate q_bm25_rank): fixed strings over the
 # documents vocabulary, inlined as VALUES in the DuckDB oracle
@@ -710,11 +719,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_ngram_jaccard(spark, sf):
         return DD.ngram_jaccard_pairs(_documents(spark, sf), JACCARD_T)
 
-    def q_minhash_sigs(spark, sf):
-        return DD.minhash_signatures(_documents(spark, sf))
+    def q_minhash_plans(spark, sf):
+        # both MinHash stages in one variant-tagged gate (r5
+        # consolidation freeing a dict entry for geo_search): `sigs` =
+        # the 32-hash signature of every doc (joined to one string so
+        # it unions with the pair rows), `pairs` = the banded LSH
+        # candidates verified at true Jaccard ≥ t — same two oracles
+        # as the former separate gates, one driver row
+        docs = _documents(spark, sf)
+        sigs = DD.minhash_signatures(docs)
+        sig_str = F.concat_ws(
+            ":", *[F.col(f"sig_{j}").cast("string") for j in range(32)]
+        )
+        s = sigs.select(
+            F.lit("sigs").alias("variant"),
+            F.col("id").cast("string").alias("a"),
+            sig_str.alias("b"),
+            F.lit(None).cast("double").alias("val"),
+        )
+        p = DD.minhash_dedup_pairs(docs, JACCARD_T).select(
+            F.lit("pairs").alias("variant"),
+            F.col("id_a").cast("string").alias("a"),
+            F.col("id_b").cast("string").alias("b"),
+            F.col("jaccard").alias("val"),
+        )
+        return s.unionByName(p)
 
-    def q_minhash_pairs(spark, sf):
-        return DD.minhash_dedup_pairs(_documents(spark, sf), JACCARD_T)
+    def q_geo_search(spark, sf):
+        # geodesic search on the sphere (r5): doc points as lat/lon,
+        # radius + kNN through the 3-D unit-vector embedding (chord
+        # distance is monotone with great-circle distance, so the
+        # proven n-D plans do the work and antimeridian wrap / pole
+        # adjacency need no special cases — operators/geo.py). The
+        # oracle recomputes haversine directly; distances compare as
+        # floor-to-metres (see GEO_RADIUS_M note above).
+        from ffcl_spark.operators import geo as GEO
+
+        pts = _doc_points(spark, sf).select(
+            "id",
+            "offset",
+            F.substring("doc_id", 5, 18).cast("long").alias("d"),
+            (F.col("x") * 3).alias("lat"),
+            (F.col("y") * 6).alias("lon"),
+        )
+        qs = pts.where((F.col("offset") == 0) & (F.col("d") % GEO_QMOD == 0))
+        rad = GEO.geo_radius_join(qs, pts, GEO_RADIUS_M).select(
+            F.lit("radius").alias("variant"),
+            "q_id",
+            "r_id",
+            F.floor("dist_m").cast("long").alias("dist_floor_m"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+        knn = GEO.geo_knn_join(qs, pts, GEO_K).select(
+            F.lit("knn").alias("variant"),
+            "q_id",
+            "r_id",
+            F.floor("dist_m").cast("long").alias("dist_floor_m"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        return rad.unionByName(knn)
 
     def q_dedup_groups(spark, sf):
         # near-dup GROUP closure over the verified MinHash pairs (r4):
@@ -1139,7 +1202,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_transform": q_multimodal_transform,
         "embed_topk": q_embed_topk,
         "raster_plans": q_raster_plans,
-        "minhash_sigs": q_minhash_sigs,
+        "minhash_plans": q_minhash_plans,
+        "geo_search": q_geo_search,
         "simhash": q_simhash,
         "dup_spans": q_dup_spans,
         "pip_tiles": q_pip_tiles,
@@ -1163,7 +1227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "silhouette": q_silhouette,
         "embed_ann": q_embed_ann,
         "kmedoids_labels": q_kmedoids_labels,
-        "minhash_pairs": q_minhash_pairs,
         "dedup_groups": q_dedup_groups,
         "hdbscan_labels": q_hdbscan_labels,
         "mst_weights": q_mst_weights,
@@ -1970,15 +2033,14 @@ FROM w SEMI JOIN (SELECT DISTINCT win_hash FROM w WHERE id % 29 = 0) p
   USING (win_hash)
 """
 
-    sig_cols = ", ".join(f"sig_{j}" for j in range(32))
-    o["minhash_sigs"] = f"WITH {_minhash_sig_cte()} SELECT id, {sig_cols} FROM sig"
+    sig_join = " || ':' || ".join(f"sig_{j}" for j in range(32))
 
     band_selects = "\nUNION ALL\n".join(
         f"SELECT id, {bi} AS band, sig_{bi*4} || ':' || sig_{bi*4+1} || ':' || "
         f"sig_{bi*4+2} || ':' || sig_{bi*4+3} AS key FROM sig"
         for bi in range(8)
     )
-    o["minhash_pairs"] = f"""
+    o["minhash_plans"] = f"""
 WITH {_minhash_sig_cte()},
 bands AS ({band_selects}),
 cand AS (
@@ -1995,7 +2057,36 @@ scored AS (
   JOIN sizes sa ON sa.id = i.id_a
   JOIN sizes sb ON sb.id = i.id_b
   JOIN cand c ON c.c_a = i.id_a AND c.c_b = i.id_b)
-SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= {JACCARD_T}
+SELECT 'sigs' AS variant, CAST(id AS VARCHAR) AS a, {sig_join} AS b,
+       CAST(NULL AS DOUBLE) AS val
+FROM sig
+UNION ALL
+SELECT 'pairs' AS variant, CAST(id_a AS VARCHAR) AS a, CAST(id_b AS VARCHAR) AS b,
+       jaccard AS val
+FROM scored WHERE jaccard >= {JACCARD_T}
+"""
+
+    _geo_hav = f"""
+geo AS (SELECT id, d, off, x*3 AS lat, y*6 AS lon FROM pts),
+gq AS (SELECT * FROM geo WHERE off = 0 AND d % {GEO_QMOD} = 0),
+hav AS (SELECT q.id AS q_id, r.id AS r_id,
+   2.0 * 6371008.8 * asin(sqrt(least(1.0,
+       pow(sin(radians(r.lat - q.lat)/2), 2)
+       + cos(radians(q.lat)) * cos(radians(r.lat))
+         * pow(sin(radians(r.lon - q.lon)/2), 2)
+   ))) AS dist
+   FROM gq q CROSS JOIN geo r)
+"""
+    o["geo_search"] = f"""
+WITH {_PTS_DOCS}, {_geo_hav}
+SELECT 'radius' AS variant, q_id, r_id,
+       CAST(floor(dist) AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
+FROM hav WHERE dist < {GEO_RADIUS_M}
+UNION ALL
+SELECT 'knn' AS variant, q_id, r_id,
+       CAST(floor(dist) AS BIGINT) AS dist_floor_m,
+       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist, r_id) AS INTEGER) AS rank
+FROM hav QUALIFY rank <= {GEO_K}
 """
 
     # group closure over the same verified pairs: recursive min-label

@@ -149,12 +149,17 @@ def _read_store(spark: SparkSession, store_dir: str, sub: str, epoch_id: int) ->
 
 def _cut(df: DataFrame, held: list[DataFrame]) -> DataFrame:
     """Eagerly localCheckpoint ``df`` (truncating its logical plan to
-    an RDD scan for every downstream reference) and schedule its
-    carried operator caches for release when the epoch ends. The
-    checkpointed partitions themselves are reclaimed by the
-    ContextCleaner once the handler's references are GC'd."""
+    an RDD scan for every downstream reference) and schedule BOTH
+    frames for release when the epoch ends: ``df`` for the operator
+    caches it carries, and the checkpointed frame for the checkpoint
+    RDD itself — the persisted RDD hangs off the NEW frame's
+    LogicalRDD plan, so holding only the pre-checkpoint frame left
+    the blocks to GC + ContextCleaner timing (observed: one surviving
+    checkpoint RDD per epoch under full-suite driver load)."""
     held.append(df)
-    return df.localCheckpoint()
+    ck = df.localCheckpoint()
+    held.append(ck)
+    return ck
 
 
 def dedup_batch(

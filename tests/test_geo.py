@@ -1,0 +1,200 @@
+"""Geodesic search: sphere-embedding reduction to the n-D operators.
+
+The adversarial cases a planar lat/lon grid gets wrong — antimeridian
+wrap and pole adjacency — fall out of the 3-D embedding for free; the
+brute-parity tests pin exactness against the NumPy haversine oracle.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ffcl_spark.kernels.geo import (
+    geo_brute_knn,
+    geo_brute_pairs,
+    haversine_np,
+)
+from ffcl_spark.operators.geo import (
+    EARTH_RADIUS_M,
+    GEO_CFG,
+    arc_of_chord_m,
+    chord_of_arc,
+    geo_box_search,
+    geo_knn_join,
+    geo_radius_join,
+    haversine_m,
+)
+
+
+def world_pdf(n: int = 300, seed: int = 11) -> pd.DataFrame:
+    """Deterministic world-wide fixture with the adversarial clusters:
+    a pole cap, an antimeridian straddle, and a uniform background."""
+    rng = np.random.default_rng(seed)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, n)))  # uniform on sphere
+    lon = rng.uniform(-180.0, 180.0, n)
+    # pole cap: 12 points within ~20 km of the north pole, lons spread
+    lat[:12] = 89.9 + rng.uniform(0, 0.08, 12)
+    lon[:12] = np.linspace(-170, 170, 12)
+    # antimeridian straddle: 10 points hugging ±180 at lat 10
+    lat[12:22] = 10.0 + rng.uniform(-0.05, 0.05, 10)
+    lon[12:22] = np.where(rng.uniform(size=10) < 0.5, 1, -1) * (
+        179.9 + rng.uniform(0, 0.09, 10)
+    )
+    return pd.DataFrame(
+        {"id": np.arange(n, dtype=np.int64), "lat": lat, "lon": lon}
+    )
+
+
+@pytest.fixture(scope="module")
+def world(spark):
+    pdf = world_pdf()
+    return spark.createDataFrame(pdf).cache(), pdf
+
+
+def test_haversine_expr_matches_numpy(spark):
+    pdf = world_pdf(80, seed=3)
+    a, b = pdf.iloc[:40].reset_index(drop=True), pdf.iloc[40:].reset_index(drop=True)
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "lat1": a.lat, "lon1": a.lon,
+                "lat2": b.lat.values, "lon2": b.lon.values,
+            }
+        )
+    )
+    from pyspark.sql import functions as F
+
+    got = (
+        pairs.select(
+            haversine_m(F.col("lat1"), F.col("lon1"), F.col("lat2"), F.col("lon2")).alias("d")
+        )
+        .toPandas()["d"]
+        .to_numpy()
+    )
+    want = haversine_np(a.lat.values, a.lon.values, b.lat.values, b.lon.values)
+    np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_chord_arc_roundtrip():
+    for r in [1.0, 1e3, 1e6, 1e7, math.pi * EARTH_RADIUS_M * 0.999]:
+        c = chord_of_arc(r)
+        back = 2 * EARTH_RADIUS_M * math.asin(min(1.0, c / 2))
+        assert back == pytest.approx(r, rel=1e-12)
+    # ≥ half circumference: bound exceeds the max chord, keeps all pairs
+    assert chord_of_arc(math.pi * EARTH_RADIUS_M) > 2.0
+
+
+def test_geo_radius_brute_parity(spark, world):
+    df, pdf = world
+    radius = 900_000.0  # 900 km
+    qs = df.where("id % 7 = 0")
+    qpdf = pdf[pdf.id % 7 == 0].reset_index(drop=True)
+    # fixture margin: no pair may sit near the float boundary
+    d = haversine_np(
+        qpdf.lat.values[:, None], qpdf.lon.values[:, None],
+        pdf.lat.values[None, :], pdf.lon.values[None, :],
+    )
+    assert np.abs(d - radius).min() > 1.0  # ≥ 1 m of slack
+    got = (
+        geo_radius_join(qs, df, radius)
+        .toPandas()
+        .sort_values(["q_id", "r_id"])
+        .reset_index(drop=True)
+    )
+    mask = geo_brute_pairs(
+        qpdf.lat.values, qpdf.lon.values, pdf.lat.values, pdf.lon.values, radius
+    )
+    want = [
+        (int(qpdf.id[i]), int(pdf.id[j]))
+        for i in range(mask.shape[0])
+        for j in np.nonzero(mask[i])[0]
+    ]
+    want = sorted(want)
+    assert list(zip(got.q_id, got.r_id)) == want
+    # distances match the haversine oracle through the chord mapping
+    want_d = {
+        (int(qpdf.id[i]), int(pdf.id[j])): d[i, j]
+        for i in range(mask.shape[0])
+        for j in np.nonzero(mask[i])[0]
+    }
+    for row in got.itertuples():
+        assert row.dist_m == pytest.approx(want_d[(row.q_id, row.r_id)], rel=1e-9)
+
+
+def test_geo_radius_antimeridian_and_pole(spark, world):
+    df, pdf = world
+    # the straddle points are within ~50 km of each other across ±180;
+    # the pole cap points are within ~50 km of each other at any lon
+    straddle = df.where("id >= 12 and id < 22")
+    out = geo_radius_join(straddle, straddle, 60_000.0).toPandas()
+    # every straddle point must find every other (cluster diameter < 60 km)
+    dd = haversine_np(
+        pdf.lat.values[12:22, None], pdf.lon.values[12:22, None],
+        pdf.lat.values[None, 12:22], pdf.lon.values[None, 12:22],
+    )
+    assert dd.max() < 60_000.0
+    assert len(out) == 100  # 10×10 incl. self-pairs at dist 0
+    cap = df.where("id < 12")
+    pole_out = geo_radius_join(cap, cap, 60_000.0).toPandas()
+    assert len(pole_out) == 144
+
+
+def test_geo_knn_brute_parity(spark, world):
+    df, pdf = world
+    k = 5
+    qs = df.where("id % 11 = 0")
+    qpdf = pdf[pdf.id % 11 == 0].reset_index(drop=True)
+    got = (
+        geo_knn_join(qs, df, k)
+        .toPandas()
+        .sort_values(["q_id", "rank"])
+        .reset_index(drop=True)
+    )
+    want = geo_brute_knn(
+        qpdf.lat.values, qpdf.lon.values, pdf.lat.values, pdf.lon.values,
+        pdf.id.values, k,
+    )
+    for i, (ids, dists) in enumerate(want):
+        sub = got[got.q_id == int(qpdf.id[i])]
+        assert list(sub.r_id) == list(ids)
+        np.testing.assert_allclose(sub.dist_m.values, dists, rtol=1e-9, atol=1e-6)
+
+
+def test_geo_knn_blocked_plan_same_result(spark, world):
+    df, _ = world
+    qs = df.where("id % 29 = 0")
+    ring = geo_knn_join(qs, df, 3).toPandas().sort_values(["q_id", "rank"])
+    blocked = geo_knn_join(qs, df, 3, plan="blocked").toPandas().sort_values(
+        ["q_id", "rank"]
+    )
+    assert list(ring.q_id) == list(blocked.q_id)
+    assert list(ring.r_id) == list(blocked.r_id)
+
+
+def test_geo_box_search_wrap(spark, world):
+    df, pdf = world
+    # plain box
+    got = geo_box_search(df, -10, 30, 20, 70).toPandas()
+    want = pdf[
+        pdf.lat.between(-10, 30) & pdf.lon.between(20, 70)
+    ]
+    assert sorted(got.id) == sorted(want.id)
+    # antimeridian box: lon 170 → -170
+    got_w = geo_box_search(df, 0, 20, 170, -170).toPandas()
+    want_w = pdf[
+        pdf.lat.between(0, 20) & ((pdf.lon >= 170) | (pdf.lon <= -170))
+    ]
+    assert sorted(got_w.id) == sorted(want_w.id)
+    assert len(got_w) >= 10  # the straddle cluster is inside
+
+
+def test_arc_of_chord_clamps_antipodal(spark):
+    # a chord fold landing at 2 + 1ulp must not produce NaN
+    from pyspark.sql import functions as F
+
+    row = spark.range(1).select(
+        arc_of_chord_m(F.lit(2.0 + 1e-12)).alias("d")
+    ).collect()[0]
+    assert row.d == pytest.approx(math.pi * EARTH_RADIUS_M, rel=1e-12)
