@@ -427,3 +427,98 @@ def nearest_tile(points: DataFrame, tiles: DataFrame) -> DataFrame:
         best["tile_id"].alias("tile_id"),
         best["dist"].alias("dist"),
     )
+
+
+def overlay_join(tiles_a: DataFrame, tiles_b: DataFrame) -> DataFrame:
+    """Polygon-polygon overlay: (a_id, b_id) pairs of tiles that share
+    at least one point (boundary touch counts — same semantics as the
+    PIP kernel).
+
+    Candidate generation is the raster form: both sides explode by
+    covering cell and equi-join on cell. The cover is conservative
+    (every cell containing any point of the polygon is in ``cells``),
+    so two intersecting polygons always share a covering cell — no
+    false negatives. The exact test (edge-grid orientation straddle +
+    mutual-containment vertex check, ``kernels.overlay``) runs
+    Arrow-batched per candidate pair; pair count is candidate-bounded,
+    never |A|·|B|. Self-pairs appear when both sides are one table."""
+    a = tiles_a.select(
+        F.col("tile_id").alias("a_id"),
+        F.col("ring").alias("ring_a"),
+        F.explode("cells").alias("cell"),
+    )
+    b = tiles_b.select(
+        F.col("tile_id").alias("b_id"),
+        F.col("ring").alias("ring_b"),
+        F.explode("cells").alias("cell"),
+    )
+    cand = a.join(b, "cell").dropDuplicates(["a_id", "b_id"])
+
+    out_schema = T.StructType(
+        [T.StructField("a_id", T.StringType()), T.StructField("b_id", T.StringType())]
+    )
+
+    def kernel(batches):
+        from ffcl_spark.kernels.overlay import polys_intersect
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep_a, keep_b = [], []
+            for row in pdf.itertuples(index=False):
+                ra = np.array([[v["x"], v["y"]] for v in row.ring_a], dtype=np.float64)
+                rb = np.array([[v["x"], v["y"]] for v in row.ring_b], dtype=np.float64)
+                if polys_intersect(ra, rb):
+                    keep_a.append(row.a_id)
+                    keep_b.append(row.b_id)
+            if keep_a:
+                yield pd.DataFrame({"a_id": keep_a, "b_id": keep_b})
+
+    return cand.select("a_id", "b_id", "ring_a", "ring_b").mapInPandas(
+        kernel, out_schema
+    )
+
+
+def tile_measures(tiles: DataFrame) -> DataFrame:
+    """(tile_id, area, perimeter, centroid_x, centroid_y) — shoelace
+    measures as pure column expressions (map-only, WholeStageCodegen;
+    the NumPy twin is ``kernels.overlay.ring_area``/``ring_centroid``).
+    ``area`` is the absolute area; rings are stored closed (first
+    vertex repeated), so edges are consecutive pairs. The fold order
+    is the array order in both the JVM fold and the NumPy twin —
+    bit-identical sums."""
+    ring = F.col("ring")
+    n = F.size(ring)
+    idx = F.sequence(F.lit(1), n - 1)  # element_at is 1-based; edges i -> i+1
+
+    def at(i):
+        return F.element_at(ring, i)
+
+    cross = F.transform(
+        idx, lambda i: at(i)["x"] * at(i + 1)["y"] - at(i + 1)["x"] * at(i)["y"]
+    )
+    signed2 = F.aggregate(cross, F.lit(0.0), lambda acc, v: acc + v)
+    edge_len = F.transform(
+        idx,
+        lambda i: F.sqrt(
+            (at(i + 1)["x"] - at(i)["x"]) * (at(i + 1)["x"] - at(i)["x"])
+            + (at(i + 1)["y"] - at(i)["y"]) * (at(i + 1)["y"] - at(i)["y"])
+        ),
+    )
+    mx = F.aggregate(
+        F.zip_with(cross, idx, lambda c, i: (at(i)["x"] + at(i + 1)["x"]) * c),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    my = F.aggregate(
+        F.zip_with(cross, idx, lambda c, i: (at(i)["y"] + at(i + 1)["y"]) * c),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return tiles.select(
+        "tile_id",
+        F.abs(signed2 / 2).alias("area"),
+        F.aggregate(edge_len, F.lit(0.0), lambda acc, v: acc + v).alias("perimeter"),
+        (mx / (F.lit(3.0) * signed2)).alias("centroid_x"),
+        (my / (F.lit(3.0) * signed2)).alias("centroid_y"),
+    )

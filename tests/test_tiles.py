@@ -151,3 +151,88 @@ def test_nearest_tile_rings_matches_numpy(spark, cfg, circles):
         assert np.isclose(got.loc[r.id].dist, best[0], atol=1e-12), r.id
         n_zero += best[0] == 0.0
     assert n_zero > 0 and n_zero < len(pdf)  # inside and outside both hit
+
+
+# ------------------------------------------------------------- overlay
+
+
+def test_overlay_kernel_cases():
+    from ffcl_spark.kernels.overlay import polys_intersect, ring_area, ring_centroid
+
+    sq = lambda x0, y0, s: np.array(
+        [[x0, y0], [x0 + s, y0], [x0 + s, y0 + s], [x0, y0 + s], [x0, y0]]
+    )
+    # proper edge crossing
+    assert polys_intersect(sq(0, 0, 2), sq(1, 1, 2))
+    # containment without any edge crossing (nested squares, both ways)
+    assert polys_intersect(sq(0, 0, 10), sq(3, 3, 1))
+    assert polys_intersect(sq(3, 3, 1), sq(0, 0, 10))
+    # corner touch at a single point counts (boundary semantics)
+    assert polys_intersect(sq(0, 0, 1), sq(1, 1, 1))
+    # collinear edge overlap without proper crossing
+    assert polys_intersect(sq(0, 0, 1), sq(0.25, 1, 1))
+    # disjoint
+    assert not polys_intersect(sq(0, 0, 1), sq(5, 5, 1))
+    # shoelace twins
+    assert ring_area(sq(2, 3, 4)) == 16.0  # CCW positive
+    cx, cy = ring_centroid(sq(2, 3, 4))
+    assert (cx, cy) == (4.0, 5.0)
+
+
+def test_overlay_join_matches_brute(spark, cfg):
+    from ffcl_spark.kernels.overlay import polys_intersect
+
+    tiles = TL.convex_tiles(spark, cfg, n_tiles=10, seed=3)
+    rows = tiles.select("tile_id", "ring").collect()
+    rings = {
+        r.tile_id: np.array([[v["x"], v["y"]] for v in r.ring], dtype=np.float64)
+        for r in rows
+    }
+    want = sorted(
+        (a, b)
+        for a in rings
+        for b in rings
+        if polys_intersect(rings[a], rings[b])
+    )
+    got = sorted(
+        (r.a_id, r.b_id)
+        for r in TL.overlay_join(tiles, tiles).collect()
+    )
+    assert got == want
+    assert all((t, t) in got for t in rings)  # self-pairs present
+
+
+def test_overlay_join_two_tables(spark, cfg):
+    from ffcl_spark.kernels.overlay import polys_intersect
+
+    a = TL.grid_tiles(spark, cfg, side=15.0)  # 16 coarse boxes
+    b = TL.convex_tiles(spark, cfg, n_tiles=6, seed=11)
+    ra = {
+        r.tile_id: np.array([[v["x"], v["y"]] for v in r.ring]) for r in a.collect()
+    }
+    rb = {
+        r.tile_id: np.array([[v["x"], v["y"]] for v in r.ring]) for r in b.collect()
+    }
+    want = sorted(
+        (i, j) for i in ra for j in rb if polys_intersect(ra[i], rb[j])
+    )
+    got = sorted((r.a_id, r.b_id) for r in TL.overlay_join(a, b).collect())
+    assert got == want
+    assert len(got) >= len(rb)  # every convex tile overlaps some box
+
+
+def test_tile_measures_match_numpy(spark, cfg):
+    from ffcl_spark.kernels.overlay import ring_area, ring_centroid
+
+    tiles = TL.convex_tiles(spark, cfg, n_tiles=8, seed=7)
+    got = {r.tile_id: r for r in TL.tile_measures(tiles).collect()}
+    for row in tiles.select("tile_id", "ring").collect():
+        ring = np.array([[v["x"], v["y"]] for v in row.ring], dtype=np.float64)
+        g = got[row.tile_id]
+        assert g.area == abs(ring_area(ring))
+        cx, cy = ring_centroid(ring)
+        assert abs(g.centroid_x - cx) < 1e-12 and abs(g.centroid_y - cy) < 1e-12
+        # perimeter: sequential fold both sides
+        x, y = ring[:, 0], ring[:, 1]
+        per = float(np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2).sum())
+        assert abs(g.perimeter - per) < 1e-12
