@@ -201,3 +201,47 @@ def band_join(
         & (F.col("__rus") <= F.col("__lus") + F.lit(hi_us))
     )
     return out.drop("__bucket", "__lus", "__rus")
+
+
+def trajectory_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-entity trajectory summary over a (user, ts, x, y) point
+    stream: visit count, total path length (sum of consecutive-hop
+    Euclidean distances in time order), longest single hop, tight
+    bbox, and dwell duration in seconds.
+
+    One shuffle (partition by user), one window scan for the lag
+    hops, one partial aggregation — nothing N-dependent on the
+    driver; hop distances are single IEEE expressions like every
+    planar metric in the engine. Equal timestamps order by (x, y) so
+    the result is deterministic at any parallelism."""
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col), F.col(x_col), F.col(y_col))
+    )
+    dx = F.col(x_col) - F.lag(x_col).over(w)
+    dy = F.col(y_col) - F.lag(y_col).over(w)
+    hopped = df.select(
+        user_col,
+        ts_col,
+        x_col,
+        y_col,
+        F.sqrt(dx * dx + dy * dy).alias("_hop"),
+    )
+    return hopped.groupBy(user_col).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.coalesce(F.sum("_hop"), F.lit(0.0)).alias("path_len"),
+        F.coalesce(F.max("_hop"), F.lit(0.0)).alias("max_hop"),
+        F.min(x_col).alias("x_min"),
+        F.max(x_col).alias("x_max"),
+        F.min(y_col).alias("y_min"),
+        F.max(y_col).alias("y_max"),
+        (
+            F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+        ).alias("duration_us"),
+    )

@@ -208,3 +208,57 @@ def test_temporal_plans_are_jvm_only(spark):
     ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan  # no per-row or Arrow Python stages
+
+
+# ---------------------------------------------------------- trajectories
+
+
+def _walk_pdf(n_users=6, steps=40, seed=13):
+    rng = np.random.default_rng(seed)
+    rows = []
+    t0 = pd.Timestamp("2024-01-01")
+    for u in range(n_users):
+        x, y = rng.uniform(-10, 10, 2)
+        t = t0
+        for i in range(steps - (u % 3)):  # ragged lengths
+            t = t + pd.Timedelta(seconds=int(rng.integers(1, 300)))
+            x += rng.normal(0, 0.5)
+            y += rng.normal(0, 0.5)
+            rows.append((u, t, x, y))
+    return pd.DataFrame(rows, columns=["user_id", "ts", "x", "y"])
+
+
+def test_trajectory_stats_matches_numpy(spark):
+    from ffcl_spark.operators.temporal import trajectory_stats
+
+    pdf = _walk_pdf()
+    got = (
+        trajectory_stats(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    for u, grp in pdf.sort_values(["ts", "x", "y"]).groupby("user_id"):
+        hops = np.sqrt(np.diff(grp.x.values) ** 2 + np.diff(grp.y.values) ** 2)
+        g = got.loc[u]
+        assert g.n_points == len(grp)
+        assert g.path_len == pytest.approx(hops.sum(), rel=1e-12)
+        assert g.max_hop == hops.max()
+        assert (g.x_min, g.x_max) == (grp.x.min(), grp.x.max())
+        assert g.duration_us == (grp.ts.max() - grp.ts.min()).value // 1000
+
+
+def test_trajectory_stats_single_point_and_parallelism(spark):
+    from ffcl_spark.operators.temporal import trajectory_stats
+
+    pdf = _walk_pdf(n_users=3, steps=2, seed=5)
+    single = pd.DataFrame(
+        [(99, pd.Timestamp("2024-01-01"), 1.0, 2.0)],
+        columns=["user_id", "ts", "x", "y"],
+    )
+    df = spark.createDataFrame(pd.concat([pdf, single], ignore_index=True))
+    a = trajectory_stats(df.repartition(1)).toPandas().sort_values("user_id")
+    b = trajectory_stats(df.repartition(16)).toPandas().sort_values("user_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    lone = a[a.user_id == 99].iloc[0]
+    assert (lone.n_points, lone.path_len, lone.max_hop, lone.duration_us) == (1, 0.0, 0.0, 0)
