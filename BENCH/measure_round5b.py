@@ -45,9 +45,17 @@ def timed(spark, name, fn):
 
 def main():
     spark = get_spark(app_name="measure_r5b", master="local[32]", shuffle_partitions=32)
-    import __spark_entry__ as E
+    from ffcl_spark.sources.docs import synth_docs
+    from ffcl_spark.sources.points import media_points
 
-    pts = E._doc_points(spark, SF).cache()
+    # the same big deterministic point table bench.py measures on
+    # (913,722 points at sf0.1 — the documents table is only 5k docs)
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select((F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("pid"))
+        .distinct()
+    )
+    pts = media_points(synth_docs(li, "pid", None)).select("id", "x", "y").cache()
     n_pts = pts.count()
     print(f"# points: {n_pts}", flush=True)
     geo = pts.select(
@@ -76,9 +84,12 @@ def main():
     timed(spark, "tile_measures_500", lambda: TL.tile_measures(big_tiles).count())
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
+    # ×64 deterministic replication: the sf0.1 documents table is 5k
+    # docs (~271k tokens) — the sketch paths need a token stream big
+    # enough that aggregation, not job launch, dominates
     toks = docs.select(
-        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
-    )
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+    ).crossJoin(spark.range(64).select(F.lit(1).alias("_m"))).select("tok").cache()
     n_toks = toks.count()
     print(f"# tokens: {n_toks}", flush=True)
     timed(spark, "heavy_hitters_tokens_1pct", lambda: heavy_hitters(toks, "tok", 0.01).count())
@@ -92,6 +103,20 @@ def main():
         "quantiles_nchars",
         lambda: quantiles(docs, "n_chars", [0.01, 0.5, 0.99]).count(),
     )
+
+    from ffcl_spark.operators.temporal import trajectory_stats
+
+    # events carry (user_id, ts) but no coordinates; derive a
+    # deterministic planar position per event from its id (Knuth
+    # multiplicative hash → [0, 1) per axis) so the trajectory path
+    # scan measures the real window+agg plan on 100k hops
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        "user_id",
+        "ts",
+        ((F.col("event_id") * 2654435761) % 1_000_003 / 1_000_003.0).alias("x"),
+        ((F.col("event_id") * 2246822519) % 1_000_033 / 1_000_033.0).alias("y"),
+    )
+    timed(spark, "trajectory_stats_events", lambda: trajectory_stats(ev).count())
     spark.stop()
 
 

@@ -747,12 +747,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_geo_search(spark, sf):
         # geodesic search on the sphere (r5): doc points as lat/lon,
-        # radius + kNN through the 3-D unit-vector embedding (chord
-        # distance is monotone with great-circle distance, so the
-        # proven n-D plans do the work and antimeridian wrap / pole
-        # adjacency need no special cases — operators/geo.py). The
-        # oracle recomputes haversine directly; distances compare as
-        # floor-to-metres (see GEO_RADIUS_M note above).
+        # radius + kNN over the latitude-band spherical grid (the
+        # corpus-scale plan, functions/sphere.py; the 3-D embedding
+        # twin stays available as plan="embed" and is pinned equal in
+        # tests/test_geo.py). The oracle recomputes haversine
+        # directly; distances compare as floor-to-metres (see
+        # GEO_RADIUS_M note above).
         from ffcl_spark.operators import geo as GEO
 
         pts = _doc_points(spark, sf).select(

@@ -1,0 +1,135 @@
+"""Latitude-band spherical grid (S2/H3-style discretization, in the
+engine's own packed-BIGINT idiom — ``functions/cells.py`` for the
+sphere).
+
+Why a dedicated spherical grid: the 3-D unit-vector embedding makes
+great-circle search *correct* through the planar n-D machinery, but
+its 2-axis projected grid collapses the sphere to a disk — every
+projected cell holds BOTH hemisphere sheets, and cells near the rim
+hold entire z-columns of points, so candidate volume explodes at
+corpus scale (measured: the 913k-point geodesic radius join never
+finished at resolution 4; see BENCH/BASELINE.md round-5 note). The
+grid here lives ON the sphere, so cell occupancy is bounded by true
+surface density — the property H3/S2 provide, built from two column
+expressions instead of a native library.
+
+Layout: latitude bands of height ``delta_deg``; band ``b`` spans
+``[b·δ − 90, (b+1)·δ − 90)``. Each band is split into
+``m(b) = max(1, ceil(360·cos_max(b)/δ))`` longitude cells, where
+``cos_max(b)`` is the largest cos(lat) inside the band — so every
+cell's east-west great-circle extent is ≤ δ at its widest edge, and
+polar bands degrade gracefully to a single cap cell. The cell id
+packs ``(band, lon_cell)`` into one BIGINT (band in the high 32
+bits). Everything is a deterministic JVM column expression — the same
+``m(b)`` tree is evaluated in the assignment and the cover, so they
+can never disagree.
+
+Cover for a radius-r query at (φ, λ): bands ``⌊(φ−r+90)/δ⌋ ..
+⌊(φ+r+90)/δ⌋`` (clamped), and within each band the longitude cells
+spanning ``λ ± Δλ`` where ``Δλ = asin(sin r / cos φ)`` — the exact
+spherical-cap bounding meridian (`Ball.hpp:91-97`'s ball bound, on
+the sphere). Caps that contain a pole (``|φ| + r ≥ 90``) take the
+full circle; the per-band sequence is capped at ``m(b)`` cells so a
+full wrap never duplicates a key. Antimeridian wrap is a ``pmod``.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# band index occupies the high bits; 2^32 longitude cells is enough
+# for delta_deg down to ~1e-7 degrees (centimetre cells).
+_BAND_SHIFT = 1 << 32
+
+
+def n_bands(delta_deg: float) -> int:
+    return max(1, math.ceil(180.0 / delta_deg))
+
+
+def _cos_max(band: Column, delta_deg: float) -> Column:
+    """Largest cos(lat) within the band (1.0 if it straddles the
+    equator) — the widest-edge scale for the band's lon cells."""
+    lat_lo = band.cast("double") * F.lit(delta_deg) - F.lit(90.0)
+    lat_hi = lat_lo + F.lit(delta_deg)
+    return F.when((lat_lo < 0) & (lat_hi > 0), F.lit(1.0)).otherwise(
+        F.cos(F.radians(F.least(F.abs(lat_lo), F.abs(lat_hi))))
+    )
+
+
+def _m_of_band(band: Column, delta_deg: float) -> Column:
+    """Number of longitude cells in the band (≥ 1; polar caps → 1)."""
+    return F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.lit(360.0) * _cos_max(band, delta_deg) / F.lit(delta_deg)),
+    )
+
+
+def band_of(lat: Column, delta_deg: float) -> Column:
+    b = n_bands(delta_deg)
+    return F.least(
+        F.lit(b - 1).cast("long"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((lat + F.lit(90.0)) / F.lit(delta_deg)),
+        ),
+    )
+
+
+def sphere_cell(lat: Column, lon: Column, delta_deg: float) -> Column:
+    """(lat°, lon°) → packed BIGINT spherical cell id."""
+    bb = band_of(lat, delta_deg)
+    m = _m_of_band(bb, delta_deg)
+    j = F.least(
+        m - 1,
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((lon + F.lit(180.0)) * m.cast("double") / F.lit(360.0)),
+        ),
+    )
+    return bb * F.lit(_BAND_SHIFT) + j
+
+
+def cover_cells(lat: Column, lon: Column, r_deg: float, delta_deg: float) -> Column:
+    """array<bigint> of every spherical cell that can contain a point
+    within great-circle arc ``r_deg`` of (lat, lon) — the a-priori
+    Chebyshev-style cover, exact cap bounds, no ring expansion."""
+    b = n_bands(delta_deg)
+    b_lo = F.greatest(
+        F.lit(0).cast("long"),
+        F.floor((lat - F.lit(r_deg) + F.lit(90.0)) / F.lit(delta_deg)),
+    )
+    b_hi = F.least(
+        F.lit(b - 1).cast("long"),
+        F.floor((lat + F.lit(r_deg) + F.lit(90.0)) / F.lit(delta_deg)),
+    )
+    # exact spherical-cap meridian bound; full circle when the cap
+    # contains a pole (or r itself reaches a hemisphere)
+    dl = F.when(
+        (F.abs(lat) + F.lit(r_deg) >= F.lit(90.0)) | (F.lit(r_deg) >= F.lit(90.0)),
+        F.lit(180.0),
+    ).otherwise(
+        F.degrees(
+            F.asin(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(math.sin(math.radians(r_deg))) / F.cos(F.radians(lat)),
+                )
+            )
+        )
+    )
+
+    def _band_cells(bb: Column) -> Column:
+        m = _m_of_band(bb, delta_deg)
+        j_lo = F.floor((lon - dl + F.lit(180.0)) * m.cast("double") / F.lit(360.0))
+        j_hi = F.floor((lon + dl + F.lit(180.0)) * m.cast("double") / F.lit(360.0))
+        # cap at one full wrap so pmod never emits a duplicate key
+        j_hi = F.least(j_hi, j_lo + m - 1)
+        return F.transform(
+            F.sequence(j_lo, j_hi),
+            lambda jj: bb * F.lit(_BAND_SHIFT) + F.pmod(jj, m),
+        )
+
+    return F.flatten(F.transform(F.sequence(b_lo, b_hi), _band_cells))

@@ -34,11 +34,13 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ffcl_spark.config import EngineConfig
+from ffcl_spark.functions import sphere as S
 from ffcl_spark.operators.search_nd import knn_join_nd, radius_join_nd
+from ffcl_spark.plans.cache import carry, free_checkpoint
 
 # IUGG mean Earth radius, metres.
 EARTH_RADIUS_M = 6_371_008.8
@@ -95,6 +97,192 @@ def arc_of_chord_m(chord: Column, earth_radius_m: float = EARTH_RADIUS_M) -> Col
     return F.lit(2.0 * earth_radius_m) * F.asin(F.least(F.lit(1.0), chord / 2))
 
 
+def sphere_radius_join(
+    queries: DataFrame,
+    refs: DataFrame,
+    radius_m: float,
+    *,
+    delta_deg: float | None = None,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    earth_radius_m: float = EARTH_RADIUS_M,
+    hot_cell_rows: int = 2_000_000,
+    salt_buckets: int = 16,
+    salt_hot_cells: bool = True,
+) -> DataFrame:
+    """All (q_id, r_id, dist_m) with great-circle dist < radius_m
+    (strict) via the latitude-band spherical grid — the corpus-scale
+    geodesic plan (``functions/sphere.py`` explains why the embedded
+    2-axis grid can't be it).
+
+    One shuffle on the spherical cell key: refs assign to exactly one
+    cell, queries explode over the exact cap cover (≈9 cells when the
+    band height matches the radius), the equi-join's candidates are
+    bounded by true surface density, and the haversine predicate is
+    one codegen expression. Same literal hot-cell salting as the
+    planar plan for skewed corpora (real data clusters in cities)."""
+    # the cover is a superset bound — pad it a few ulps so a pair whose
+    # haversine lands strictly inside the radius can never be excluded
+    # by rounding in the deg↔rad conversions of the cap bounds
+    r_deg = math.degrees(radius_m / earth_radius_m) * (1 + 1e-9) + 1e-9
+    if delta_deg is None:
+        delta_deg = min(max(r_deg, 0.05), 30.0)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(lat_col).alias("q_lat"),
+        F.col(lon_col).alias("q_lon"),
+    ).withColumn(
+        "cell",
+        F.explode(S.cover_cells(F.col("q_lat"), F.col("q_lon"), r_deg, delta_deg)),
+    )
+    r = refs.select(
+        F.col(id_col).alias("r_id"),
+        F.col(lat_col).alias("r_lat"),
+        F.col(lon_col).alias("r_lon"),
+    ).withColumn("cell", S.sphere_cell(F.col("r_lat"), F.col("r_lon"), delta_deg))
+    keys = ["cell"]
+    if salt_hot_cells:
+        hot = [
+            row["cell"]
+            for row in r.groupBy("cell")
+            .count()
+            .where(F.col("count") > hot_cell_rows)
+            .select("cell")
+            .collect()
+        ]
+        if hot:
+            is_hot = F.col("cell").isin(hot)
+            r = r.withColumn(
+                "salt",
+                F.when(
+                    is_hot, F.pmod(F.xxhash64(F.col("r_id")), F.lit(salt_buckets))
+                ).otherwise(F.lit(0)),
+            )
+            q = q.withColumn(
+                "salt",
+                F.explode(
+                    F.when(
+                        is_hot, F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+                    ).otherwise(F.array(F.lit(0)))
+                ),
+            )
+            keys = ["cell", "salt"]
+    dist = haversine_m(
+        F.col("q_lat"), F.col("q_lon"), F.col("r_lat"), F.col("r_lon"),
+        earth_radius_m,
+    )
+    return (
+        q.join(r, keys)
+        .withColumn("dist_m", dist)
+        .where(F.col("dist_m") < F.lit(radius_m))
+        .select("q_id", "r_id", "dist_m")
+    )
+
+
+def sphere_knn_join(
+    queries: DataFrame,
+    refs: DataFrame,
+    k: int,
+    *,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    earth_radius_m: float = EARTH_RADIUS_M,
+    init_radius_m: float | None = None,
+    growth: float = 3.0,
+    max_rounds: int = 10,
+    n_refs: int | None = None,
+) -> DataFrame:
+    """Exact geodesic kNN join (q_id, r_id, dist_m, rank) by expanding
+    radius over the spherical grid — the sphere's analogue of the
+    planar ring expansion (``KDTree.hpp:137`` exactness contract: a
+    query with ≥ k refs strictly inside radius r has its true top-k
+    among those candidates, because every point at distance < r is a
+    candidate).
+
+    Rounds: strict radius join at r → per-query window rank by
+    (dist_m, r_id) → queries with ≥ k in-radius candidates resolve;
+    the rest retry at ``growth·r`` (cap area ×growth², unresolved
+    count shrinks geometrically). The start radius is sized from the
+    global density so the expected in-radius count is ~4k and most
+    queries resolve in round one. The final round (cap ≥ hemisphere+)
+    covers the whole sphere, so termination is unconditional; refs
+    with fewer than k rows total emit what exists. Resolved batches
+    are localCheckpointed (bounded rounds, scalar rows) and carried on
+    the result for ``plans.cache.release``."""
+    spark = queries.sparkSession
+    if n_refs is None:
+        n_refs = refs.count()
+    id_type = queries.schema[id_col].dataType.simpleString()
+    out_schema = f"q_id {id_type}, r_id {id_type}, dist_m double, rank int"
+    if n_refs == 0:
+        return spark.createDataFrame([], out_schema)
+    if init_radius_m is None:
+        # expected in-cap count n·(r/2R)² ≈ 4k at this start radius
+        init_radius_m = 4.0 * math.sqrt(k / n_refs) * earth_radius_m
+        init_radius_m = max(init_radius_m, 1.0)
+    remaining = queries.select(
+        F.col(id_col).alias("id"),
+        F.col(lat_col).alias("lat"),
+        F.col(lon_col).alias("lon"),
+    )
+    refs_n = refs.select(
+        F.col(id_col).alias("id"),
+        F.col(lat_col).alias("lat"),
+        F.col(lon_col).alias("lon"),
+    )
+    parts: list[DataFrame] = []
+    handles: list[DataFrame] = []
+    prev_remaining: DataFrame | None = None
+    r_m = float(init_radius_m)
+    half_circ = math.pi * earth_radius_m
+    for rnd in range(max_rounds):
+        last = rnd == max_rounds - 1 or r_m >= half_circ
+        cand = sphere_radius_join(
+            remaining,
+            refs_n,
+            min(r_m, half_circ * 1.001),
+            id_col="id",
+            lat_col="lat",
+            lon_col="lon",
+            earth_radius_m=earth_radius_m,
+            salt_hot_cells=False,
+        )
+        w = Window.partitionBy("q_id").orderBy("dist_m", "r_id")
+        ranked = cand.withColumn("rank", F.row_number().over(w)).withColumn(
+            "cnt", F.count(F.lit(1)).over(Window.partitionBy("q_id"))
+        )
+        keep = F.col("rank") <= k
+        if not last:
+            keep = keep & (F.col("cnt") >= k)
+        resolved = (
+            ranked.where(keep)
+            .select("q_id", "r_id", "dist_m", F.col("rank").cast("int").alias("rank"))
+            .localCheckpoint()
+        )
+        parts.append(resolved)
+        handles.append(resolved)
+        if last:
+            break
+        nxt = remaining.join(
+            resolved.select(F.col("q_id").alias("id")).distinct(), "id", "left_anti"
+        ).localCheckpoint()
+        if prev_remaining is not None:
+            free_checkpoint(prev_remaining)
+        prev_remaining = nxt
+        remaining = nxt
+        if remaining.isEmpty():
+            break
+        r_m *= growth
+    if prev_remaining is not None:
+        free_checkpoint(prev_remaining)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return carry(out, *handles)
+
+
 def geo_radius_join(
     queries: DataFrame,
     refs: DataFrame,
@@ -104,13 +292,29 @@ def geo_radius_join(
     lon_col: str = "lon",
     earth_radius_m: float = EARTH_RADIUS_M,
     salt_hot_cells: bool = True,
+    plan: str = "sphere",
 ) -> DataFrame:
     """All (q_id, r_id, dist_m) with great-circle dist < radius_m
     (strict — FFCL ``Ball.hpp:91-97`` semantics on the sphere).
 
-    One shuffle on the projected cell key of the 3-D embedding; the
-    chord bound is known a priori so the Chebyshev ring cover is
-    computed once on the driver, exactly like the planar plan."""
+    ``plan="sphere"`` (default): latitude-band spherical grid — one
+    shuffle on the on-sphere cell key, candidates bounded by true
+    surface density (the corpus-scale path; see functions/sphere.py).
+    ``plan="embed"``: the 3-D unit-vector embedding through the planar
+    n-D machinery — kept as the independent-plan twin for correctness
+    cross-checks (its projected grid double-sheets the sphere, so it
+    is NOT the scale path). Both return identical pairs; dist_m floats
+    differ only in rounding path (chord-asin vs haversine)."""
+    if plan == "sphere":
+        return sphere_radius_join(
+            queries,
+            refs,
+            radius_m,
+            lat_col=lat_col,
+            lon_col=lon_col,
+            earth_radius_m=earth_radius_m,
+            salt_hot_cells=salt_hot_cells,
+        )
     chord = chord_of_arc(radius_m, earth_radius_m)
     out = radius_join_nd(
         geo_points(queries, lat_col=lat_col, lon_col=lon_col),
@@ -132,19 +336,37 @@ def geo_knn_join(
     lat_col: str = "lat",
     lon_col: str = "lon",
     earth_radius_m: float = EARTH_RADIUS_M,
+    plan: str = "sphere",
     **knn_kwargs,
 ) -> DataFrame:
     """Exact geodesic kNN join (q_id, r_id, dist_m, rank).
 
+    ``plan="sphere"`` (default): expanding-radius search over the
+    latitude-band spherical grid (:func:`sphere_knn_join` — the
+    corpus-scale path). ``plan="embed"``: ring expansion through the
+    3-D embedding's projected grid — the independent correctness twin.
     Rank order under chord == rank order under great-circle distance
     (strict monotonicity), ties broken by r_id in both framings — so
     the planar kNN result-set contract (k smallest, deterministic
     ties, self included when queries ⊆ refs) transfers verbatim."""
+    if plan == "sphere":
+        return sphere_knn_join(
+            queries,
+            refs,
+            k,
+            lat_col=lat_col,
+            lon_col=lon_col,
+            earth_radius_m=earth_radius_m,
+            **knn_kwargs,
+        )
+    # any plan other than sphere/embed names an n-D physical plan
+    # (auto/ring/blocked) and is forwarded to the embedding machinery
     out = knn_join_nd(
         geo_points(queries, lat_col=lat_col, lon_col=lon_col),
         geo_points(refs, lat_col=lat_col, lon_col=lon_col),
         k,
         cfg,
+        plan="auto" if plan == "embed" else plan,
         **knn_kwargs,
     )
     return out.select(

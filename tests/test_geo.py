@@ -86,7 +86,8 @@ def test_chord_arc_roundtrip():
     assert chord_of_arc(math.pi * EARTH_RADIUS_M) > 2.0
 
 
-def test_geo_radius_brute_parity(spark, world):
+@pytest.mark.parametrize("plan", ["sphere", "embed"])
+def test_geo_radius_brute_parity(spark, world, plan):
     df, pdf = world
     radius = 900_000.0  # 900 km
     qs = df.where("id % 7 = 0")
@@ -98,7 +99,7 @@ def test_geo_radius_brute_parity(spark, world):
     )
     assert np.abs(d - radius).min() > 1.0  # ≥ 1 m of slack
     got = (
-        geo_radius_join(qs, df, radius)
+        geo_radius_join(qs, df, radius, plan=plan)
         .toPandas()
         .sort_values(["q_id", "r_id"])
         .reset_index(drop=True)
@@ -141,13 +142,14 @@ def test_geo_radius_antimeridian_and_pole(spark, world):
     assert len(pole_out) == 144
 
 
-def test_geo_knn_brute_parity(spark, world):
+@pytest.mark.parametrize("plan", ["sphere", "embed"])
+def test_geo_knn_brute_parity(spark, world, plan):
     df, pdf = world
     k = 5
     qs = df.where("id % 11 = 0")
     qpdf = pdf[pdf.id % 11 == 0].reset_index(drop=True)
     got = (
-        geo_knn_join(qs, df, k)
+        geo_knn_join(qs, df, k, plan=plan)
         .toPandas()
         .sort_values(["q_id", "rank"])
         .reset_index(drop=True)
@@ -198,3 +200,61 @@ def test_arc_of_chord_clamps_antipodal(spark):
         arc_of_chord_m(F.lit(2.0 + 1e-12)).alias("d")
     ).collect()[0]
     assert row.d == pytest.approx(math.pi * EARTH_RADIUS_M, rel=1e-12)
+
+
+def test_sphere_cover_superset_invariant(spark, world):
+    """For every (query, ref) pair within arc r, the query's cover
+    must contain the ref's cell — the property that makes the one-
+    shuffle sphere plan exact. Checked over the world fixture at a
+    radius large enough to cross bands, poles, and the antimeridian."""
+    from pyspark.sql import functions as F
+
+    from ffcl_spark.functions import sphere as S
+
+    df, _ = world
+    radius = 1_500_000.0  # 1500 km: caps span many cells
+    r_deg = math.degrees(radius / EARTH_RADIUS_M)
+    delta = r_deg  # band height matched to the radius
+    q = df.select(
+        F.col("id").alias("q_id"),
+        F.col("lat").alias("q_lat"),
+        F.col("lon").alias("q_lon"),
+        S.cover_cells(F.col("lat"), F.col("lon"), r_deg, delta).alias("cover"),
+    )
+    r = df.select(
+        F.col("id").alias("r_id"),
+        F.col("lat").alias("r_lat"),
+        F.col("lon").alias("r_lon"),
+        S.sphere_cell(F.col("lat"), F.col("lon"), delta).alias("cell"),
+    )
+    dist = haversine_m(
+        F.col("q_lat"), F.col("q_lon"), F.col("r_lat"), F.col("r_lon")
+    )
+    missed = (
+        q.crossJoin(r)
+        .where(dist < radius)
+        .where(~F.array_contains(F.col("cover"), F.col("cell")))
+        .count()
+    )
+    assert missed == 0
+    # covers are duplicate-free (pmod wrap capped at one full circle)
+    dup = q.where(
+        F.size("cover") != F.size(F.array_distinct("cover"))
+    ).count()
+    assert dup == 0
+
+
+def test_sphere_and_embed_identical_pairsets(spark, world):
+    """The two independent geodesic plans (on-sphere grid vs 3-D
+    embedding) must return the same (q_id, r_id) sets — pole caps and
+    antimeridian straddles included (both live in the fixture)."""
+    df, _ = world
+    qs = df.where("id % 5 = 0")
+    a = geo_radius_join(qs, df, 700_000.0, plan="sphere").select("q_id", "r_id")
+    b = geo_radius_join(qs, df, 700_000.0, plan="embed").select("q_id", "r_id")
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    ka = geo_knn_join(qs, df, 4, plan="sphere").select("q_id", "r_id", "rank")
+    kb = geo_knn_join(qs, df, 4, plan="embed").select("q_id", "r_id", "rank")
+    assert ka.exceptAll(kb).count() == 0
+    assert kb.exceptAll(ka).count() == 0
