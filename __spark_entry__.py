@@ -50,10 +50,12 @@ ANN_HIT_FLOOR = 3  # per-query recall floor (of EMB_K): measured min 4
 JACCARD_T = 0.05
 # geodesic gate: doc points mapped onto the sphere (lat = x*3, lon =
 # y*6 — one multiply each, bit-identical in both engines); distances
-# floored to whole metres because Spark (JVM trig through the chord
-# embedding) and DuckDB (libm haversine) agree only to ~1e-12 rel —
-# margins verified offline: nearest emitted value sits 8.6e-5 m from a
-# floor boundary, 460 m from the radius cut, 123 m from a rank swap.
+# floored to whole metres because Spark (JVM trig — haversine on the
+# sphere plan, chord-asin on the embed plan) and DuckDB (libm
+# haversine) agree only to ~1e-12 rel — margins verified offline:
+# nearest emitted value sits 8.6e-5 m from a floor boundary, 460 m
+# from the radius cut, 123 m from a rank swap. Both plans are emitted
+# as tagged variants, each checked against the same oracle.
 GEO_RADIUS_M = 400_000.0
 GEO_K = 5
 GEO_QMOD = 5
@@ -763,21 +765,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.col("y") * 6).alias("lon"),
         )
         qs = pts.where((F.col("offset") == 0) & (F.col("d") % GEO_QMOD == 0))
-        rad = GEO.geo_radius_join(qs, pts, GEO_RADIUS_M).select(
-            F.lit("radius").alias("variant"),
-            "q_id",
-            "r_id",
-            F.floor("dist_m").cast("long").alias("dist_floor_m"),
-            F.lit(None).cast("int").alias("rank"),
-        )
-        knn = GEO.geo_knn_join(qs, pts, GEO_K).select(
-            F.lit("knn").alias("variant"),
-            "q_id",
-            "r_id",
-            F.floor("dist_m").cast("long").alias("dist_floor_m"),
-            F.col("rank").cast("int").alias("rank"),
-        )
-        return rad.unionByName(knn)
+        out = None
+        # both independent physical plans are of-record: each must
+        # match the DuckDB haversine oracle row-for-row on its own
+        for pl in ("sphere", "embed"):
+            rad = GEO.geo_radius_join(qs, pts, GEO_RADIUS_M, plan=pl).select(
+                F.lit(f"radius_{pl}").alias("variant"),
+                "q_id",
+                "r_id",
+                F.floor("dist_m").cast("long").alias("dist_floor_m"),
+                F.lit(None).cast("int").alias("rank"),
+            )
+            knn = GEO.geo_knn_join(qs, pts, GEO_K, plan=pl).select(
+                F.lit(f"knn_{pl}").alias("variant"),
+                "q_id",
+                "r_id",
+                F.floor("dist_m").cast("long").alias("dist_floor_m"),
+                F.col("rank").cast("int").alias("rank"),
+            )
+            part = rad.unionByName(knn)
+            out = part if out is None else out.unionByName(part)
+        return out
 
     def q_dedup_groups(spark, sf):
         # near-dup GROUP closure over the verified MinHash pairs (r4):
@@ -2078,15 +2086,16 @@ hav AS (SELECT q.id AS q_id, r.id AS r_id,
    FROM gq q CROSS JOIN geo r)
 """
     o["geo_search"] = f"""
-WITH {_PTS_DOCS}, {_geo_hav}
-SELECT 'radius' AS variant, q_id, r_id,
+WITH {_PTS_DOCS}, {_geo_hav},
+plans(pl) AS (VALUES ('sphere'), ('embed'))
+SELECT 'radius_' || pl AS variant, q_id, r_id,
        CAST(floor(dist) AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
-FROM hav WHERE dist < {GEO_RADIUS_M}
+FROM hav CROSS JOIN plans WHERE dist < {GEO_RADIUS_M}
 UNION ALL
-SELECT 'knn' AS variant, q_id, r_id,
+SELECT 'knn_' || pl AS variant, q_id, r_id,
        CAST(floor(dist) AS BIGINT) AS dist_floor_m,
-       CAST(row_number() OVER (PARTITION BY q_id ORDER BY dist, r_id) AS INTEGER) AS rank
-FROM hav QUALIFY rank <= {GEO_K}
+       CAST(row_number() OVER (PARTITION BY q_id, pl ORDER BY dist, r_id) AS INTEGER) AS rank
+FROM hav CROSS JOIN plans QUALIFY rank <= {GEO_K}
 """
 
     # group closure over the same verified pairs: recursive min-label

@@ -242,6 +242,10 @@ def trajectory_stats(
         F.min(y_col).alias("y_min"),
         F.max(y_col).alias("y_max"),
         (
-            F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col))
+            # cast("timestamp") admits TIMESTAMP_NTZ inputs, same as
+            # the as-of/band joins (exact under the engine's pinned
+            # UTC session timezone; a no-op for TIMESTAMP)
+            F.unix_micros(F.max(ts_col).cast("timestamp"))
+            - F.unix_micros(F.min(ts_col).cast("timestamp"))
         ).alias("duration_us"),
     )

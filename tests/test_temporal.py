@@ -262,3 +262,24 @@ def test_trajectory_stats_single_point_and_parallelism(spark):
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
     lone = a[a.user_id == 99].iloc[0]
     assert (lone.n_points, lone.path_len, lone.max_hop, lone.duration_us) == (1, 0.0, 0.0, 0)
+
+
+def test_trajectory_stats_accepts_timestamp_ntz(spark):
+    """Parquet timestamps commonly load as TIMESTAMP_NTZ (the events
+    table does); duration math must admit them like the as-of/band
+    joins do — regression for the unix_micros type mismatch."""
+    from ffcl_spark.operators.temporal import trajectory_stats
+
+    pdf = _walk_pdf(n_users=2, steps=4, seed=11)
+    df = spark.createDataFrame(pdf).withColumn(
+        "ts", F.col("ts").cast("timestamp_ntz")
+    )
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    got = trajectory_stats(df).toPandas().set_index("user_id").sort_index()
+    ref = (
+        trajectory_stats(spark.createDataFrame(pdf))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert got.equals(ref)
