@@ -59,8 +59,12 @@ def haversine_m(
     sp = F.sin((p2 - p1) / 2)
     sl = F.sin((F.radians(lon2) - F.radians(lon1)) / 2)
     h = sp * sp + F.cos(p1) * F.cos(p2) * sl * sl
-    # clamp: float fold can land an antipodal h at 1 + 1ulp → NaN asin
-    return F.lit(2.0 * radius_m) * F.asin(F.sqrt(F.least(F.lit(1.0), h)))
+    # clamp: float fold can land an antipodal h at 1 + 1ulp → NaN asin.
+    # F.when, not F.least — least() SKIPS nulls, so a NULL coordinate
+    # (e.g. the first row's lag in a trajectory scan) would clamp to
+    # asin(1) = an antipodal hop instead of propagating NULL
+    h = F.when(h > F.lit(1.0), F.lit(1.0)).otherwise(h)
+    return F.lit(2.0 * radius_m) * F.asin(F.sqrt(h))
 
 
 def unit_vector(lat: Column, lon: Column) -> Column:
@@ -93,8 +97,11 @@ def chord_of_arc(radius_m: float, earth_radius_m: float = EARTH_RADIUS_M) -> flo
 
 
 def arc_of_chord_m(chord: Column, earth_radius_m: float = EARTH_RADIUS_M) -> Column:
-    """Unit-sphere chord column → great-circle metres."""
-    return F.lit(2.0 * earth_radius_m) * F.asin(F.least(F.lit(1.0), chord / 2))
+    """Unit-sphere chord column → great-circle metres. NULL-propagating
+    clamp (F.when, not F.least — least() skips nulls; see haversine_m)."""
+    half = chord / 2
+    half = F.when(half > F.lit(1.0), F.lit(1.0)).otherwise(half)
+    return F.lit(2.0 * earth_radius_m) * F.asin(half)
 
 
 def sphere_radius_join(
@@ -398,3 +405,50 @@ def geo_box_search(
     else:
         lon_ok = (F.col(lon_col) >= lon_lo) | (F.col(lon_col) <= lon_hi)
     return points.where(lat_ok & lon_ok)
+
+
+def geo_dbscan(
+    points: DataFrame,
+    radius_m: float,
+    min_samples: int,
+    *,
+    delta_deg: float | None = None,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    earth_radius_m: float = EARTH_RADIUS_M,
+) -> DataFrame:
+    """DBSCAN on the sphere: the reference's exact point semantics
+    (``DBSCAN.hpp:103-191`` — core iff strictly more than
+    ``min_samples`` neighbors at great-circle distance strictly below
+    ``radius_m``, self included; border points take the min core
+    label; canonical labels = min member id) with the geodesic metric.
+
+    Pure composition: in-radius pairs come from ``sphere_radius_join``
+    (one equi-join on the latitude-band cell key), the per-cell
+    pre-merge keys on the same spherical cell, and everything
+    downstream is the dimension-agnostic label machinery shared with
+    the planar and n-D plans (``operators/dbscan.py``) — longitude
+    wrap and pole adjacency are handled by the cap cover, not by any
+    DBSCAN-specific code."""
+    from ffcl_spark.operators.dbscan import _dbscan_from_pairs
+
+    r_deg = math.degrees(radius_m / earth_radius_m) * (1 + 1e-9) + 1e-9
+    if delta_deg is None:
+        delta_deg = min(max(r_deg, 0.05), 30.0)
+    pairs = sphere_radius_join(
+        points,
+        points,
+        radius_m,
+        delta_deg=delta_deg,
+        id_col=id_col,
+        lat_col=lat_col,
+        lon_col=lon_col,
+        earth_radius_m=earth_radius_m,
+    ).persist()
+    pts_cell = points.select(
+        F.col(id_col).alias("id"),
+        S.sphere_cell(F.col(lat_col), F.col(lon_col), delta_deg).alias("cell"),
+    )
+    ids = points.select(F.col(id_col).alias("id"))
+    return _dbscan_from_pairs(ids, pairs, pts_cell, min_samples)

@@ -209,29 +209,43 @@ def trajectory_stats(
     ts_col: str = "ts",
     x_col: str = "x",
     y_col: str = "y",
+    metric: str = "euclidean",
 ) -> DataFrame:
     """Per-entity trajectory summary over a (user, ts, x, y) point
     stream: visit count, total path length (sum of consecutive-hop
-    Euclidean distances in time order), longest single hop, tight
-    bbox, and dwell duration in seconds.
+    distances in time order), longest single hop, tight bbox, and
+    dwell duration in seconds.
 
-    One shuffle (partition by user), one window scan for the lag
-    hops, one partial aggregation — nothing N-dependent on the
-    driver; hop distances are single IEEE expressions like every
-    planar metric in the engine. Equal timestamps order by (x, y) so
-    the result is deterministic at any parallelism."""
+    ``metric="euclidean"`` treats (x, y) as planar; ``"haversine"``
+    treats them as (lat, lon) in degrees and reports path lengths in
+    metres along great circles — either way the hop is one IEEE column
+    expression inside the same plan. One shuffle (partition by user),
+    one window scan for the lag hops, one partial aggregation —
+    nothing N-dependent on the driver. Equal timestamps order by
+    (x, y) so the result is deterministic at any parallelism."""
     w = (
         Window.partitionBy(user_col)
         .orderBy(F.col(ts_col), F.col(x_col), F.col(y_col))
     )
-    dx = F.col(x_col) - F.lag(x_col).over(w)
-    dy = F.col(y_col) - F.lag(y_col).over(w)
+    if metric == "haversine":
+        from ffcl_spark.operators.geo import haversine_m
+
+        hop = haversine_m(
+            F.lag(x_col).over(w), F.lag(y_col).over(w),
+            F.col(x_col), F.col(y_col),
+        )
+    elif metric == "euclidean":
+        dx = F.col(x_col) - F.lag(x_col).over(w)
+        dy = F.col(y_col) - F.lag(y_col).over(w)
+        hop = F.sqrt(dx * dx + dy * dy)
+    else:
+        raise ValueError(f"unknown metric: {metric!r}")
     hopped = df.select(
         user_col,
         ts_col,
         x_col,
         y_col,
-        F.sqrt(dx * dx + dy * dy).alias("_hop"),
+        hop.alias("_hop"),
     )
     return hopped.groupBy(user_col).agg(
         F.count(F.lit(1)).alias("n_points"),

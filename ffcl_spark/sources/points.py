@@ -61,6 +61,55 @@ def cell_stats(points: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
 
 
+def cell_rollup(points: DataFrame, cfg: EngineConfig, min_res: int = 0) -> DataFrame:
+    """Multi-resolution cell statistics — ``cell_stats`` at every grid
+    level from ``cfg.resolution`` down to ``min_res`` in ONE data scan
+    (the hypertable-rollup shape).
+
+    The points are aggregated once at the finest resolution; every
+    coarser level re-aggregates those *partials* (count/bbox compose
+    associatively — sum of sums, min of mins) after shifting the cell
+    coordinates up the quad tree. The finest stats frame is persisted
+    so the per-level branches read ≤ 4^resolution cached rows instead
+    of rescanning the corpus; the handle rides on the result for
+    ``plans.cache.release`` (one-shot caller convention).
+
+    Output: (res, cell, n, x_min, x_max, y_min, y_max); ``cell`` is the
+    packed id AT ITS OWN resolution, so every row is probe-able with
+    the same ``cell_id`` arithmetic used everywhere else.
+    """
+    from ffcl_spark.plans.cache import carry
+
+    finest = cell_stats(points, cfg).persist()
+    levels = [finest.withColumn("res", F.lit(cfg.resolution))]
+    for res in range(cfg.resolution - 1, min_res - 1, -1):
+        shift = cfg.resolution - res
+        ix = F.shiftright(C.cell_ix(F.col("cell")), shift)
+        iy = F.shiftright(C.cell_iy(F.col("cell")), shift)
+        up = (
+            F.lit(res).cast("long") * F.lit(1 << C.RES_SHIFT)
+            + ix * F.lit(C.AXIS_MOD)
+            + iy
+        )
+        levels.append(
+            finest.groupBy(up.alias("cell"))
+            .agg(
+                F.sum("n").alias("n"),
+                F.min("x_min").alias("x_min"),
+                F.max("x_max").alias("x_max"),
+                F.min("y_min").alias("y_min"),
+                F.max("y_max").alias("y_max"),
+            )
+            .withColumn("res", F.lit(res))
+        )
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return carry(
+        out.select("res", "cell", "n", "x_min", "x_max", "y_min", "y_max"), finest
+    )
+
+
 def index_tree(points: DataFrame, cfg: EngineConfig) -> DataFrame:
     """Hierarchical index snapshot — the engine analogue of the
     reference's recursive kd-tree serialization (``KDTree.hpp:384-464``

@@ -289,3 +289,39 @@ def test_pip_probe_indexed(spark, cfg, blobs, tmp_path):
     mask = points_in_polygon(pdf.x.to_numpy(), pdf.y.to_numpy(), closed)
     want = set(pdf.id[mask])
     assert got == want and 0 < len(want) < len(pdf)
+
+
+def test_cell_rollup_matches_per_level_stats(spark, cfg, blobs):
+    # the rollup's re-aggregated partials must equal cell_stats
+    # computed directly from the points at every resolution — the
+    # associativity proof of the hypertable shape (and of `n` being a
+    # sum of sums, the bboxes min-of-mins/max-of-maxes)
+    from ffcl_spark.plans.cache import release
+    from ffcl_spark.sources.points import cell_rollup, cell_stats
+
+    df, _ = blobs
+    out = cell_rollup(df, cfg, min_res=0)
+    got = out.toPandas().sort_values(["res", "cell"]).reset_index(drop=True)
+    assert sorted(got.res.unique()) == list(range(0, cfg.resolution + 1))
+    for res in range(0, cfg.resolution + 1):
+        direct = (
+            cell_stats(df, cfg.with_resolution(res))
+            .toPandas()
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        lvl = (
+            got[got.res == res]
+            .drop(columns="res")
+            .sort_values("cell")
+            .reset_index(drop=True)
+        )
+        assert len(lvl) == len(direct)
+        assert (lvl.cell.to_numpy() == direct.cell.to_numpy()).all()
+        assert (lvl.n.to_numpy() == direct.n.to_numpy()).all()
+        for c in ("x_min", "x_max", "y_min", "y_max"):
+            assert (lvl[c].to_numpy() == direct[c].to_numpy()).all()
+    # root level is the global tight bound over one cell
+    root = got[got.res == 0]
+    assert len(root) == 1 and int(root.n.iloc[0]) == df.count()
+    release(out)

@@ -258,3 +258,77 @@ def test_sphere_and_embed_identical_pairsets(spark, world):
     kb = geo_knn_join(qs, df, 4, plan="embed").select("q_id", "r_id", "rank")
     assert ka.exceptAll(kb).count() == 0
     assert kb.exceptAll(ka).count() == 0
+
+
+def brute_geo_dbscan(pdf: pd.DataFrame, radius_m: float, min_samples: int):
+    """Independent oracle: DBSCAN.hpp semantics under haversine —
+    strict dist < radius, core iff strictly more than min_samples
+    in-radius neighbors (self included), border = min core label,
+    canonical label = min member id of the component's core set."""
+    lat, lon = pdf["lat"].to_numpy(), pdf["lon"].to_numpy()
+    ids = pdf["id"].to_numpy()
+    n = len(ids)
+    within = geo_brute_pairs(lat, lon, lat, lon, radius_m)
+    core = within.sum(axis=1) > min_samples
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    ci = np.where(core)[0]
+    for a in ci:
+        for b in ci:
+            if a < b and within[a, b]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp_min: dict = {}
+    for a in ci:
+        r = find(a)
+        comp_min[r] = min(comp_min.get(r, ids[a]), ids[a])
+    labels = np.zeros(n, dtype=np.int64)
+    noise = np.ones(n, dtype=bool)
+    for a in ci:
+        labels[a] = comp_min[find(a)]
+        noise[a] = False
+    for i in range(n):
+        if core[i]:
+            continue
+        nb = [labels[j] for j in ci if within[i, j]]
+        if nb:
+            labels[i] = min(nb)
+            noise[i] = False
+    return labels, noise
+
+
+def test_geo_dbscan_brute_parity(spark, world):
+    from ffcl_spark.operators.geo import geo_dbscan
+
+    df, pdf = world
+    radius_m, min_samples = 50_000.0, 4
+    # float-boundary margin: no pair may sit within 1 m of the radius,
+    # so engine/oracle double rounding cannot flip a membership
+    d = haversine_np(
+        pdf.lat.to_numpy()[:, None], pdf.lon.to_numpy()[:, None],
+        pdf.lat.to_numpy()[None, :], pdf.lon.to_numpy()[None, :],
+    )
+    assert np.abs(d - radius_m).min() > 1.0
+    exp_label, exp_noise = brute_geo_dbscan(pdf, radius_m, min_samples)
+    got = (
+        geo_dbscan(df, radius_m, min_samples)
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    assert (got.label.to_numpy() == exp_label).all()
+    assert (got.is_noise.to_numpy() == exp_noise).all()
+    # the fixture's adversarial clusters must actually cluster: the
+    # pole cap (ids 0..11) and the antimeridian straddle (ids 12..21)
+    # are each one non-noise component
+    assert not exp_noise[:22].any()
+    assert len(set(exp_label[:12])) == 1
+    assert len(set(exp_label[12:22])) == 1
+    assert set(exp_label[:12]) != set(exp_label[12:22])

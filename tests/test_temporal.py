@@ -283,3 +283,41 @@ def test_trajectory_stats_accepts_timestamp_ntz(spark):
         .sort_index()
     )
     assert got.equals(ref)
+
+
+def test_trajectory_stats_haversine_matches_numpy(spark):
+    from ffcl_spark.kernels.geo import haversine_np
+    from ffcl_spark.operators.temporal import trajectory_stats
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for u in range(4):
+        ts = pd.date_range("2024-03-01", periods=6, freq="h")
+        lat = rng.uniform(-80, 80, 6)
+        lon = rng.uniform(-179, 179, 6)
+        rows.append(
+            pd.DataFrame({"user_id": u, "ts": ts, "x": lat, "y": lon})
+        )
+    pdf = pd.concat(rows, ignore_index=True)
+    got = (
+        trajectory_stats(spark.createDataFrame(pdf), metric="haversine")
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    for u, grp in pdf.sort_values(["ts", "x", "y"]).groupby("user_id"):
+        hops = haversine_np(
+            grp.x.values[:-1], grp.y.values[:-1], grp.x.values[1:], grp.y.values[1:]
+        )
+        g = got.loc[u]
+        assert g.n_points == len(grp)
+        assert g.path_len == pytest.approx(hops.sum(), rel=1e-9)
+        assert g.max_hop == pytest.approx(hops.max(), rel=1e-9)
+        assert (g.x_min, g.x_max) == (grp.x.min(), grp.x.max())
+
+
+def test_trajectory_stats_unknown_metric_raises(spark):
+    from ffcl_spark.operators.temporal import trajectory_stats
+
+    with pytest.raises(ValueError):
+        trajectory_stats(spark.range(1).toDF("user_id"), metric="chebyshev")
