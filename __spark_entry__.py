@@ -59,6 +59,10 @@ JACCARD_T = 0.05
 GEO_RADIUS_M = 400_000.0
 GEO_K = 5
 GEO_QMOD = 5
+# geo DBSCAN gate: at 800 km the 1000 worldwide doc points form 57
+# clusters + 157 border + 93 noise, and the closest pair distance to
+# the radius cut is 55.5 m — flooring-safe for both engines' doubles
+GEO_DB_RADIUS_M = 800_000.0
 K_EDGES = 5
 # BM25 probe queries (gate q_bm25_rank): fixed strings over the
 # documents vocabulary, inlined as VALUES in the DuckDB oracle
@@ -166,7 +170,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from ffcl_spark.operators.dbscan import dbscan
     from ffcl_spark.operators.knn_kernel import knn_join_kernel, knn_resolution
     from ffcl_spark.sources.docs import span_sequence_digest
-    from ffcl_spark.sources.points import cell_stats
 
     def q_cell_index(spark, sf):
         pts = _doc_points(spark, sf)
@@ -174,8 +177,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", "x", "y", C.cell_id(F.col("x"), F.col("y"), CFG).alias("cell")
         )
 
-    def q_cell_stats(spark, sf):
-        return cell_stats(_doc_points(spark, sf), CFG)
+    def q_cell_rollup(spark, sf):
+        # per-cell count + tight bbox at EVERY grid level from one
+        # data scan (hypertable rollup: coarse levels re-aggregate the
+        # finest level's partials up the quad tree — sum of sums, min
+        # of mins). The finest level IS the former cell_stats gate;
+        # the oracle recomputes every level directly from the points.
+        from ffcl_spark.sources.points import cell_rollup
+
+        return cell_rollup(_doc_points(spark, sf), CFG)
 
     def q_index_tree(spark, sf):
         # hierarchical index snapshot — the kd-tree-serialization
@@ -627,13 +637,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         docs = dbscan(_doc_points(spark, sf), RADIUS, K, CFG)
         nd = dbscan_nd(_nd_points(spark, sf), RADIUS_ND, K, CFG_ND)
+        # `geo` = the same point ids as worldwide lat/lon under the
+        # geodesic metric (r5): pairs from the latitude-band sphere
+        # grid, labels from the shared machinery; the oracle twin runs
+        # the identical closure over DuckDB-recomputed haversine pairs
+        from ffcl_spark.operators.geo import geo_dbscan
+
+        geo_pts = _doc_points(spark, sf).select(
+            "id", (F.col("x") * 3).alias("lat"), (F.col("y") * 6).alias("lon")
+        )
+        geo = geo_dbscan(geo_pts, GEO_DB_RADIUS_M, K)
         tag = lambda df, v: df.select(  # noqa: E731
             F.col("id").cast("string").alias("id"),
             F.col("label").cast("string").alias("label"),
             "is_noise",
             F.lit(v).alias("variant"),
         )
-        return tag(docs, "docs").unionByName(tag(nd, "nd"))
+        return (
+            tag(docs, "docs").unionByName(tag(nd, "nd")).unionByName(tag(geo, "geo"))
+        )
 
     def q_dedup_exact(spark, sf):
         return DD.exact_dedup(_documents(spark, sf))
@@ -1201,7 +1223,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_digest": q_span_digest,
         "cell_index": q_cell_index,
         "box_plans": q_box_plans,
-        "cell_stats": q_cell_stats,
+        "cell_rollup": q_cell_rollup,
         "events_hourly": q_events_hourly,
         "asof_events": q_asof_events,
         "bm25_rank": q_bm25_rank,
@@ -1379,12 +1401,22 @@ def oracle_sql() -> dict[str, str]:
 
     o["cell_index"] = f"WITH {_PTS_DOCS} SELECT id, x, y, {cell} AS cell FROM pts"
 
-    o["cell_stats"] = f"""
-WITH {_PTS_DOCS}
-SELECT {cell} AS cell, count(*) AS n,
-       min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
-FROM pts GROUP BY 1
-"""
+    # cell_rollup: every grid level recomputed DIRECTLY from the
+    # points (the Spark side re-aggregates finest-level partials; the
+    # clamp-then-shift == clamp-at-level identity is exact in doubles
+    # because the cell sizes are exact power-of-two scalings)
+    roll_parts = []
+    for r in range(RES + 1):
+        grid = 1 << r
+        cs = 60.0 / grid
+        base = r * (1 << 52)
+        ixe = f"greatest(0, least({grid - 1}, CAST(floor((x - (-30.0)) / {cs}) AS BIGINT)))"
+        iye = f"greatest(0, least({grid - 1}, CAST(floor((y - (-30.0)) / {cs}) AS BIGINT)))"
+        roll_parts.append(f"""
+SELECT CAST({r} AS INTEGER) AS res, cell, count(*) AS n,
+  min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+FROM (SELECT x, y, {base} + {ixe} * 67108864 + {iye} AS cell FROM pts) GROUP BY cell""")
+    o["cell_rollup"] = f"WITH {_PTS_DOCS}" + "\nUNION ALL\n".join(roll_parts)
 
     tree_parts = []
     for d in range(RES + 1):
@@ -1746,8 +1778,44 @@ FROM vecs LEFT JOIN lab l ON l.id = vecs.id
 """
     # the merged gate casts the Spark side to string too — the 2-D
     # member is already string-labeled, so only the n-D twin casts
+    # geo variant: same closure, pairs recomputed under haversine on
+    # the worldwide lat/lon mapping (margin note at GEO_DB_RADIUS_M)
+    _hav_qr = (
+        "2.0 * 6371008.8 * asin(sqrt(least(1.0, "
+        "pow(sin(radians(r.lat - q.lat)/2), 2) "
+        "+ cos(radians(q.lat)) * cos(radians(r.lat)) "
+        "* pow(sin(radians(r.lon - q.lon)/2), 2))))"
+    )
+    _dbscan_geo_sql = f"""
+WITH RECURSIVE {_PTS_DOCS},
+geo AS (SELECT id, x*3 AS lat, y*6 AS lon FROM pts),
+prs AS (
+  SELECT q.id AS q_id, r.id AS r_id
+  FROM geo q CROSS JOIN geo r
+  WHERE {_hav_qr} < {GEO_DB_RADIUS_M}),
+cores AS (
+  SELECT q_id AS id FROM prs GROUP BY q_id HAVING count(*) > {K}),
+ce AS (
+  SELECT p.q_id AS src, p.r_id AS dst FROM prs p
+  JOIN cores a ON a.id = p.q_id JOIN cores b ON b.id = p.r_id),
+reach(a, b) AS (
+  SELECT id, id FROM cores
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN ce e ON e.src = r.b),
+core_label AS (
+  SELECT a AS id, MIN(b) AS label FROM reach GROUP BY a),
+border AS (
+  SELECT p.q_id AS id, MIN(cl.label) AS label
+  FROM prs p JOIN core_label cl ON cl.id = p.r_id
+  WHERE p.q_id NOT IN (SELECT id FROM cores)
+  GROUP BY p.q_id),
+lab AS (SELECT * FROM core_label UNION ALL SELECT * FROM border)
+SELECT pts.id, COALESCE(l.label, '0') AS label, l.label IS NULL AS is_noise
+FROM pts LEFT JOIN lab l ON l.id = pts.id
+"""
     o["dbscan_labels"] = _variants(
-        ("docs", _dbscan_docs_sql), ("nd", _dbscan_nd_sql)
+        ("docs", _dbscan_docs_sql), ("nd", _dbscan_nd_sql),
+        ("geo", _dbscan_geo_sql)
     )
 
     box_pred = " AND ".join(
