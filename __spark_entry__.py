@@ -433,25 +433,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = minimum_spanning_tree(_mst_subset(spark, sf), CFG, local_cutoff=2000)
         nd_pts = _nd_points(spark, sf).where(F.col("id") % 8 == 0)
         nd = minimum_spanning_tree(nd_pts, CFG_ND, features_col="features")
+        # `dist64` = the fully distributed path (r5 consolidation of
+        # the former mst_dist gate): distributed Borůvka rounds AND
+        # DataFrame-side pointer-doubling merges (driver_cutoff=0 — no
+        # driver union-find anywhere). mod=64 (~15 points): the
+        # evidence is the PLAN (every merge through the
+        # pointer-doubling path, each round several Spark jobs) —
+        # O(rounds), not O(points), dominates wall time, so the subset
+        # is as small as still exercises 2+ distributed rounds
+        dist = minimum_spanning_tree(
+            _mst_subset(spark, sf, mod=64), CFG, local_cutoff=0, driver_cutoff=0
+        )
         return (
             _rank_weights(docs).withColumn("variant", F.lit("docs2d"))
             .unionByName(_rank_weights(nd).withColumn("variant", F.lit("nd8d")))
+            .unionByName(_rank_weights(dist).withColumn("variant", F.lit("dist64")))
         )
 
-    def q_mst_dist(spark, sf):
-        # the fully distributed path on the same input: distributed
-        # Borůvka rounds AND DataFrame-side pointer-doubling merges
-        # (driver_cutoff=0 — no driver union-find anywhere); same oracle
-        from ffcl_spark.operators.boruvka import minimum_spanning_tree
+    def q_trajectory(spark, sf):
+        # per-entity geodesic trajectory rollup over the events
+        # stream. Positions are synthesized from event ids as exact
+        # rationals (integer modulus, one IEEE division — bitwise
+        # cross-engine); hops are quantized to whole km so the path
+        # accounting is exact integer arithmetic in ANY accumulation
+        # order. Margin audited offline: the closest hop to a km
+        # boundary at sf0.01 is 4.1e-5 km — ~400× the cross-engine
+        # transcendental slop of the haversine (~1e-4 m on Mm hops).
+        from ffcl_spark.operators.temporal import trajectory_stats
 
-        # mod=64 (~15 points): the evidence is the PLAN (every merge
-        # through the pointer-doubling path, each round several Spark
-        # jobs) — O(rounds), not O(points), dominates wall time, so the
-        # subset is as small as still exercises 2+ distributed rounds
-        edges = minimum_spanning_tree(
-            _mst_subset(spark, sf, mod=64), CFG, local_cutoff=0, driver_cutoff=0
+        ev = spark.read.parquet(f"{sf}/events.parquet").select(
+            "user_id",
+            "ts",
+            ((F.col("event_id") * 37 % 1201) / 10.0 - 60.0).alias("lat"),
+            ((F.col("event_id") * 101 % 3601) / 10.0 - 180.0).alias("lon"),
         )
-        return _rank_weights(edges)
+        return trajectory_stats(
+            ev,
+            user_col="user_id",
+            ts_col="ts",
+            x_col="lat",
+            y_col="lon",
+            metric="haversine",
+            quantize=1000.0,
+        )
 
     def q_hdbscan_labels(spark, sf):
         # both HDBSCAN pipelines in one variant-tagged gate (r4
@@ -1260,7 +1284,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_groups": q_dedup_groups,
         "hdbscan_labels": q_hdbscan_labels,
         "mst_weights": q_mst_weights,
-        "mst_dist": q_mst_dist,
+        "trajectory": q_trajectory,
         "embed_moments": q_embed_moments,
         "knn_lineitem": q_knn_lineitem,
         "kmeans_labels": q_kmeans_labels,
@@ -1572,7 +1596,40 @@ FROM (SELECT unnest(ws) AS w FROM final)
             f"WHERE CAST('0x' || substr(md5(id), 1, 8) AS BIGINT) % {mod} = 0"
         )
 
-    o["mst_dist"] = _prim_sql(_PTS_DOCS, _mst_sub_sql(64), _DIST)
+    # trajectory: positions from exact integer-derived rationals,
+    # hops haversine floored to whole km (exact integer accounting —
+    # margin audit in q_trajectory), bbox/duration exact. Mirrors
+    # geo.haversine_m term-for-term: difference of radians (not
+    # radians of difference), NULL-propagating clamp (DuckDB's
+    # least() SKIPS nulls — it would turn each user's first-row lag
+    # NULL into an antipodal asin(1) hop), folded 2R literal
+    _hav_h = (
+        "pow(sin((radians(lat) - radians(lag(lat) OVER w))/2), 2) "
+        "+ cos(radians(lag(lat) OVER w)) * cos(radians(lat)) "
+        "* pow(sin((radians(lon) - radians(lag(lon) OVER w))/2), 2)"
+    )
+    _hav_traj = (
+        f"12742017.6 * asin(sqrt(CASE WHEN ({_hav_h}) > 1.0 "
+        f"THEN 1.0 ELSE ({_hav_h}) END))"
+    )
+    o["trajectory"] = f"""
+WITH pos AS (
+  SELECT user_id, ts,
+    CAST((event_id * 37) % 1201 AS DOUBLE) / 10.0 - 60.0 AS lat,
+    CAST((event_id * 101) % 3601 AS DOUBLE) / 10.0 - 180.0 AS lon
+  FROM events),
+hops AS (
+  SELECT user_id, ts, lat, lon,
+    CAST(floor(({_hav_traj}) / 1000.0) AS BIGINT) AS hop
+  FROM pos WINDOW w AS (PARTITION BY user_id ORDER BY ts, lat, lon))
+SELECT user_id, count(*) AS n_points,
+  COALESCE(CAST(sum(hop) AS BIGINT), 0) AS path_len,
+  COALESCE(max(hop), 0) AS max_hop,
+  min(lat) AS x_min, max(lat) AS x_max,
+  min(lon) AS y_min, max(lon) AS y_max,
+  CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS duration_us
+FROM hops GROUP BY user_id
+"""
 
     _core_d2_sql = f"""
 WITH {_PTS_DOCS},
@@ -1744,6 +1801,7 @@ FROM nn GROUP BY q_id
     o["mst_weights"] = _variants(
         ("docs2d", _prim_sql(_PTS_DOCS, _mst_sub_sql(16), _DIST)),
         ("nd8d", _prim_sql(nd_cte, "SELECT * FROM vecs WHERE id % 8 = 0", dist_nd)),
+        ("dist64", _prim_sql(_PTS_DOCS, _mst_sub_sql(64), _DIST)),
     )
 
     # n-D DBSCAN is SQL-expressible exactly like the 2-D gate: strict

@@ -210,6 +210,7 @@ def trajectory_stats(
     x_col: str = "x",
     y_col: str = "y",
     metric: str = "euclidean",
+    quantize: float | None = None,
 ) -> DataFrame:
     """Per-entity trajectory summary over a (user, ts, x, y) point
     stream: visit count, total path length (sum of consecutive-hop
@@ -222,7 +223,16 @@ def trajectory_stats(
     expression inside the same plan. One shuffle (partition by user),
     one window scan for the lag hops, one partial aggregation —
     nothing N-dependent on the driver. Equal timestamps order by
-    (x, y) so the result is deterministic at any parallelism."""
+    (x, y) so the result is deterministic at any parallelism.
+
+    ``quantize`` switches path accounting to exact integers: each hop
+    is floored to ``quantize``-sized units (metres for haversine) and
+    ``path_len``/``max_hop`` come back as BIGINT counts of those
+    units. Integer accumulation is order-independent, so the totals
+    are bitwise reproducible at any parallelism — and across engines,
+    provided no hop sits within float slop of a unit boundary (audit
+    the margin for your data; the driver gate pins a 400× cushion at
+    1 km units)."""
     w = (
         Window.partitionBy(user_col)
         .orderBy(F.col(ts_col), F.col(x_col), F.col(y_col))
@@ -240,6 +250,10 @@ def trajectory_stats(
         hop = F.sqrt(dx * dx + dy * dy)
     else:
         raise ValueError(f"unknown metric: {metric!r}")
+    zero: object = 0.0
+    if quantize is not None:
+        hop = F.floor(hop / F.lit(float(quantize))).cast("long")
+        zero = 0
     hopped = df.select(
         user_col,
         ts_col,
@@ -249,8 +263,8 @@ def trajectory_stats(
     )
     return hopped.groupBy(user_col).agg(
         F.count(F.lit(1)).alias("n_points"),
-        F.coalesce(F.sum("_hop"), F.lit(0.0)).alias("path_len"),
-        F.coalesce(F.max("_hop"), F.lit(0.0)).alias("max_hop"),
+        F.coalesce(F.sum("_hop"), F.lit(zero)).alias("path_len"),
+        F.coalesce(F.max("_hop"), F.lit(zero)).alias("max_hop"),
         F.min(x_col).alias("x_min"),
         F.max(x_col).alias("x_max"),
         F.min(y_col).alias("y_min"),

@@ -321,3 +321,53 @@ def test_trajectory_stats_unknown_metric_raises(spark):
 
     with pytest.raises(ValueError):
         trajectory_stats(spark.range(1).toDF("user_id"), metric="chebyshev")
+
+
+def test_trajectory_stats_quantized_exact_integers(spark):
+    """quantize=q floors each hop to q-sized units BEFORE aggregation
+    (sum of floors, not floor of sum) and returns BIGINT path/max —
+    order-independent accounting, bitwise stable at any parallelism."""
+    from ffcl_spark.kernels.geo import haversine_np
+    from ffcl_spark.operators.temporal import trajectory_stats
+
+    rng = np.random.default_rng(31)
+    rows = []
+    for u in range(5):
+        ts = pd.date_range("2024-03-01", periods=7, freq="h")
+        rows.append(
+            pd.DataFrame(
+                {
+                    "user_id": u,
+                    "ts": ts,
+                    "x": rng.uniform(-80, 80, 7),
+                    "y": rng.uniform(-179, 179, 7),
+                }
+            )
+        )
+    pdf = pd.concat(rows, ignore_index=True)
+    df = spark.createDataFrame(pdf)
+    got = (
+        trajectory_stats(df, metric="haversine", quantize=1000.0)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert got.path_len.dtype == np.int64 and got.max_hop.dtype == np.int64
+    for u, grp in pdf.sort_values(["ts", "x", "y"]).groupby("user_id"):
+        hops = np.floor(
+            haversine_np(
+                grp.x.values[:-1], grp.y.values[:-1],
+                grp.x.values[1:], grp.y.values[1:],
+            )
+            / 1000.0
+        ).astype(np.int64)
+        g = got.loc[u]
+        assert g.path_len == hops.sum()
+        assert g.max_hop == hops.max()
+    lo = (
+        trajectory_stats(df.repartition(16), metric="haversine", quantize=1000.0)
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert lo.equals(got)
