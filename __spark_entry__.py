@@ -48,6 +48,12 @@ NEARDUP_COS = 0.42
 LSH_COS = 0.9  # near-dup regime, where SRP banding prunes hard
 ANN_HIT_FLOOR = 3  # per-query recall floor (of EMB_K): measured min 4
 JACCARD_T = 0.05
+# sketch_plans gate: heavy-hitter share threshold over the 31-token
+# corpus vocabulary (shares are exact-integer ratios, bitwise
+# cross-engine, so the cut needs no float margin) + exact quantile
+# probabilities over n_chars
+HH_SHARE = 0.034
+QUANT_PROBS = [0.25, 0.5, 0.9, 0.99]
 # geodesic gate: doc points mapped onto the sphere (lat = x*3, lon =
 # y*6 — one multiply each, bit-identical in both engines); distances
 # floored to whole metres because Spark (JVM trig — haversine on the
@@ -846,14 +852,97 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash(spark, sf):
         return DD.simhash(_documents(spark, sf))
 
-    def q_embed_topk(spark, sf):
+    def q_embed_exact(spark, sf):
+        # both exact-cosine operators in one variant-tagged gate (r5
+        # consolidation freeing a dict entry for sketch_plans):
+        # `topk` = brute-force cosine top-k, `neardup` = exact
+        # all-pairs near-dup at the cosine threshold — same two
+        # oracles as the former separate gates, one driver row
         emb = spark.read.parquet(f"{sf}/embeddings.parquet")
         qs = emb.where(F.col("vec_id") % EMB_QMOD == 0)
-        return SIM.cosine_topk(emb, qs, EMB_K).select("q_id", "n_id", "rank")
+        topk = SIM.cosine_topk(emb, qs, EMB_K).select(
+            F.col("q_id").alias("a"), F.col("n_id").alias("b"),
+            F.col("rank").cast("int").alias("r"),
+        )
+        nd = SIM.cosine_neardup_pairs(emb, NEARDUP_COS).select(
+            F.col("id_a").alias("a"), F.col("id_b").alias("b"),
+            F.lit(0).alias("r"),
+        )
+        return (
+            topk.withColumn("variant", F.lit("topk"))
+            .unionByName(nd.withColumn("variant", F.lit("neardup")))
+        )
 
-    def q_embed_neardup(spark, sf):
-        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
-        return SIM.cosine_neardup_pairs(emb, NEARDUP_COS).select("id_a", "id_b")
+    def q_sketch_plans(spark, sf):
+        # the frequency/cardinality/quantile sketch family over the
+        # real corpus, one variant-tagged gate: `heavy` = exact token
+        # heavy hitters, `heavy_lang` = the grouped (windowed-total)
+        # plan, `cms` = count-min candidates → exact verify (the CMS
+        # never underestimates, so the verified output must EQUAL the
+        # exact heavy hitters — that equality is what the shared
+        # oracle pins), `distinct` = exact distinct counts, `quant` =
+        # exact percentile_cont quantiles (DuckDB's quantile_cont
+        # shares the SQL-standard interpolation contract). Shares are
+        # ratios of exact integers — one IEEE division, bitwise
+        # cross-engine.
+        from ffcl_spark.functions import text as X
+        from ffcl_spark.operators import sketches as SK
+
+        docs = _documents(spark, sf)
+        toks = docs.select("lang", F.explode(X.tokens(F.col("text"))).alias("tok"))
+        shape = lambda df, variant, k1, k2, cnt, val: df.select(  # noqa: E731
+            F.lit(variant).alias("variant"),
+            k1.cast("string").alias("k1"),
+            k2.cast("string").alias("k2"),
+            cnt.cast("long").alias("cnt"),
+            val.cast("double").alias("val"),
+        )
+        heavy = SK.heavy_hitters(toks, "tok", HH_SHARE)
+        heavy_lang = SK.heavy_hitters(toks, "tok", HH_SHARE, by="lang")
+        cms = SK.count_min_heavy_hitters(toks, "tok", HH_SHARE)
+        dist_tok = SK.distinct_count(toks, ["tok"])
+        dist_pair = SK.distinct_count(docs, ["lang", "source"])
+        quant = SK.quantiles(docs, "n_chars", QUANT_PROBS).select(
+            F.stack(
+                F.lit(len(QUANT_PROBS)),
+                *[
+                    c
+                    for p in QUANT_PROBS
+                    for c in (
+                        F.lit(str(p)),
+                        F.col(f"q_{str(p).replace('.', '_')}"),
+                    )
+                ],
+            ).alias("p", "q")
+        )
+        e = F.lit("")
+        return (
+            shape(heavy, "heavy", F.col("tok"), e, F.col("cnt"), F.col("share"))
+            .unionByName(
+                shape(
+                    heavy_lang, "heavy_lang", F.col("tok"), F.col("lang"),
+                    F.col("cnt"), F.col("share"),
+                )
+            )
+            .unionByName(
+                shape(cms, "cms", F.col("tok"), e, F.col("cnt"), F.col("share"))
+            )
+            .unionByName(
+                shape(
+                    dist_tok, "distinct", F.lit("tok"), e,
+                    F.col("n_distinct"), F.lit(0.0),
+                )
+            )
+            .unionByName(
+                shape(
+                    dist_pair, "distinct", F.lit("lang,source"), e,
+                    F.col("n_distinct"), F.lit(0.0),
+                )
+            )
+            .unionByName(
+                shape(quant, "quant", F.col("p"), e, F.lit(0), F.col("q"))
+            )
+        )
 
     def q_knn_embed_plans(spark, sf):
         # exact 64-d kNN over the REAL float32 embeddings from BOTH
@@ -1254,7 +1343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_meta": q_multimodal_meta,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_transform": q_multimodal_transform,
-        "embed_topk": q_embed_topk,
+        "embed_exact": q_embed_exact,
+        "sketch_plans": q_sketch_plans,
         "raster_plans": q_raster_plans,
         "minhash_plans": q_minhash_plans,
         "geo_search": q_geo_search,
@@ -1268,7 +1358,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_tree": q_index_tree,
         "radius_nd_plans": q_radius_nd_plans,
         "rep_metrics": q_rep_metrics,
-        "embed_neardup": q_embed_neardup,
         "embed_neardup_lsh": q_embed_neardup_lsh,
         "knn_embed_plans": q_knn_embed_plans,
         "radius_docs_metrics": q_radius_docs_metrics,
@@ -2300,14 +2389,14 @@ JOIN documents da ON da.doc_id = m.id_a
 JOIN documents db ON db.doc_id = m.id_b
 """
 
-    o["embed_topk"] = f"""
-SELECT q.vec_id AS q_id, r.vec_id AS n_id,
-  CAST(row_number() OVER (PARTITION BY q.vec_id
-    ORDER BY list_cosine_similarity(q.embedding, r.embedding) DESC, r.vec_id)
-    AS INTEGER) AS rank
-FROM embeddings q CROSS JOIN embeddings r
-WHERE q.vec_id % {EMB_QMOD} = 0 AND r.vec_id != q.vec_id
-QUALIFY rank <= {EMB_K}
+    _embed_topk_sql = f"""
+SELECT qq.vec_id AS a, rr.vec_id AS b,
+  CAST(row_number() OVER (PARTITION BY qq.vec_id
+    ORDER BY list_cosine_similarity(qq.embedding, rr.embedding) DESC, rr.vec_id)
+    AS INTEGER) AS r
+FROM embeddings qq CROSS JOIN embeddings rr
+WHERE qq.vec_id % {EMB_QMOD} = 0 AND rr.vec_id != qq.vec_id
+QUALIFY r <= {EMB_K}
 """
 
     _knn_embed_sql = f"""
@@ -2323,12 +2412,59 @@ QUALIFY rank <= {EMB_K}
         ("closure", _knn_embed_sql), ("blocked", _knn_embed_sql)
     )
 
-    o["embed_neardup"] = f"""
-SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    _embed_nd_sql = f"""
+SELECT a.vec_id AS a, b.vec_id AS b, 0 AS r
 FROM embeddings a CROSS JOIN embeddings b
 WHERE a.vec_id < b.vec_id
   AND list_cosine_similarity(a.embedding, b.embedding) >= {NEARDUP_COS}
 """
+    o["embed_exact"] = _variants(
+        ("topk", _embed_topk_sql), ("neardup", _embed_nd_sql)
+    )
+
+    # sketch_plans: every exact member recomputed directly (the CMS
+    # variant's oracle IS the exact heavy-hitter SQL — the
+    # no-underestimate guarantee makes candidates-then-verify equal
+    # it); shares/quantiles are single IEEE divisions/interpolations
+    # over exact integers
+    _hh_base = f"""
+tk AS (SELECT lang, unnest({_TOKS}) AS tok FROM documents),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM tk),
+c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+hh AS (
+  SELECT tok AS k1, '' AS k2, cnt, cnt / (SELECT n FROM tot) AS val
+  FROM c WHERE cnt / (SELECT n FROM tot) >= {HH_SHARE})
+"""
+    _hh_sql = f"WITH {_hh_base} SELECT * FROM hh"
+    _hh_lang_sql = f"""
+WITH tk AS (SELECT lang, unnest({_TOKS}) AS tok FROM documents),
+cl AS (SELECT lang, tok, count(*) AS cnt FROM tk GROUP BY lang, tok),
+sh AS (
+  SELECT tok AS k1, lang AS k2, cnt,
+    cnt / sum(cnt) OVER (PARTITION BY lang) AS val
+  FROM cl)
+SELECT * FROM sh WHERE val >= {HH_SHARE}
+"""
+    _dist_sql = f"""
+WITH tk AS (SELECT unnest({_TOKS}) AS tok FROM documents)
+SELECT 'tok' AS k1, '' AS k2,
+  CAST(count(DISTINCT tok) AS BIGINT) AS cnt, 0.0 AS val FROM tk
+UNION ALL
+SELECT 'lang,source', '', CAST(count(DISTINCT (lang, source)) AS BIGINT), 0.0
+FROM documents
+"""
+    _quant_sql = "\nUNION ALL\n".join(
+        f"SELECT '{p}' AS k1, '' AS k2, CAST(0 AS BIGINT) AS cnt, "
+        f"quantile_cont(n_chars, {p}) AS val FROM documents"
+        for p in QUANT_PROBS
+    )
+    o["sketch_plans"] = _variants(
+        ("heavy", _hh_sql),
+        ("heavy_lang", _hh_lang_sql),
+        ("cms", _hh_sql),
+        ("distinct", _dist_sql),
+        ("quant", _quant_sql),
+    )
 
     o["multimodal_meta"] = """
 WITH src AS (SELECT doc_id AS d FROM documents),
