@@ -113,6 +113,27 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+N_STAIRS = 48
+
+
+def _stair_ring(t: int) -> list[dict]:
+    """Closed staircase polygon on the half-integer grid: a 4×4 box
+    with 2^(t%3) steps cut from the NE corner. Every coordinate is an
+    exact dyadic rational, every edge axis-parallel — the shoelace and
+    perimeter folds are exact in doubles, in any summation order, in
+    any engine (the overlay_measures oracle regenerates the identical
+    vertices from integer arithmetic)."""
+    s = 1 << (t % 3)
+    d = 2.0 / s
+    x0, y0 = -30.0 + 7.0 * (t % 8), -30.0 + 7.0 * (t // 8)
+    ring = [(x0, y0), (x0 + 4.0, y0), (x0 + 4.0, y0 + 2.0)]
+    for i in range(s):
+        ring.append((x0 + 4.0 - (i + 1) * d, y0 + 2.0 + i * d))
+        ring.append((x0 + 4.0 - (i + 1) * d, y0 + 2.0 + (i + 1) * d))
+    ring += [(x0, y0 + 4.0), (x0, y0)]
+    return [{"x": x, "y": y} for x, y in ring]
+
+
 def _nd_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ffcl_spark.sources.vectors import synth_features
 
@@ -763,12 +784,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # five signals, one corpus scan, one oracle
         return TO.text_metrics(_documents(spark, sf))
 
-    def q_edit_distance(spark, sf):
-        # SimHash-banded candidates verified by exact Levenshtein
-        # (reference Distances.hpp:195-237) — JVM built-in, no Python
-        return TO.edit_distance_pairs(_documents(spark, sf)).select(
-            "id_a", "id_b", F.col("hamming").cast("int").alias("hamming"), "edit_dist"
+    def q_text_hash_plans(spark, sf):
+        # SimHash fingerprints + the banded-candidate exact-Levenshtein
+        # verify built on them, one variant-tagged gate (r5
+        # consolidation freeing a dict entry for overlay_measures):
+        # `simhash` = per-doc 32-bit fingerprint, `edit` = candidate
+        # pairs with hamming + exact edit distance (reference
+        # Distances.hpp:195-237) — JVM built-ins, no Python
+        docs = _documents(spark, sf)
+        sims = DD.simhash(docs).select(
+            F.lit("simhash").alias("variant"),
+            F.col("id").cast("string").alias("a"),
+            F.lit("").alias("b"),
+            F.col("simhash").cast("long").alias("v1"),
+            F.lit(0).cast("long").alias("v2"),
         )
+        edits = TO.edit_distance_pairs(docs).select(
+            F.lit("edit").alias("variant"),
+            F.col("id_a").cast("string").alias("a"),
+            F.col("id_b").cast("string").alias("b"),
+            F.col("hamming").cast("long").alias("v1"),
+            F.col("edit_dist").cast("long").alias("v2"),
+        )
+        return sims.unionByName(edits)
 
     def q_ngram_jaccard(spark, sf):
         return DD.ngram_jaccard_pairs(_documents(spark, sf), JACCARD_T)
@@ -849,8 +887,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", "canonical_id", F.col("group_size").cast("int").alias("group_size")
         )
 
-    def q_simhash(spark, sf):
-        return DD.simhash(_documents(spark, sf))
+    def q_overlay_measures(spark, sf):
+        # polygon overlay + shoelace measures, one variant-tagged
+        # gate. `overlay` = the real kernel (cell-cover candidates →
+        # Arrow edge-grid verify) over the 100-tile grid, where
+        # polygon intersection == bbox contact, so the oracle is pure
+        # interval arithmetic on tile indices (touching counts; the
+        # general-ring branches are NumPy-pinned in tests/test_tiles).
+        # `measures` = area/perimeter/centroid folds over 48
+        # deterministic STAIRCASE polygons on the half-integer grid —
+        # orthogonal edges make every term an exact dyadic (cross
+        # products, |dx|+|dy| edge lengths via sqrt of perfect
+        # squares), so all three measures are order-free exact doubles
+        # in both engines.
+        tiles = TL.grid_tiles(spark, CFG, side=TILE_SIDE)
+        ov = TL.overlay_join(tiles, tiles).select(
+            F.lit("overlay").alias("variant"),
+            F.col("a_id").alias("a"),
+            F.col("b_id").alias("b"),
+            F.lit(0.0).alias("val"),
+        )
+        stairs = spark.createDataFrame(
+            [
+                {"tile_id": f"stair-{t}", "ring": _stair_ring(t)}
+                for t in range(N_STAIRS)
+            ],
+            "tile_id string, ring array<struct<x: double, y: double>>",
+        )
+        meas = TL.tile_measures(stairs)
+        melt = meas.select(
+            F.lit("measures").alias("variant"),
+            F.col("tile_id").alias("a"),
+            F.stack(
+                F.lit(4),
+                F.lit("area"), F.col("area"),
+                F.lit("perimeter"), F.col("perimeter"),
+                F.lit("centroid_x"), F.col("centroid_x"),
+                F.lit("centroid_y"), F.col("centroid_y"),
+            ).alias("b", "val"),
+        )
+        return ov.unionByName(melt.select("variant", "a", "b", "val"))
 
     def q_embed_exact(spark, sf):
         # both exact-cosine operators in one variant-tagged gate (r5
@@ -1348,7 +1424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "raster_plans": q_raster_plans,
         "minhash_plans": q_minhash_plans,
         "geo_search": q_geo_search,
-        "simhash": q_simhash,
+        "text_hash_plans": q_text_hash_plans,
+        "overlay_measures": q_overlay_measures,
         "dup_spans": q_dup_spans,
         "pip_tiles": q_pip_tiles,
         "sessions": q_sessions,
@@ -1366,7 +1443,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "core_distance_plans": q_core_distance_plans,
         "pair_edges": q_pair_edges,
         "ngram_jaccard": q_ngram_jaccard,
-        "edit_distance": q_edit_distance,
         "silhouette": q_silhouette,
         "embed_ann": q_embed_ann,
         "kmedoids_labels": q_kmedoids_labels,
@@ -2360,14 +2436,15 @@ FROM labeled l JOIN gsz g ON g.canonical_id = l.canonical_id
     bits = " + ".join(
         f"(CASE WHEN v_{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)" for i in range(32)
     )
-    o["simhash"] = f"""
+    _simhash_sql = f"""
 WITH tk AS (SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM documents),
 h AS (SELECT id, {hh} AS hh FROM tk),
 v AS (SELECT id, {votes} FROM h GROUP BY id)
-SELECT id, {bits} AS simhash FROM v
+SELECT CAST(id AS VARCHAR) AS a, '' AS b,
+  CAST({bits} AS BIGINT) AS v1, CAST(0 AS BIGINT) AS v2 FROM v
 """
 
-    o["edit_distance"] = f"""
+    _edit_sql = f"""
 WITH tk AS (SELECT doc_id AS id, unnest({_TOKS}) AS tok FROM documents),
 h AS (SELECT id, {hh} AS hh FROM tk),
 v AS (SELECT id, {votes} FROM h GROUP BY id),
@@ -2382,12 +2459,67 @@ cand AS (
 ham AS (
   SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INTEGER) AS hamming
   FROM cand WHERE bit_count(xor(fa, fb)) <= 3)
-SELECT m.id_a, m.id_b, m.hamming,
-       CAST(levenshtein(da.text, db.text) AS INTEGER) AS edit_dist
+SELECT CAST(m.id_a AS VARCHAR) AS a, CAST(m.id_b AS VARCHAR) AS b,
+       CAST(m.hamming AS BIGINT) AS v1,
+       CAST(levenshtein(da.text, db.text) AS BIGINT) AS v2
 FROM ham m
 JOIN documents da ON da.doc_id = m.id_a
 JOIN documents db ON db.doc_id = m.id_b
 """
+    o["text_hash_plans"] = _variants(
+        ("simhash", _simhash_sql), ("edit", _edit_sql)
+    )
+
+    # overlay_measures: `overlay` — on the axis-aligned grid, polygon
+    # intersection == closed-bbox contact, i.e. Chebyshev distance
+    # ≤ 1 on tile indices (ordered pairs incl. self); `measures` —
+    # the staircase vertices regenerated from integer arithmetic,
+    # folds as plain SUMs (every term exact dyadic, order-free)
+    n_tiles = int(60 / TILE_SIDE)
+    _overlay_sql = f"""
+WITH idx AS (SELECT unnest(generate_series(0, {n_tiles - 1})) AS i),
+g AS (SELECT a.i AS tx, b.i AS ty FROM idx a CROSS JOIN idx b)
+SELECT 'tile-' || p.tx || '-' || p.ty AS a,
+       'tile-' || q.tx || '-' || q.ty AS b, 0.0 AS val
+FROM g p CROSS JOIN g q
+WHERE abs(p.tx - q.tx) <= 1 AND abs(p.ty - q.ty) <= 1
+"""
+    _stairs_sql = f"""
+WITH tt AS (SELECT unnest(generate_series(0, {N_STAIRS - 1})) AS t),
+p AS (
+  SELECT t, 1 << (t % 3) AS s, CAST(2 AS DOUBLE) / (1 << (t % 3)) AS d,
+         -30.0 + 7.0 * (t % 8) AS x0, -30.0 + 7.0 * (t // 8) AS y0
+  FROM tt),
+verts AS (
+  SELECT t, 0 AS seq, x0 AS x, y0 AS y FROM p
+  UNION ALL SELECT t, 1, x0 + 4, y0 FROM p
+  UNION ALL SELECT t, 2, x0 + 4, y0 + 2 FROM p
+  UNION ALL
+  SELECT t, 3 + 2 * i.i, x0 + 4 - (i.i + 1) * d, y0 + 2 + i.i * d
+  FROM p CROSS JOIN LATERAL (SELECT unnest(generate_series(0, s - 1)) AS i) i
+  UNION ALL
+  SELECT t, 4 + 2 * i.i, x0 + 4 - (i.i + 1) * d, y0 + 2 + (i.i + 1) * d
+  FROM p CROSS JOIN LATERAL (SELECT unnest(generate_series(0, s - 1)) AS i) i
+  UNION ALL SELECT t, 3 + 2 * s, x0, y0 + 4 FROM p
+  UNION ALL SELECT t, 4 + 2 * s, x0, y0 FROM p),
+e AS (
+  SELECT t, x, y, lead(x) OVER w AS xn, lead(y) OVER w AS yn
+  FROM verts WINDOW w AS (PARTITION BY t ORDER BY seq)),
+m AS (
+  SELECT t, sum(x * yn - xn * y) AS s2,
+    sum(sqrt((xn - x) * (xn - x) + (yn - y) * (yn - y))) AS per,
+    sum((x + xn) * (x * yn - xn * y)) AS mx,
+    sum((y + yn) * (x * yn - xn * y)) AS my
+  FROM e WHERE xn IS NOT NULL GROUP BY t)
+SELECT 'stair-' || t AS a, kv.b, kv.val
+FROM m CROSS JOIN LATERAL (VALUES
+  ('area', abs(s2 / 2)), ('perimeter', per),
+  ('centroid_x', mx / (3.0 * s2)), ('centroid_y', my / (3.0 * s2))
+) kv(b, val)
+"""
+    o["overlay_measures"] = _variants(
+        ("overlay", _overlay_sql), ("measures", _stairs_sql)
+    )
 
     _embed_topk_sql = f"""
 SELECT qq.vec_id AS a, rr.vec_id AS b,
