@@ -875,6 +875,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             part = rad.unionByName(knn)
             out = part if out is None else out.unionByName(part)
+        # box variants complete the geodesic family's driver evidence:
+        # `box` = a plain lat/lon rectangle, `box_wrap` = one crossing
+        # the antimeridian (lon_lo > lon_hi ⇒ the disjunction branch).
+        # Bounds land on the exact-double grid lat=3k/1000, lon=6k/1000
+        # so inclusive edges compare bitwise-identically in both engines.
+        for name, (la0, la1, lo0, lo1) in {
+            "box": (10.0, 55.0, 20.0, 90.0),
+            "box_wrap": (-60.0, -5.0, 150.0, -150.0),
+        }.items():
+            box = GEO.geo_box_search(pts, la0, la1, lo0, lo1).select(
+                F.lit(name).alias("variant"),
+                F.lit("").alias("q_id"),
+                F.col("id").alias("r_id"),
+                F.lit(None).cast("long").alias("dist_floor_m"),
+                F.lit(None).cast("int").alias("rank"),
+            )
+            out = out.unionByName(box)
         return out
 
     def q_dedup_groups(spark, sf):
@@ -2387,6 +2404,14 @@ SELECT 'knn_' || pl AS variant, q_id, r_id,
        CAST(floor(dist) AS BIGINT) AS dist_floor_m,
        CAST(row_number() OVER (PARTITION BY q_id, pl ORDER BY dist, r_id) AS INTEGER) AS rank
 FROM hav CROSS JOIN plans QUALIFY rank <= {GEO_K}
+UNION ALL
+SELECT 'box' AS variant, '' AS q_id, id AS r_id,
+       CAST(NULL AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
+FROM geo WHERE lat BETWEEN 10.0 AND 55.0 AND lon BETWEEN 20.0 AND 90.0
+UNION ALL
+SELECT 'box_wrap' AS variant, '' AS q_id, id AS r_id,
+       CAST(NULL AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
+FROM geo WHERE lat BETWEEN -60.0 AND -5.0 AND (lon >= 150.0 OR lon <= -150.0)
 """
 
     # group closure over the same verified pairs: recursive min-label
