@@ -875,6 +875,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             part = rad.unionByName(knn)
             out = part if out is None else out.unionByName(part)
+        # pip variant: geodesic point-in-polygon against the 12 convex
+        # spherical fixture tiles (pole cap + antimeridian straddler
+        # included). The engine runs the real gnomonic even-odd kernel
+        # (operators/geo.geo_pip_join); the oracle decides containment
+        # by a DIFFERENT formulation — per-edge great-circle half-space
+        # tests with the edge normals precomputed as literals. Margins
+        # audited at sf0.01: min |edge dot| at a decision = 1.85e-6
+        # (≈ 12 m), 10 orders above cross-engine trig noise.
+        tiles = GEO.sphere_tiles(spark)
+        pip = GEO.geo_pip_join(pts, tiles).select(
+            F.lit("pip").alias("variant"),
+            F.col("tile_id").alias("q_id"),
+            F.col("id").alias("r_id"),
+            F.lit(None).cast("long").alias("dist_floor_m"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+        out = out.unionByName(pip)
         # box variants complete the geodesic family's driver evidence:
         # `box` = a plain lat/lon rectangle, `box_wrap` = one crossing
         # the antimeridian (lon_lo > lon_hi ⇒ the disjunction branch).
@@ -2382,6 +2399,29 @@ SELECT 'pairs' AS variant, CAST(id_a AS VARCHAR) AS a, CAST(id_b AS VARCHAR) AS 
 FROM scored WHERE jaccard >= {JACCARD_T}
 """
 
+    def _pip_edge_values() -> str:
+        # inward great-circle edge normals of the convex spherical
+        # fixture tiles, precomputed once (pure NumPy, same vertices
+        # the Spark side builds its tiles from) and embedded as
+        # full-precision literals — the half-space containment oracle
+        import numpy as np
+
+        from ffcl_spark.kernels.geo import unit_vector_np
+        from ffcl_spark.operators.geo import sphere_tile_rings
+
+        rows = []
+        for tid, ring in sphere_tile_rings():
+            ring = np.array(ring)
+            v = unit_vector_np(ring[:, 0], ring[:, 1])
+            c = v.mean(0)
+            c /= np.linalg.norm(c)
+            nrm = np.cross(v, np.roll(v, -1, axis=0))
+            if (nrm @ c < 0).all():
+                nrm = -nrm
+            for e in nrm:
+                rows.append(f"('{tid}', {e[0]!r}, {e[1]!r}, {e[2]!r})")
+        return ",\n  ".join(rows)
+
     _geo_hav = f"""
 geo AS (SELECT id, d, off, x*3 AS lat, y*6 AS lon FROM pts),
 gq AS (SELECT * FROM geo WHERE off = 0 AND d % {GEO_QMOD} = 0),
@@ -2412,6 +2452,16 @@ UNION ALL
 SELECT 'box_wrap' AS variant, '' AS q_id, id AS r_id,
        CAST(NULL AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
 FROM geo WHERE lat BETWEEN -60.0 AND -5.0 AND (lon >= 150.0 OR lon <= -150.0)
+UNION ALL
+SELECT 'pip' AS variant, e.tile_id AS q_id, g.id AS r_id,
+       CAST(NULL AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
+FROM (SELECT id, cos(radians(lat))*cos(radians(lon)) AS px,
+             cos(radians(lat))*sin(radians(lon)) AS py,
+             sin(radians(lat)) AS pz FROM geo) g
+CROSS JOIN (VALUES
+  {_pip_edge_values()}) e(tile_id, nx, ny, nz)
+GROUP BY e.tile_id, g.id
+HAVING min(e.nx*g.px + e.ny*g.py + e.nz*g.pz) >= 0
 """
 
     # group closure over the same verified pairs: recursive min-label

@@ -92,6 +92,71 @@ def sphere_cell(lat: Column, lon: Column, delta_deg: float) -> Column:
     return bb * F.lit(_BAND_SHIFT) + j
 
 
+def band_m_table(delta_deg: float) -> list[int]:
+    """Per-band longitude cell counts, computed ONCE in Python — the
+    driver-shared twin of :func:`_m_of_band`. Operators that must
+    agree between a Python-side cover and a JVM-side cell assignment
+    (the geodesic PIP join) derive BOTH from this one table, so a
+    1-ulp libm-vs-JVM cos difference at a ceil boundary can never
+    split the grid topology between the two sides."""
+    out = []
+    for band in range(n_bands(delta_deg)):
+        lat_lo = band * delta_deg - 90.0
+        lat_hi = lat_lo + delta_deg
+        cos_max = (
+            1.0
+            if (lat_lo < 0.0 and lat_hi > 0.0)
+            else math.cos(math.radians(min(abs(lat_lo), abs(lat_hi))))
+        )
+        out.append(max(1, math.ceil(360.0 * cos_max / delta_deg)))
+    return out
+
+
+def sphere_cell_table(
+    lat: Column, lon: Column, delta_deg: float, m_table: list[int]
+) -> Column:
+    """(lat°, lon°) → packed BIGINT cell id with the band widths taken
+    from a literal ``band_m_table`` array (same packing as
+    :func:`sphere_cell`; the table form exists so a Python cover can
+    be guaranteed topology-identical)."""
+    bb = band_of(lat, delta_deg)
+    m = F.element_at(F.lit(m_table), (bb + 1).cast("int")).cast("long")
+    j = F.least(
+        m - 1,
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((lon + F.lit(180.0)) * m.cast("double") / F.lit(360.0)),
+        ),
+    )
+    return bb * F.lit(_BAND_SHIFT) + j
+
+
+def cover_cells_py(
+    lat: float, lon: float, r_deg: float, delta_deg: float, m_table: list[int]
+) -> set[int]:
+    """Python twin of :func:`cover_cells` against a ``band_m_table``
+    grid, padded by one extra band and one extra longitude cell per
+    side so floating-point disagreement with the JVM floors can only
+    ever WIDEN the cover (superset is the correctness requirement;
+    tightness is only a constant-factor candidate cost)."""
+    nb = len(m_table)
+    b_lo = max(0, math.floor((lat - r_deg + 90.0) / delta_deg) - 1)
+    b_hi = min(nb - 1, math.floor((lat + r_deg + 90.0) / delta_deg) + 1)
+    if abs(lat) + r_deg >= 90.0 - 1e-9 or r_deg >= 90.0:
+        dl = 180.0
+    else:
+        s = math.sin(math.radians(r_deg)) / math.cos(math.radians(lat))
+        dl = math.degrees(math.asin(min(1.0, s))) * (1 + 1e-9) + 1e-9
+    cells: set[int] = set()
+    for band in range(b_lo, b_hi + 1):
+        m = m_table[band]
+        j_lo = math.floor((lon - dl + 180.0) * m / 360.0) - 1
+        j_hi = min(math.floor((lon + dl + 180.0) * m / 360.0) + 1, j_lo + m - 1)
+        for j in range(j_lo, j_hi + 1):
+            cells.add(band * _BAND_SHIFT + (j % m))
+    return cells
+
+
 def cover_cells(lat: Column, lon: Column, r_deg: float, delta_deg: float) -> Column:
     """array<bigint> of every spherical cell that can contain a point
     within great-circle arc ``r_deg`` of (lat, lon) — the a-priori

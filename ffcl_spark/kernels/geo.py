@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 EARTH_RADIUS_M = 6_371_008.8
@@ -40,6 +42,82 @@ def geo_brute_pairs(
         earth_radius_m,
     )
     return d < radius_m
+
+
+def destination_point_np(
+    lat_deg: float, lon_deg: float, bearing_deg, arc_deg
+) -> tuple[np.ndarray, np.ndarray]:
+    """Great-circle destination: start at (lat, lon), travel ``arc_deg``
+    along initial ``bearing_deg`` (clockwise from north). Vectorized
+    over bearings/arcs; the standard aviation formulae."""
+    phi1 = math.radians(lat_deg)
+    lam1 = math.radians(lon_deg)
+    th = np.radians(np.asarray(bearing_deg, dtype=np.float64))
+    d = np.radians(np.asarray(arc_deg, dtype=np.float64))
+    sphi2 = np.sin(phi1) * np.cos(d) + np.cos(phi1) * np.sin(d) * np.cos(th)
+    phi2 = np.arcsin(np.clip(sphi2, -1.0, 1.0))
+    lam2 = lam1 + np.arctan2(
+        np.sin(th) * np.sin(d) * np.cos(phi1),
+        np.cos(d) - np.sin(phi1) * sphi2,
+    )
+    lon2 = np.degrees(lam2)
+    lon2 = (lon2 + 180.0) % 360.0 - 180.0
+    return np.degrees(phi2), lon2
+
+
+def tile_frame_np(ring_latlon: np.ndarray):
+    """Per-tile gnomonic frame: (center unit vector, basis e1, e2,
+    projected ring vertices [m, 2], cap radius in degrees).
+
+    Center = normalized mean of the vertex unit vectors; cap radius =
+    max arc from the center to a vertex. A spherical cap of radius
+    ≤ 90° is geodesically convex, so the polygon (vertices in the cap,
+    edges = minor great-circle arcs) lies entirely inside the cap —
+    which is both the candidate-cover bound and the gnomonic validity
+    region. Tiles spanning a hemisphere or more are rejected
+    (documented contract: tile polygons are local objects)."""
+    ring = np.asarray(ring_latlon, dtype=np.float64)
+    v = unit_vector_np(ring[:, 0], ring[:, 1])
+    c = v.mean(axis=0)
+    nc = np.linalg.norm(c)
+    if nc < 1e-12:
+        raise ValueError("degenerate spherical ring (vertices cancel)")
+    c = c / nc
+    # deterministic orthonormal basis in the tangent plane at c
+    a = np.array([0.0, 0.0, 1.0]) if abs(c[2]) < 0.9 else np.array([1.0, 0.0, 0.0])
+    e1 = a - np.dot(a, c) * c
+    e1 = e1 / np.linalg.norm(e1)
+    e2 = np.cross(c, e1)
+    t = v @ c
+    if np.any(t <= 1e-9):
+        raise ValueError("spherical tile spans a hemisphere or more")
+    ring_xy = np.stack([(v @ e1) / t, (v @ e2) / t], axis=1)
+    cap_deg = math.degrees(math.acos(float(np.clip(t.min(), -1.0, 1.0))))
+    return c, e1, e2, ring_xy, cap_deg
+
+
+def spherical_pip_np(
+    p_lat: np.ndarray, p_lon: np.ndarray, ring_latlon: np.ndarray
+) -> np.ndarray:
+    """Boolean mask: point inside-or-on-boundary of the spherical
+    polygon whose edges are minor great-circle arcs between consecutive
+    (lat, lon) vertices. Gnomonic projection about the tile center maps
+    great circles to straight lines EXACTLY, so the planar even-odd
+    kernel (``kernels.pip``) decides spherical containment; points
+    outside the open hemisphere at the center are outside the polygon
+    by the cap bound."""
+    from ffcl_spark.kernels.pip import points_in_polygon
+
+    c, e1, e2, ring_xy, _ = tile_frame_np(ring_latlon)
+    p = unit_vector_np(np.asarray(p_lat, float), np.asarray(p_lon, float))
+    t = p @ c
+    ok = t > 1e-12
+    out = np.zeros(len(p), dtype=bool)
+    if ok.any():
+        x = (p[ok] @ e1) / t[ok]
+        y = (p[ok] @ e2) / t[ok]
+        out[ok] = points_in_polygon(x, y, ring_xy)
+    return out
 
 
 def geo_brute_knn(

@@ -452,3 +452,249 @@ def geo_dbscan(
     )
     ids = points.select(F.col(id_col).alias("id"))
     return _dbscan_from_pairs(ids, pairs, pts_cell, min_samples)
+
+
+# ------------------------------------------------------------ geodesic PIP
+
+GEO_RING_TYPE = (
+    "array<struct<lat: double, lon: double>>"
+)
+
+
+def sphere_tile_rings(n_tiles: int = 12) -> list[tuple[str, list[tuple[float, float]]]]:
+    """Deterministic convex spherical tile fixture: ``n_tiles`` cap
+    polygons (vertices on a small circle around a center → convex on
+    the sphere), including the two adversarial placements a planar
+    lat/lon treatment gets wrong — a north-pole cap and an
+    antimeridian straddler. Pure NumPy (no Spark): the driver gate's
+    oracle re-derives each tile's great-circle edge normals from the
+    same vertices."""
+    import numpy as np
+
+    from ffcl_spark.kernels.geo import destination_point_np
+
+    # (center lat, center lon, cap arc radius °, vertex count)
+    specs = [
+        (88.5, 0.0, 2.5, 6),       # pole cap: contains the north pole
+        (10.0, 180.0, 4.0, 5),     # antimeridian straddler
+        (-75.0, 30.0, 6.0, 4),
+        (0.0, 0.0, 3.0, 7),
+        (45.0, -120.0, 5.0, 6),
+        (-30.0, 150.0, 8.0, 5),
+        (60.0, 60.0, 4.5, 4),
+        (-5.0, -60.0, 7.0, 6),
+        (25.0, 95.0, 2.0, 5),
+        (-50.0, -150.0, 5.5, 7),
+        (70.0, -30.0, 3.5, 5),
+        (-15.0, 75.0, 6.5, 4),
+    ]
+    out = []
+    for t, (clat, clon, rad, m) in enumerate(specs[:n_tiles]):
+        bearings = (np.arange(m) * (360.0 / m) + 10.0 * t) % 360.0
+        lat2, lon2 = destination_point_np(clat, clon, bearings, rad)
+        out.append((f"gtile-{t}", list(zip(lat2.tolist(), lon2.tolist()))))
+    return out
+
+
+def sphere_tiles(spark, n_tiles: int = 12) -> DataFrame:
+    """The :func:`sphere_tile_rings` fixture as a DataFrame
+    (tile_id, ring: array<struct<lat, lon>>)."""
+    rows = [
+        {"tile_id": tid, "ring": [{"lat": la, "lon": lo} for la, lo in ring]}
+        for tid, ring in sphere_tile_rings(n_tiles)
+    ]
+    return spark.createDataFrame(rows, f"tile_id string, ring {GEO_RING_TYPE}")
+
+
+def _tile_locals(tiles_rows, delta_deg: float, m_table: list[int]):
+    """Collected tile rows → per-tile closure payload: (tile_id,
+    gnomonic frame, projected ring, padded spherical cell cover)."""
+    import numpy as np
+
+    from ffcl_spark.kernels.geo import tile_frame_np
+
+    local = []
+    for row in tiles_rows:
+        ring = np.array(
+            [[v["lat"], v["lon"]] for v in row["ring"]], dtype=np.float64
+        )
+        c, e1, e2, ring_xy, cap_deg = tile_frame_np(ring)
+        clat = math.degrees(math.asin(max(-1.0, min(1.0, float(c[2])))))
+        clon = math.degrees(math.atan2(float(c[1]), float(c[0])))
+        r_deg = cap_deg * (1 + 1e-9) + 1e-9
+        cover = np.fromiter(
+            S.cover_cells_py(clat, clon, r_deg, delta_deg, m_table),
+            dtype=np.int64,
+        )
+        local.append((row["tile_id"], c, e1, e2, ring_xy, cover))
+    return local
+
+
+def geo_pip_join(
+    points: DataFrame,
+    tiles: DataFrame,
+    *,
+    delta_deg: float = 5.0,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    closure_tile_limit: int = 4096,
+) -> DataFrame:
+    """Geodesic tile assignment: (id, tile_id) for every point inside
+    (or on the boundary of) a spherical tile polygon — the north
+    star's point-in-polygon operator under the great-circle metric.
+
+    Tiles carry (tile_id, ring: array<struct<lat, lon>>); edges are
+    minor great-circle arcs, rings convex or not, each tile smaller
+    than a hemisphere (``kernels.geo.tile_frame_np`` enforces the cap
+    contract). The containment test is EXACT spherical geometry with
+    the planar kernel: gnomonic projection about the tile center maps
+    great circles to straight lines, so ``kernels.pip``'s even-odd
+    test decides arc-bounded containment with no small-angle
+    approximation — poles and the antimeridian are not special cases.
+
+    Physical plan (mirrors :func:`ffcl_spark.operators.tiles.pip_join`):
+    points get a latitude-band spherical cell key (one JVM expression);
+    each tile precomputes a padded cell cover of its bounding cap.
+
+    - ≤ ``closure_tile_limit`` tiles: tile frames ship in the task
+      closure; ZERO shuffle — one map-only Arrow pass over the points.
+    - larger tile tables: covers are computed DISTRIBUTED (Arrow batch
+      kernel over the tiles), exploded to (cell, tile) rows, and
+      broadcast-joined against the point cells; the exact gnomonic
+      test runs per candidate group. AQE demotes to a shuffle join if
+      the tile side outgrows the broadcast threshold.
+
+    Both sides of the cell equi-key derive from ONE Python
+    ``band_m_table`` (see ``functions/sphere.py``), so cover and
+    assignment can never disagree on grid topology."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ffcl_spark.kernels.geo import tile_frame_np, unit_vector_np
+    from ffcl_spark.kernels.pip import points_in_polygon
+
+    m_table = S.band_m_table(delta_deg)
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(lat_col).alias("lat"),
+        F.col(lon_col).alias("lon"),
+        S.sphere_cell_table(
+            F.col(lat_col), F.col(lon_col), delta_deg, m_table
+        ).alias("cell"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id", points.schema[id_col].dataType),
+            T.StructField("tile_id", T.StringType()),
+        ]
+    )
+
+    n_tiles = tiles.count()
+    if n_tiles <= closure_tile_limit:
+        local = _tile_locals(
+            tiles.select("tile_id", "ring").collect(), delta_deg, m_table
+        )
+
+        def kernel(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cells = pdf["cell"].to_numpy()
+                p = unit_vector_np(
+                    pdf["lat"].to_numpy(), pdf["lon"].to_numpy()
+                )
+                ids = pdf["id"]
+                outs = []
+                for tile_id, c, e1, e2, ring_xy, cover in local:
+                    cand = np.isin(cells, cover)
+                    if not cand.any():
+                        continue
+                    idx = np.nonzero(cand)[0]
+                    t = p[idx] @ c
+                    ok = t > 1e-12
+                    if not ok.any():
+                        continue
+                    idx = idx[ok]
+                    x = (p[idx] @ e1) / t[ok]
+                    y = (p[idx] @ e2) / t[ok]
+                    mask = points_in_polygon(x, y, ring_xy)
+                    if mask.any():
+                        outs.append(
+                            pd.DataFrame(
+                                {"id": ids.iloc[idx[mask]], "tile_id": tile_id}
+                            )
+                        )
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+
+        return pts.mapInPandas(kernel, out_schema)
+
+    # large tile tables: distributed cover computation, broadcast join
+    cov_schema = "tile_id string, ring {rt}, cell long".format(rt=GEO_RING_TYPE)
+
+    def cover_kernel(batches):
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                ring = np.array(
+                    [[v["lat"], v["lon"]] for v in row["ring"]], dtype=np.float64
+                )
+                c, _, _, _, cap_deg = tile_frame_np(ring)
+                clat = math.degrees(math.asin(max(-1.0, min(1.0, float(c[2])))))
+                clon = math.degrees(math.atan2(float(c[1]), float(c[0])))
+                cov = S.cover_cells_py(
+                    clat, clon, cap_deg * (1 + 1e-9) + 1e-9, delta_deg, m_table
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "tile_id": row["tile_id"],
+                            "ring": [row["ring"]] * len(cov),
+                            "cell": np.fromiter(cov, dtype=np.int64),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    t_cov = tiles.select("tile_id", "ring").mapInPandas(cover_kernel, cov_schema)
+    cand = pts.join(F.broadcast(t_cov), "cell").select(
+        "id", "lat", "lon", "tile_id", "ring"
+    )
+
+    def verify_kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            outs = []
+            for tile_id, grp in pdf.groupby("tile_id", sort=False):
+                ring = np.array(
+                    [[v["lat"], v["lon"]] for v in grp["ring"].iloc[0]],
+                    dtype=np.float64,
+                )
+                c, e1, e2, ring_xy, _ = tile_frame_np(ring)
+                p = unit_vector_np(
+                    grp["lat"].to_numpy(), grp["lon"].to_numpy()
+                )
+                t = p @ c
+                ok = t > 1e-12
+                if not ok.any():
+                    continue
+                x = (p[ok] @ e1) / t[ok]
+                y = (p[ok] @ e2) / t[ok]
+                mask = points_in_polygon(x, y, ring_xy)
+                if mask.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "id": grp["id"].to_numpy()[ok][mask],
+                                "tile_id": tile_id,
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return cand.mapInPandas(verify_kernel, out_schema)

@@ -332,3 +332,146 @@ def test_geo_dbscan_brute_parity(spark, world):
     assert len(set(exp_label[:12])) == 1
     assert len(set(exp_label[12:22])) == 1
     assert set(exp_label[:12]) != set(exp_label[12:22])
+
+
+# --------------------------------------------------------- geodesic PIP
+
+def _convex_inside_np(p_lat, p_lon, ring):
+    """Independent oracle for CONVEX spherical polygons: a point is
+    inside iff it lies on the interior side of every great-circle edge
+    plane — pure half-space algebra, no projection (the operator uses
+    gnomonic + even-odd, a different formulation)."""
+    from ffcl_spark.kernels.geo import unit_vector_np
+
+    v = unit_vector_np(ring[:, 0], ring[:, 1])
+    c = v.mean(0)
+    c = c / np.linalg.norm(c)
+    nrm = np.cross(v, np.roll(v, -1, axis=0))
+    s = nrm @ c
+    if (s < 0).all():
+        nrm = -nrm
+    else:
+        assert (s > 0).all(), "fixture polygon not convex"
+    p = unit_vector_np(np.asarray(p_lat, float), np.asarray(p_lon, float))
+    return (p @ nrm.T >= 0).all(axis=1)
+
+
+def test_spherical_pip_matches_halfspace_oracle():
+    from ffcl_spark.kernels.geo import spherical_pip_np
+    from ffcl_spark.operators.geo import sphere_tile_rings
+
+    rng = np.random.default_rng(42)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 20000)))
+    lon = rng.uniform(-180.0, 180.0, 20000)
+    hits = 0
+    for tid, ring in sphere_tile_rings():
+        ring = np.array(ring)
+        got = spherical_pip_np(lat, lon, ring)
+        exp = _convex_inside_np(lat, lon, ring)
+        assert (got == exp).all(), tid
+        # polygon vertices are boundary points → inside by engine rule
+        assert spherical_pip_np(ring[:, 0], ring[:, 1], ring).all(), tid
+        hits += int(got.sum())
+    assert hits > 100  # fixture actually exercises interiors
+
+
+def test_spherical_pip_nonconvex_lobes():
+    """Non-convex ring (two lobes joined by a neck): membership decided
+    by construction — lobe centers inside, the notch point outside."""
+    from ffcl_spark.kernels.geo import destination_point_np, spherical_pip_np
+
+    clat, clon = 20.0, 40.0
+    # arrow-head: far tip, two barbs, notch pulled back toward center
+    brg = np.array([0.0, 90.0, 180.0, 270.0])
+    arc = np.array([8.0, 6.0, 1.0, 6.0])
+    la, lo = destination_point_np(clat, clon, brg, arc)
+    ring = np.stack([la, lo], axis=1)
+    # the notch vertex sits 1° south; a probe 3° south is OUTSIDE even
+    # though it is inside the convex hull of the vertices
+    p_lat, p_lon = destination_point_np(clat, clon, np.array([0.0, 180.0]), np.array([4.0, 3.0]))
+    got = spherical_pip_np(p_lat, p_lon, ring)
+    assert got[0] and not got[1]
+
+
+def test_geo_pip_join_paths_match_twin(spark):
+    from ffcl_spark.kernels.geo import spherical_pip_np
+    from ffcl_spark.operators.geo import geo_pip_join, sphere_tile_rings, sphere_tiles
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "lat": np.degrees(np.arcsin(rng.uniform(-1, 1, n))),
+            "lon": rng.uniform(-180.0, 180.0, n),
+        }
+    )
+    # adversarial probes: the pole itself, both sides of ±180, a vertex
+    pdf.loc[:5, ["lat", "lon"]] = [
+        [90.0, 0.0],
+        [89.0, 120.0],
+        [10.0, 179.8],
+        [10.0, -179.8],
+        [9.0, 180.0],
+        [-75.0, 30.0],
+    ]
+    pts = spark.createDataFrame(pdf)
+    tiles = sphere_tiles(spark)
+    closure = geo_pip_join(pts, tiles)
+    bcast = geo_pip_join(pts, tiles, closure_tile_limit=0)
+    ka = {(r["id"], r["tile_id"]) for r in closure.collect()}
+    kb = {(r["id"], r["tile_id"]) for r in bcast.collect()}
+    assert ka == kb
+    exp = set()
+    for tid, ring in sphere_tile_rings():
+        m = spherical_pip_np(
+            pdf["lat"].to_numpy(), pdf["lon"].to_numpy(), np.array(ring)
+        )
+        exp |= {(int(i), tid) for i in pdf["id"].to_numpy()[m]}
+    assert ka == exp
+    # the pole cap caught the pole; the straddler caught both sides
+    assert (0, "gtile-0") in ka and (2, "gtile-1") in ka and (3, "gtile-1") in ka
+
+
+def test_geo_pip_hemisphere_contract():
+    from ffcl_spark.kernels.geo import tile_frame_np
+
+    ring = np.array([[0.0, 0.0], [0.0, 120.0], [0.0, -120.0]])
+    with pytest.raises(ValueError):
+        tile_frame_np(ring)
+
+
+def test_cover_cells_py_superset_of_jvm_assignment(spark):
+    """Every point within the cap must land in a covered cell under the
+    JVM table-driven assignment — the property the PIP candidate
+    pruning relies on."""
+    from pyspark.sql import functions as F
+
+    from ffcl_spark.functions import sphere as S
+    from ffcl_spark.kernels.geo import destination_point_np
+
+    delta = 5.0
+    m_table = S.band_m_table(delta)
+    rng = np.random.default_rng(3)
+    caps = [(88.5, 0.0, 2.5), (10.0, 180.0, 4.0), (-75.0, 30.0, 6.0), (0.1, -179.9, 9.0)]
+    rows = []
+    for ci, (clat, clon, rad) in enumerate(caps):
+        brg = rng.uniform(0, 360, 400)
+        arc = rad * np.sqrt(rng.uniform(0, 1, 400))
+        la, lo = destination_point_np(clat, clon, brg, arc)
+        rows.append(pd.DataFrame({"cap": ci, "lat": la, "lon": lo}))
+    pdf = pd.concat(rows, ignore_index=True)
+    got = (
+        spark.createDataFrame(pdf)
+        .select(
+            "cap",
+            S.sphere_cell_table(F.col("lat"), F.col("lon"), delta, m_table).alias("cell"),
+        )
+        .collect()
+    )
+    covers = {
+        ci: S.cover_cells_py(clat, clon, rad * (1 + 1e-9) + 1e-9, delta, m_table)
+        for ci, (clat, clon, rad) in enumerate(caps)
+    }
+    for r in got:
+        assert r["cell"] in covers[r["cap"]]
