@@ -632,34 +632,7 @@ def geo_pip_join(
         return pts.mapInPandas(kernel, out_schema)
 
     # large tile tables: distributed cover computation, broadcast join
-    cov_schema = "tile_id string, ring {rt}, cell long".format(rt=GEO_RING_TYPE)
-
-    def cover_kernel(batches):
-        for pdf in batches:
-            outs = []
-            for _, row in pdf.iterrows():
-                ring = np.array(
-                    [[v["lat"], v["lon"]] for v in row["ring"]], dtype=np.float64
-                )
-                c, _, _, _, cap_deg = tile_frame_np(ring)
-                clat = math.degrees(math.asin(max(-1.0, min(1.0, float(c[2])))))
-                clon = math.degrees(math.atan2(float(c[1]), float(c[0])))
-                cov = S.cover_cells_py(
-                    clat, clon, cap_deg * (1 + 1e-9) + 1e-9, delta_deg, m_table
-                )
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "tile_id": row["tile_id"],
-                            "ring": [row["ring"]] * len(cov),
-                            "cell": np.fromiter(cov, dtype=np.int64),
-                        }
-                    )
-                )
-            if outs:
-                yield pd.concat(outs, ignore_index=True)
-
-    t_cov = tiles.select("tile_id", "ring").mapInPandas(cover_kernel, cov_schema)
+    t_cov = sphere_rasterize(tiles, delta_deg, m_table=m_table)
     cand = pts.join(F.broadcast(t_cov), "cell").select(
         "id", "lat", "lon", "tile_id", "ring"
     )
@@ -698,3 +671,84 @@ def geo_pip_join(
                 yield pd.concat(outs, ignore_index=True)
 
     return cand.mapInPandas(verify_kernel, out_schema)
+
+
+def sphere_rasterize(
+    tiles: DataFrame, delta_deg: float, *, m_table: list[int] | None = None
+) -> DataFrame:
+    """Spherical raster form of a tile table: (tile_id, ring, cell) —
+    one row per latitude-band grid cell in the tile's padded
+    bounding-cap cover (a conservative superset, the candidate-
+    generation contract; the planar twin is ``tiles.rasterize``).
+    Covers are computed DISTRIBUTED in an Arrow batch kernel, so a
+    million-tile table never funnels through the driver."""
+    import numpy as np
+    import pandas as pd
+
+    from ffcl_spark.kernels.geo import tile_frame_np
+
+    if m_table is None:
+        m_table = S.band_m_table(delta_deg)
+    cov_schema = "tile_id string, ring {rt}, cell long".format(rt=GEO_RING_TYPE)
+
+    def cover_kernel(batches):
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                ring = np.array(
+                    [[v["lat"], v["lon"]] for v in row["ring"]], dtype=np.float64
+                )
+                c, _, _, _, cap_deg = tile_frame_np(ring)
+                clat = math.degrees(math.asin(max(-1.0, min(1.0, float(c[2])))))
+                clon = math.degrees(math.atan2(float(c[1]), float(c[0])))
+                cov = S.cover_cells_py(
+                    clat, clon, cap_deg * (1 + 1e-9) + 1e-9, delta_deg, m_table
+                )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "tile_id": row["tile_id"],
+                            "ring": [row["ring"]] * len(cov),
+                            "cell": np.fromiter(cov, dtype=np.int64),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return tiles.select("tile_id", "ring").mapInPandas(cover_kernel, cov_schema)
+
+
+def sphere_vectorize(
+    cells: DataFrame,
+    delta_deg: float,
+    *,
+    cell_col: str = "cell",
+    m_table: list[int] | None = None,
+) -> DataFrame:
+    """Vector form of spherical grid cells: (cell, ring) where ring is
+    the cell's lat/lon bounding quad (closed, counterclockwise) — the
+    sphere twin of ``tiles.vectorize``. Pure column arithmetic off the
+    packed cell id; the band's longitude split comes from the same
+    literal ``band_m_table`` used at assignment time."""
+    if m_table is None:
+        m_table = S.band_m_table(delta_deg)
+    band = (F.col(cell_col) / F.lit(S._BAND_SHIFT)).cast("long")
+    j = F.col(cell_col) % F.lit(S._BAND_SHIFT)
+    m = F.element_at(F.lit(m_table), (band + 1).cast("int")).cast("double")
+    lat_lo = band.cast("double") * F.lit(delta_deg) - F.lit(90.0)
+    lat_hi = F.least(F.lit(90.0), lat_lo + F.lit(delta_deg))
+    lon_lo = j.cast("double") * F.lit(360.0) / m - F.lit(180.0)
+    lon_hi = (j + 1).cast("double") * F.lit(360.0) / m - F.lit(180.0)
+
+    def pt(lat, lon):
+        return F.struct(lat.alias("lat"), lon.alias("lon"))
+
+    ring = F.array(
+        pt(lat_lo, lon_lo),
+        pt(lat_lo, lon_hi),
+        pt(lat_hi, lon_hi),
+        pt(lat_hi, lon_lo),
+        pt(lat_lo, lon_lo),
+    )
+    return cells.select(F.col(cell_col).alias("cell"), ring.alias("ring"))

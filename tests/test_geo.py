@@ -475,3 +475,59 @@ def test_cover_cells_py_superset_of_jvm_assignment(spark):
     }
     for r in got:
         assert r["cell"] in covers[r["cap"]]
+
+
+def test_sphere_rasterize_vectorize_roundtrip(spark):
+    """raster→vector closure: a point's assigned cell, vectorized,
+    yields a lat/lon quad that contains the point (inclusive bounds) —
+    and rasterize's cover for each fixture tile contains every cell an
+    inside point maps to."""
+    from pyspark.sql import functions as F
+
+    from ffcl_spark.functions import sphere as S
+    from ffcl_spark.operators.geo import (
+        geo_pip_join,
+        sphere_rasterize,
+        sphere_tiles,
+        sphere_vectorize,
+    )
+
+    delta = 5.0
+    m_table = S.band_m_table(delta)
+    rng = np.random.default_rng(5)
+    n = 2000
+    pdf = pd.DataFrame(
+        {
+            "id": np.arange(n, dtype=np.int64),
+            "lat": np.degrees(np.arcsin(rng.uniform(-1, 1, n))),
+            "lon": rng.uniform(-180.0, 180.0, n),
+        }
+    )
+    pts = spark.createDataFrame(pdf)
+    cells = pts.select(
+        "id",
+        "lat",
+        "lon",
+        S.sphere_cell_table(F.col("lat"), F.col("lon"), delta, m_table).alias("cell"),
+    )
+    vec = cells.join(
+        sphere_vectorize(cells.select("cell").distinct(), delta, m_table=m_table),
+        "cell",
+    ).collect()
+    assert len(vec) == n
+    for r in vec:
+        lats = [v["lat"] for v in r["ring"]]
+        lons = [v["lon"] for v in r["ring"]]
+        assert min(lats) - 1e-9 <= r["lat"] <= max(lats) + 1e-9
+        assert min(lons) - 1e-9 <= r["lon"] <= max(lons) + 1e-9
+
+    tiles = sphere_tiles(spark)
+    ras = sphere_rasterize(tiles, delta, m_table=m_table)
+    cover = {}
+    for r in ras.collect():
+        cover.setdefault(r["tile_id"], set()).add(r["cell"])
+    inside = geo_pip_join(pts, tiles, delta_deg=delta).join(cells, "id").collect()
+    # geo_pip_join emits (id, tile_id); joining back the cell says the
+    # rasterized cover held the candidate
+    for r in inside:
+        assert r["cell"] in cover[r["tile_id"]]
