@@ -454,6 +454,213 @@ def geo_dbscan(
     return _dbscan_from_pairs(ids, pairs, pts_cell, min_samples)
 
 
+# ------------------------------------------------------ geodesic clustering
+#
+# Chord distance is strictly monotone with great-circle distance
+# (gc = 2·R·asin(chord/2)), and max() commutes with any monotone
+# increasing transform — so the MST edge SET under the geodesic metric
+# (plain or mutual-reachability) equals the chord-space MST over the
+# 3-D embedding, and only the WEIGHTS need converting. Weight-dependent
+# stages (dendrogram levels, HDBSCAN stability λ = 1/level, cut
+# thresholds) are NOT reparameterization-invariant, so the conversion
+# to metres happens on the MST edges BEFORE any of them run.
+
+
+def geo_core_distances(
+    points: DataFrame,
+    k: int,
+    *,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    earth_radius_m: float = EARTH_RADIUS_M,
+) -> DataFrame:
+    """(id, core_distance_m): great-circle distance to the k-th nearest
+    neighbor, self counted — the reference core-distance contract
+    (``CoreDistances.hpp:39-54``) under the geodesic metric. Composition
+    of :func:`sphere_knn_join` (self appears at rank 1, distance 0) and
+    a max-of-k aggregation, exactly like the planar operator."""
+    knn = sphere_knn_join(
+        points, points, k,
+        id_col=id_col, lat_col=lat_col, lon_col=lon_col,
+        earth_radius_m=earth_radius_m,
+    )
+    out = (
+        knn.groupBy("q_id")
+        .agg(F.max("dist_m").alias("core_distance_m"))
+        .select(F.col("q_id").alias("id"), "core_distance_m")
+    )
+    return carry(out, knn)
+
+
+def geo_mst(
+    points: DataFrame,
+    *,
+    core_k: int | None = None,
+    local_cutoff: int = 0,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    earth_radius_m: float = EARTH_RADIUS_M,
+    ckpt_dir: str | None = None,
+) -> DataFrame:
+    """Exact geodesic MST edges (src, dst, w) with ``w`` in great-circle
+    METRES — the reference Borůvka contract
+    (``BoruvkasAlgorithm.hpp:420-460``) on the sphere.
+
+    Plan: embed (lat, lon) → 3-D unit vectors (three JVM trig
+    expressions) and run the gate-proven n-D Borůvka
+    (:func:`ffcl_spark.operators.boruvka.minimum_spanning_tree`,
+    ``features_col`` routing) in CHORD space; convert edge weights to
+    metres on the way out. Monotonicity makes this exact: every
+    pairwise comparison Borůvka performs has the same outcome in chord
+    and great-circle space, including mutual-reachability weights when
+    ``core_k`` is set (max of chords → max of geodesics under the
+    transform). Longitude wrap and pole adjacency are not special
+    cases in the embedding."""
+    from ffcl_spark.operators.boruvka import minimum_spanning_tree
+
+    pts = geo_points(points, id_col=id_col, lat_col=lat_col, lon_col=lon_col)
+    edges = minimum_spanning_tree(
+        pts, GEO_CFG, core_k=core_k, local_cutoff=local_cutoff,
+        features_col="features", ckpt_dir=ckpt_dir,
+    )
+    return edges.select(
+        "src", "dst", arc_of_chord_m(F.col("w"), earth_radius_m).alias("w")
+    )
+
+
+def geo_single_linkage_cut(
+    points: DataFrame,
+    cut_m: float,
+    min_cluster_size: int = 1,
+    *,
+    local_cutoff: int = 0,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    earth_radius_m: float = EARTH_RADIUS_M,
+) -> DataFrame:
+    """Flat single-linkage clustering at ``cut_m`` great-circle metres
+    (reference ``SingleLinkageClusterTree.hpp:151-175`` under the
+    geodesic metric). (id, label, is_noise); canonical labels (min
+    member id), components below ``min_cluster_size`` are noise 0.
+    Fully distributed: the cut at λ is the connected components of the
+    strict ``w < λ`` subset of the metre-weighted MST."""
+    from ffcl_spark.operators.components import connected_components
+
+    ids = points.select(F.col(id_col).alias("id"))
+    edges_m = geo_mst(
+        points, local_cutoff=local_cutoff, id_col=id_col,
+        lat_col=lat_col, lon_col=lon_col, earth_radius_m=earth_radius_m,
+    ).persist()
+    kept = edges_m.where(F.col("w") < cut_m).select("src", "dst")
+    comp = connected_components(ids, kept)
+    edges_m.unpersist()
+    id_type = points.schema[id_col].dataType
+    noise = F.lit(0).cast(id_type)
+    sizes = comp.groupBy("comp").agg(F.count(F.lit(1)).alias("csize"))
+    return comp.join(sizes, "comp").select(
+        "id",
+        F.when(F.col("csize") >= min_cluster_size, F.col("comp"))
+        .otherwise(noise)
+        .alias("label"),
+        (F.col("csize") < min_cluster_size).alias("is_noise"),
+    )
+
+
+def geo_hdbscan(
+    points: DataFrame,
+    k_nearest_neighbors: int = 1,
+    min_cluster_size: int = 5,
+    allow_single_cluster: bool = True,
+    *,
+    local_cutoff: int = 0,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    earth_radius_m: float = EARTH_RADIUS_M,
+) -> DataFrame:
+    """HDBSCAN under the geodesic metric: (id, label, is_noise),
+    canonical labels, noise 0 — the reference pipeline
+    (``HDBSCAN.hpp:91-116``) with great-circle mutual reachability.
+
+    The MST comes from :func:`geo_mst` (chord-space Borůvka, exact by
+    monotonicity); its metre weights feed the SAME dendrogram plan +
+    distributed emission as the planar/n-D pipelines. The conversion
+    must happen here and not later: condensed-tree stability
+    (λ = 1/level, ``CondensedClusterNode.hpp:83-88``) is not invariant
+    under reparameterizing the weight axis, so selecting clusters on
+    chord weights would answer a different (chord-metric) question."""
+    from ffcl_spark.kernels.hierarchy import hdbscan_partition
+    from ffcl_spark.operators.boruvka import mst_edges_local
+    from ffcl_spark.operators.hdbscan import _emit_labels
+
+    core_k = k_nearest_neighbors if k_nearest_neighbors > 1 else None
+    edges_m = geo_mst(
+        points, core_k=core_k, local_cutoff=local_cutoff, id_col=id_col,
+        lat_col=lat_col, lon_col=lon_col, earth_radius_m=earth_radius_m,
+    ).persist()
+    edges = mst_edges_local(edges_m)
+    ids = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    removed, sel_labels = hdbscan_partition(
+        ids, edges, min_cluster_size, allow_single_cluster
+    )
+    out = _emit_labels(
+        points.select(F.col(id_col).alias("id")), edges_m, removed, sel_labels
+    )
+    edges_m.unpersist()
+    return out
+
+
+def geo_closest_pair(
+    queries: DataFrame,
+    refs: DataFrame,
+    k: int = 1,
+    *,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    earth_radius_m: float = EARTH_RADIUS_M,
+) -> DataFrame:
+    """The ``k`` globally shortest geodesic edges between two sets —
+    the dual-tree k-th-shortest-edge search (``Search.hpp:169-194``)
+    under the great-circle metric. Returns (src, dst, dist_m, rank),
+    ordered/tie-broken by (dist_m, src, dst); zero-distance pairs are
+    skipped like the reference oracle (``ClosestPairOfSamples.hpp:54``).
+
+    Per-query exact geodesic (k+z)-NN over the spherical grid, then a
+    global top-k. ``z`` is the max number of refs at one exact
+    (lat, lon) — under the engine's float haversine, dist == 0.0 iff
+    the coordinate doubles are identical (any nonzero Δlon or Δlat,
+    including ±180° aliases and pole longitudes, yields h > 0), so the
+    coordinate group count is exactly the zero-distance multiplicity
+    and at least k positive edges survive each query's buffer."""
+    max_dup = (
+        refs.groupBy(lat_col, lon_col).count().agg(F.max("count")).first()[0]
+        or 1
+    )
+    knn = sphere_knn_join(
+        queries, refs, k + int(max_dup),
+        id_col=id_col, lat_col=lat_col, lon_col=lon_col,
+        earth_radius_m=earth_radius_m,
+    )
+    nn = knn.where(F.col("dist_m") > 0)
+    out = (
+        nn.orderBy("dist_m", "q_id", "r_id")
+        .limit(k)
+        .select(
+            F.col("q_id").alias("src"),
+            F.col("r_id").alias("dst"),
+            F.col("dist_m"),
+        )
+    )
+    if k > 1:
+        w = Window.orderBy("dist_m", "src", "dst")
+        out = out.withColumn("rank", F.row_number().over(w).cast("int"))
+    return carry(out, knn)
+
+
 # ------------------------------------------------------------ geodesic PIP
 
 GEO_RING_TYPE = (

@@ -531,3 +531,225 @@ def test_sphere_rasterize_vectorize_roundtrip(spark):
     # rasterized cover held the candidate
     for r in inside:
         assert r["cell"] in cover[r["tile_id"]]
+
+
+# --------------------------------------------------- geodesic clustering
+
+def _hav_matrix(pdf: pd.DataFrame) -> np.ndarray:
+    la, lo = pdf.lat.to_numpy(), pdf.lon.to_numpy()
+    return haversine_np(la[:, None], lo[:, None], la[None, :], lo[None, :])
+
+
+def _prim_hav(ids: np.ndarray, d: np.ndarray, core_k: int | None = None):
+    """Independent Prim over a precomputed haversine matrix (mutual
+    reachability when ``core_k``) — the metre-space twin of the
+    engine's chord-space Borůvka. [(src_id, dst_id, w_m), ...]."""
+    n = len(ids)
+    d = d.copy()
+    if core_k is not None:
+        core = np.sort(d, axis=1)[:, core_k - 1]
+        d = np.maximum(d, np.maximum(core[:, None], core[None, :]))
+        np.fill_diagonal(d, 0.0)
+    start = int(np.argmin(ids))
+    in_tree = np.zeros(n, bool)
+    in_tree[start] = True
+    best = d[start].copy()
+    src = np.full(n, start)
+    edges = []
+    for _ in range(n - 1):
+        j = int(np.where(in_tree, np.inf, best).argmin())
+        edges.append((int(ids[src[j]]), int(ids[j]), float(best[j])))
+        in_tree[j] = True
+        upd = d[j] < best
+        best[upd] = d[j][upd]
+        src[upd] = j
+    return edges
+
+
+def geo_cluster_pdf(seed: int = 7) -> pd.DataFrame:
+    """Three tight geographic clusters (pole cap, antimeridian
+    straddler, mid-latitude) + worldwide background noise."""
+    from ffcl_spark.kernels.geo import destination_point_np
+
+    rng = np.random.default_rng(seed)
+    las, los = [], []
+    for clat, clon in [(89.8, 0.0), (10.0, 179.95), (-35.0, 40.0)]:
+        la, lo = destination_point_np(
+            clat, clon, rng.uniform(0, 360, 30), rng.uniform(0, 0.35, 30)
+        )
+        las.append(la)
+        los.append(lo)
+    las.append(np.degrees(np.arcsin(rng.uniform(-1, 1, 40))))
+    los.append(rng.uniform(-180.0, 180.0, 40))
+    lat, lon = np.concatenate(las), np.concatenate(los)
+    return pd.DataFrame(
+        {"id": np.arange(len(lat), dtype=np.int64), "lat": lat, "lon": lon}
+    )
+
+
+@pytest.mark.parametrize("cutoff", [1000, 0])
+def test_geo_mst_matches_haversine_prim(spark, cutoff):
+    from ffcl_spark.operators.geo import geo_mst
+
+    pdf = world_pdf(80, seed=23)
+    df = spark.createDataFrame(pdf)
+    got = geo_mst(df, local_cutoff=cutoff).toPandas()
+    want = _prim_hav(pdf.id.to_numpy(), _hav_matrix(pdf))
+    np.testing.assert_allclose(
+        np.sort(got.w.to_numpy()),
+        np.sort([w for *_, w in want]),
+        rtol=1e-9, atol=1e-6,
+    )
+    got_set = {frozenset((int(s), int(t))) for s, t in zip(got.src, got.dst)}
+    assert got_set == {frozenset((s, t)) for s, t, _ in want}
+
+
+def test_geo_mst_mutual_reachability(spark):
+    # core_k routes through mutual reachability: max(core, core, d)
+    # commutes with the chord→metre transform, so the twin computes it
+    # directly in metre space
+    from ffcl_spark.operators.geo import geo_mst
+
+    pdf = world_pdf(70, seed=5)
+    df = spark.createDataFrame(pdf)
+    got = geo_mst(df, core_k=3, local_cutoff=1000).toPandas()
+    want = _prim_hav(pdf.id.to_numpy(), _hav_matrix(pdf), core_k=3)
+    np.testing.assert_allclose(
+        np.sort(got.w.to_numpy()),
+        np.sort([w for *_, w in want]),
+        rtol=1e-9, atol=1e-6,
+    )
+    got_set = {frozenset((int(s), int(t))) for s, t in zip(got.src, got.dst)}
+    assert got_set == {frozenset((s, t)) for s, t, _ in want}
+
+
+@pytest.mark.parametrize("knn_k", [1, 3])
+def test_geo_hdbscan_matches_local_pipeline(spark, knn_k):
+    from ffcl_spark.kernels.hierarchy import hdbscan_labels
+    from ffcl_spark.operators.geo import geo_hdbscan
+
+    pdf = geo_cluster_pdf()
+    df = spark.createDataFrame(pdf)
+    got = (
+        geo_hdbscan(
+            df, k_nearest_neighbors=knn_k, min_cluster_size=8,
+            allow_single_cluster=False, local_cutoff=1000,
+        )
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    edges = _prim_hav(
+        pdf.id.to_numpy(), _hav_matrix(pdf),
+        core_k=knn_k if knn_k > 1 else None,
+    )
+    want = hdbscan_labels(sorted(pdf.id.tolist()), edges, 8, False)
+    for pid, row in got.iterrows():
+        exp = want[pid]
+        if exp is None:
+            assert row.is_noise and row.label == 0
+        else:
+            assert not row.is_noise and row.label == exp
+    # the three planted clusters exist and are distinct
+    labs = [int(got.loc[i].label) for i in (0, 30, 60)]
+    assert len(set(labs)) == 3
+    assert not any(got.loc[i].is_noise for i in (0, 30, 60))
+
+
+def test_geo_single_linkage_cut_matches_local(spark):
+    from ffcl_spark.operators.geo import geo_single_linkage_cut
+
+    pdf = geo_cluster_pdf(seed=9)
+    df = spark.createDataFrame(pdf)
+    cut, min_size = 150_000.0, 5
+    edges = _prim_hav(pdf.id.to_numpy(), _hav_matrix(pdf))
+    # float-boundary margin: no merge level within 1 m of the cut
+    assert min(abs(w - cut) for *_, w in edges) > 1.0
+    parent = {int(i): int(i) for i in pdf.id}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, t, w in edges:
+        if w < cut:
+            parent[find(s)] = find(t)
+    comps: dict[int, list[int]] = {}
+    for i in pdf.id:
+        comps.setdefault(find(int(i)), []).append(int(i))
+    want = {}
+    for mem in comps.values():
+        lab = min(mem) if len(mem) >= min_size else 0
+        for m in mem:
+            want[m] = (lab, len(mem) < min_size)
+    got = (
+        geo_single_linkage_cut(df, cut, min_cluster_size=min_size, local_cutoff=1000)
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    for pid, row in got.iterrows():
+        assert (int(row.label), bool(row.is_noise)) == want[pid]
+
+
+def test_geo_closest_pair_brute(spark, world):
+    from ffcl_spark.operators.geo import geo_closest_pair
+
+    df, pdf = world
+    a_pd = pdf[pdf.id % 2 == 0].reset_index(drop=True)
+    b_pd = pdf[pdf.id % 2 == 1].reset_index(drop=True)
+    d = haversine_np(
+        a_pd.lat.to_numpy()[:, None], a_pd.lon.to_numpy()[:, None],
+        b_pd.lat.to_numpy()[None, :], b_pd.lon.to_numpy()[None, :],
+    )
+    flat = sorted(
+        (float(d[i, j]), int(a_pd.id[i]), int(b_pd.id[j]))
+        for i in range(len(a_pd))
+        for j in range(len(b_pd))
+        if d[i, j] > 0
+    )
+    got = (
+        geo_closest_pair(df.where("id % 2 = 0"), df.where("id % 2 = 1"), k=3)
+        .toPandas()
+        .sort_values("rank")
+    )
+    for r, (w, s, t) in zip(got.itertuples(), flat[:3]):
+        assert (r.src, r.dst) == (s, t)
+        assert r.dist_m == pytest.approx(w, rel=1e-9)
+
+
+def test_geo_closest_pair_skips_zero_distance(spark):
+    # three refs at EXACTLY a query's coordinates: the zero-distance
+    # multiplicity bound must still surface the true positive edge
+    from ffcl_spark.operators.geo import geo_closest_pair
+
+    q = spark.createDataFrame(
+        pd.DataFrame({"id": [1, 2], "lat": [10.0, -70.0], "lon": [30.0, 120.0]})
+    )
+    r = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [11, 12, 13, 14, 15],
+                "lat": [10.0, 10.0, 10.0, 10.001, -60.0],
+                "lon": [30.0, 30.0, 30.0, 30.0, -100.0],
+            }
+        )
+    )
+    got = geo_closest_pair(q, r, k=1).toPandas()
+    assert len(got) == 1
+    assert (int(got.src[0]), int(got.dst[0])) == (1, 14)
+    assert got.dist_m[0] > 0
+
+
+def test_geo_core_distances_brute(spark, world):
+    from ffcl_spark.operators.geo import geo_core_distances
+
+    df, pdf = world
+    k = 4
+    got = geo_core_distances(df, k).toPandas().set_index("id").sort_index()
+    want = np.sort(_hav_matrix(pdf), axis=1)[:, k - 1]  # self at column 0
+    np.testing.assert_allclose(
+        got.core_distance_m.to_numpy(), want, rtol=1e-9, atol=1e-6
+    )
