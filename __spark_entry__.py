@@ -295,7 +295,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id").cast("string").alias("id"),
             "core_distance",
         )
-        return d2.unionByName(nd)
+        # `geo` = the same k-th-NN-with-self contract under the
+        # great-circle metric over the spherical grid (r5) — the
+        # north-rule "DBSCAN-style core-distance assignment" on the
+        # sphere. Floored to metres; margins audited at sf0.01:
+        # nearest value 8.6e-5 m from a floor boundary (the same
+        # emitted set as the knn geo_search variant), smallest
+        # k-th/(k+1)-th gap 11.6 m — rank selection unambiguous.
+        from ffcl_spark.operators.geo import geo_core_distances
+
+        geo_pts = _doc_points(spark, sf).select(
+            "id", (F.col("x") * 3).alias("lat"), (F.col("y") * 6).alias("lon")
+        )
+        geo = geo_core_distances(geo_pts, K).select(
+            F.lit("geo").alias("variant"),
+            F.col("id").cast("string").alias("id"),
+            F.floor("core_distance_m").cast("double").alias("core_distance"),
+        )
+        return d2.unionByName(nd).unionByName(geo)
 
     def q_dup_spans(spark, sf):
         # substring-level exact dedup (r5): `spans` = positions of
@@ -390,7 +407,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dist",
             F.col("rank").cast("int").alias("rank"),
         )
-        return c1.unionByName(ck)
+        # `geo` = the same dual-set k-shortest-edge contract under the
+        # great-circle metric (r5): per-query geodesic kNN over the
+        # spherical grid → global top-k. Floored to metres; margins
+        # audited at sf0.01: nearest of the top edges sits 1.8e-2 m
+        # from a floor boundary, smallest edge gap 929 m.
+        from ffcl_spark.operators.geo import geo_closest_pair
+
+        gp = _doc_points(spark, sf).select(
+            "id", "offset",
+            (F.col("x") * 3).alias("lat"), (F.col("y") * 6).alias("lon"),
+        )
+        cg = geo_closest_pair(
+            gp.where(F.col("offset") == 0),
+            gp.where(F.col("offset") != 0),
+            k=K_EDGES,
+        ).select(
+            F.lit("geo").alias("variant"),
+            "src",
+            "dst",
+            F.floor("dist_m").cast("double").alias("dist"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+        return c1.unionByName(ck).unionByName(cg)
 
     def q_embed_moments(spark, sf):
         # exact distributed covariance of the 64-d embedding column
@@ -471,10 +510,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dist = minimum_spanning_tree(
             _mst_subset(spark, sf, mod=64), CFG, local_cutoff=0, driver_cutoff=0
         )
+        # `geo` = the mod-16 subset as worldwide lat/lon under the
+        # great-circle metric (r5): chord-space MST over the sphere
+        # embedding is exact by monotonicity, weights convert to
+        # metres. Floored to whole metres for the cross-engine compare
+        # (Spark chord-asin vs DuckDB haversine agree to ~1e-12 rel);
+        # margins audited at sf0.01: nearest weight sits 7.4e-3 m from
+        # a floor boundary, smallest consecutive-weight gap 131.6 m —
+        # both flooring- and rank-safe.
+        from pyspark.sql import Window
+
+        from ffcl_spark.operators.geo import geo_mst
+
+        geo_sub = _mst_subset(spark, sf).select(
+            "id", (F.col("x") * 3).alias("lat"), (F.col("y") * 6).alias("lon")
+        )
+        gw = Window.orderBy("w", "src", "dst")
+        geo = geo_mst(geo_sub, local_cutoff=2000).select(
+            F.row_number().over(gw).cast("int").alias("rank"),
+            F.floor("w").cast("double").alias("w"),
+        )
         return (
             _rank_weights(docs).withColumn("variant", F.lit("docs2d"))
             .unionByName(_rank_weights(nd).withColumn("variant", F.lit("nd8d")))
             .unionByName(_rank_weights(dist).withColumn("variant", F.lit("dist64")))
+            .unionByName(geo.withColumn("variant", F.lit("geo")))
         )
 
     def q_trajectory(spark, sf):
@@ -530,13 +590,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             nd_pts, CFG_ND, min_cluster_size=8, allow_single_cluster=False,
             features_col="features", local_cutoff=2000,
         )
+        # `geo` = the SAME doc subset as worldwide lat/lon under the
+        # great-circle metric (r5): chord-space MST over the sphere
+        # embedding, metre weights into the shared condense/select
+        # plan. Oracle: labels pinned by an INDEPENDENT haversine-
+        # matrix Prim + the same hierarchy kernels
+        # (scripts/make_hdbscan_oracle.py, hdbscan_geo pin).
+        from ffcl_spark.operators.geo import geo_hdbscan
+
+        geo_pts = _cluster_subset(spark, sf).select(
+            "id", (F.col("x") * 3).alias("lat"), (F.col("y") * 6).alias("lon")
+        )
+        geo = geo_hdbscan(
+            geo_pts, min_cluster_size=8, allow_single_cluster=False,
+            local_cutoff=2000,
+        )
         tag = lambda df, v: df.select(  # noqa: E731
             F.col("id").cast("string").alias("id"),
             F.col("label").cast("string").alias("label"),
             "is_noise",
             F.lit(v).alias("variant"),
         )
-        return tag(docs, "docs").unionByName(tag(nd, "nd"))
+        return (
+            tag(docs, "docs").unionByName(tag(nd, "nd")).unionByName(tag(geo, "geo"))
+        )
 
     def q_knn_nd_metrics(spark, sf):
         # n-D kNN under both metrics in one variant-tagged gate (r4
@@ -1622,6 +1699,18 @@ def oracle_sql() -> dict[str, str]:
     cell = _cell_expr("x", "y")
     o: dict[str, str] = {}
 
+    # haversine between q.(lat,lon) and r.(lat,lon) in metres — shared
+    # by every geodesic oracle member (search, DBSCAN, MST, core
+    # distance, pair edges); least(1.0, …) clamps the antipodal fold
+    _hav_qr = (
+        "2.0 * 6371008.8 * asin(sqrt(least(1.0, "
+        "pow(sin(radians(r.lat - q.lat)/2), 2) "
+        "+ cos(radians(q.lat)) * cos(radians(r.lat)) "
+        "* pow(sin(radians(r.lon - q.lon)/2), 2))))"
+    )
+    # the worldwide doc-point mapping used by all of them
+    _geo_cte = "geo AS (SELECT id, off, x*3 AS lat, y*6 AS lon FROM pts)"
+
     o["cell_index"] = f"WITH {_PTS_DOCS} SELECT id, x, y, {cell} AS cell FROM pts"
 
     # cell_rollup: every grid level recomputed DIRECTLY from the
@@ -1892,11 +1981,28 @@ SELECT src, dst, dist,
 FROM edges
 ORDER BY dist, src, dst LIMIT {K_EDGES}
 """
+    # geo: the same dual-set top-k under haversine; rank over the raw
+    # metre distances in a subquery, floor applied outside so the
+    # alias cannot shadow the window's ORDER BY column
+    _geo_pairs_sql = f"""
+WITH {_PTS_DOCS},
+{_geo_cte},
+edges AS (
+  SELECT q.id AS src, r.id AS dst, {_hav_qr} AS dist
+  FROM geo q CROSS JOIN geo r
+  WHERE q.off = 0 AND r.off != 0 AND {_hav_qr} > 0)
+SELECT src, dst, floor(dist) AS dist, rank FROM (
+  SELECT src, dst, dist,
+         CAST(row_number() OVER (ORDER BY dist, src, dst) AS INTEGER) AS rank
+  FROM edges ORDER BY dist, src, dst LIMIT {K_EDGES})
+"""
     o["pair_edges"] = f"""
 SELECT 'closest' AS variant, src, dst, dist, CAST(1 AS INTEGER) AS rank
 FROM ({_closest_sql})
 UNION ALL
 SELECT 'kth' AS variant, src, dst, dist, rank FROM ({_kth_sql})
+UNION ALL
+SELECT 'geo' AS variant, src, dst, dist, rank FROM ({_geo_pairs_sql})
 """
 
     # exact fixed-point embedding covariance: HUGEINT sums land on the
@@ -1995,12 +2101,38 @@ SELECT CAST(q_id AS VARCHAR) AS id, max(dist) AS core_distance
 FROM nn GROUP BY q_id
 """,
         ),
+        (
+            "geo",
+            f"""
+WITH {_PTS_DOCS},
+{_geo_cte},
+nn AS (
+  SELECT q.id AS q_id, {_hav_qr} AS dist,
+         row_number() OVER (PARTITION BY q.id ORDER BY {_hav_qr}, r.id) AS rnk
+  FROM geo q CROSS JOIN geo r QUALIFY rnk <= {K})
+SELECT CAST(q_id AS VARCHAR) AS id, floor(max(dist)) AS core_distance
+FROM nn GROUP BY q_id
+""",
+        ),
     )
 
+    # geo: the same recursive-CTE Prim over haversine distances on the
+    # worldwide mapping of the mod-16 subset; weights floored to whole
+    # metres (margin note at the Spark member)
+    _geo_mst_sub = (
+        "SELECT id, x*3 AS lat, y*6 AS lon FROM pts "
+        "WHERE CAST('0x' || substr(md5(id), 1, 8) AS BIGINT) % 16 = 0"
+    )
     o["mst_weights"] = _variants(
         ("docs2d", _prim_sql(_PTS_DOCS, _mst_sub_sql(16), _DIST)),
         ("nd8d", _prim_sql(nd_cte, "SELECT * FROM vecs WHERE id % 8 = 0", dist_nd)),
         ("dist64", _prim_sql(_PTS_DOCS, _mst_sub_sql(64), _DIST)),
+        (
+            "geo",
+            "SELECT rank, floor(w) AS w FROM (\n"
+            + _prim_sql(_PTS_DOCS, _geo_mst_sub, _hav_qr)
+            + "\n)",
+        ),
     )
 
     # n-D DBSCAN is SQL-expressible exactly like the 2-D gate: strict
@@ -2036,13 +2168,8 @@ FROM vecs LEFT JOIN lab l ON l.id = vecs.id
     # the merged gate casts the Spark side to string too — the 2-D
     # member is already string-labeled, so only the n-D twin casts
     # geo variant: same closure, pairs recomputed under haversine on
-    # the worldwide lat/lon mapping (margin note at GEO_DB_RADIUS_M)
-    _hav_qr = (
-        "2.0 * 6371008.8 * asin(sqrt(least(1.0, "
-        "pow(sin(radians(r.lat - q.lat)/2), 2) "
-        "+ cos(radians(q.lat)) * cos(radians(r.lat)) "
-        "* pow(sin(radians(r.lon - q.lon)/2), 2))))"
-    )
+    # the worldwide lat/lon mapping (margin note at GEO_DB_RADIUS_M);
+    # _hav_qr is the shared haversine defined at the top of oracle_sql
     _dbscan_geo_sql = f"""
 WITH RECURSIVE {_PTS_DOCS},
 geo AS (SELECT id, x*3 AS lat, y*6 AS lon FROM pts),
@@ -2867,6 +2994,7 @@ SELECT * FROM bm_rank UNION ALL SELECT * FROM ti_rank
     o["hdbscan_labels"] = _variants(
         ("docs", _values_sql(pins["hdbscan"], id_is_str=True)),
         ("nd", _values_sql(pins["hdbscan_nd"], id_is_str=True)),
+        ("geo", _values_sql(pins["hdbscan_geo"], id_is_str=True)),
     )
 
     # k-medoids gates: PAM decisions (medoid ids, nearest-medoid

@@ -67,6 +67,38 @@ def md5_mod(s: str, mod: int) -> int:
     return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % mod
 
 
+EARTH_RADIUS_M = 6_371_008.8
+
+
+def haversine_mat(lat: np.ndarray, lon: np.ndarray) -> np.ndarray:
+    p, l = np.radians(lat), np.radians(lon)
+    sp = np.sin((p[None, :] - p[:, None]) / 2)
+    sl = np.sin((l[None, :] - l[:, None]) / 2)
+    h = sp * sp + np.cos(p)[:, None] * np.cos(p)[None, :] * sl * sl
+    return 2 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.minimum(1.0, h)))
+
+
+def prim_matrix(ids: list, d: np.ndarray) -> list[tuple]:
+    """Prim over a precomputed distance matrix — the metre-space twin
+    of the engine's chord-space Borůvka (geo gate)."""
+    n = len(ids)
+    order = sorted(range(n), key=lambda i: ids[i])
+    start = order[0]
+    in_tree = np.zeros(n, bool)
+    in_tree[start] = True
+    best = d[start].copy()
+    src = np.full(n, start)
+    edges = []
+    for _ in range(n - 1):
+        j = int(np.where(in_tree, np.inf, best).argmin())
+        edges.append((ids[src[j]], ids[j], float(best[j])))
+        in_tree[j] = True
+        upd = d[j] < best
+        best[upd] = d[j][upd]
+        src[upd] = j
+    return edges
+
+
 def main() -> None:
     ids = doc_ids()
 
@@ -79,6 +111,21 @@ def main() -> None:
     labels = hdbscan_labels(sub_ids, edges, MIN_CLUSTER_SIZE, allow_single_cluster=False)
     pinned_2d = [
         [p, labels[p] if labels[p] is not None else "0", labels[p] is None]
+        for p in sub_ids
+    ]
+
+    # ---- geo gate: the SAME md5 %3 doc subset mapped onto the sphere
+    # (lat = x*3, lon = y*6 — one multiply each, bit-identical to the
+    # Spark mapping); MST recomputed by an independent haversine-matrix
+    # Prim in METRES (the engine runs chord-space Borůvka over the 3-D
+    # embedding and converts edge weights — a different metric
+    # computation path), then the same condense/select kernels
+    geo_edges = prim_matrix(sub_ids, haversine_mat(sub_xy[:, 0] * 3, sub_xy[:, 1] * 6))
+    geo_labels = hdbscan_labels(
+        sub_ids, geo_edges, MIN_CLUSTER_SIZE, allow_single_cluster=False
+    )
+    pinned_geo = [
+        [p, geo_labels[p] if geo_labels[p] is not None else "0", geo_labels[p] is None]
         for p in sub_ids
     ]
 
@@ -100,14 +147,17 @@ def main() -> None:
                 "min_cluster_size": MIN_CLUSTER_SIZE,
                 "hdbscan": pinned_2d,
                 "hdbscan_nd": pinned_nd,
+                "hdbscan_geo": pinned_geo,
             },
             f,
         )
     n_cl = len({r[1] for r in pinned_2d if not r[2]})
     n_cl_nd = len({r[1] for r in pinned_nd if not r[2]})
+    n_cl_geo = len({r[1] for r in pinned_geo if not r[2]})
     print(
         f"wrote {OUT}: hdbscan {len(pinned_2d)} rows / {n_cl} clusters, "
-        f"hdbscan_nd {len(pinned_nd)} rows / {n_cl_nd} clusters"
+        f"hdbscan_nd {len(pinned_nd)} rows / {n_cl_nd} clusters, "
+        f"hdbscan_geo {len(pinned_geo)} rows / {n_cl_geo} clusters"
     )
 
 
