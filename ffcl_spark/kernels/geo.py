@@ -137,3 +137,52 @@ def geo_brute_knn(
         order = np.lexsort((r_ids, row))[:k]
         out.append((r_ids[order], row[order]))
     return out
+
+
+def arc_boundary_distance_np(p: np.ndarray, ring_latlon: np.ndarray) -> np.ndarray:
+    """Angular distance (radians) from unit vectors ``p`` [n, 3] to the
+    CLOSED boundary of the spherical polygon ``ring_latlon`` [m, 2]
+    (edges = minor great-circle arcs) — exact spherical geometry.
+
+    Per edge (a, b) with great-circle normal n̂ = a×b/|a×b|: the foot
+    of the perpendicular from p onto the great circle is
+    g = normalize(p − (p·n̂)n̂); if g lies within the arc (same
+    orientation as a→b on both sides: (a×g)·n̂ ≥ 0 and (g×b)·n̂ ≥ 0)
+    the distance is the cross-track |asin(p·n̂)|, else the smaller
+    endpoint distance. atan2(|p×q|, p·q) is used for endpoint angles
+    (robust near 0 and π where acos loses precision). Points at the
+    great circle's pole (|p·n̂| → 1, foot undefined) fall through to
+    the endpoint branch, whose value π/2 is then exact."""
+    ring = np.asarray(ring_latlon, dtype=np.float64)
+    v = unit_vector_np(ring[:, 0], ring[:, 1])
+    a = v
+    b = np.roll(v, -1, axis=0)
+    p = np.asarray(p, dtype=np.float64)
+    best = np.full(len(p), np.inf)
+    for i in range(len(a)):
+        ai, bi = a[i], b[i]
+        ni = np.cross(ai, bi)
+        nn = np.linalg.norm(ni)
+        if nn < 1e-15:
+            # degenerate edge (duplicate or antipodal vertices): treat
+            # as the endpoint pair
+            on = np.zeros(len(p), dtype=bool)
+            d_ct = np.full(len(p), np.inf)
+        else:
+            ni = ni / nn
+            dt = p @ ni
+            g = p - dt[:, None] * ni
+            gn = np.linalg.norm(g, axis=1)
+            safe = gn > 1e-12
+            g = np.where(safe[:, None], g / np.where(safe, gn, 1.0)[:, None], g)
+            on = (
+                safe
+                & ((np.cross(np.broadcast_to(ai, p.shape), g) @ ni) >= 0)
+                & ((np.cross(g, np.broadcast_to(bi, p.shape)) @ ni) >= 0)
+            )
+            d_ct = np.abs(np.arcsin(np.clip(dt, -1.0, 1.0)))
+        d_a = np.arctan2(np.linalg.norm(np.cross(p, ai), axis=1), p @ ai)
+        d_b = np.arctan2(np.linalg.norm(np.cross(p, bi), axis=1), p @ bi)
+        d = np.where(on, d_ct, np.minimum(d_a, d_b))
+        best = np.minimum(best, d)
+    return best

@@ -880,6 +880,100 @@ def geo_pip_join(
     return cand.mapInPandas(verify_kernel, out_schema)
 
 
+def geo_nearest_tile(
+    points: DataFrame,
+    tiles: DataFrame,
+    *,
+    max_dist_m: float | None = None,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    earth_radius_m: float = EARTH_RADIUS_M,
+) -> DataFrame:
+    """Nearest spherical tile per point: (id, tile_id, dist_m) where
+    ``dist_m`` is the great-circle distance to the tile REGION (0 for
+    points inside or on the boundary), ties broken by ascending
+    tile_id. The geodesic twin of ``tiles.nearest_tile`` — the
+    nearest-zone assignment a tiling engine needs when no tile
+    contains the point.
+
+    Exact spherical geometry: containment via the gnomonic even-odd
+    kernel (great circles → straight lines), boundary distance via
+    per-edge perpendicular-foot / endpoint resolution
+    (``kernels.geo.arc_boundary_distance_np``). MAP-ONLY plan: tile
+    frames ship in the task closure (bounded tile-table contract,
+    same as the planar literal fold); one Arrow pass over the points,
+    no join, no shuffle. ``max_dist_m`` drops assignments farther than
+    the cap (the bounded-search form)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ffcl_spark.kernels.geo import (
+        arc_boundary_distance_np,
+        tile_frame_np,
+        unit_vector_np,
+    )
+    from ffcl_spark.kernels.pip import points_in_polygon
+
+    rows = sorted(
+        tiles.select("tile_id", "ring").collect(), key=lambda r: r["tile_id"]
+    )
+    local = []
+    for row in rows:
+        ring = np.array(
+            [[v["lat"], v["lon"]] for v in row["ring"]], dtype=np.float64
+        )
+        c, e1, e2, ring_xy, _ = tile_frame_np(ring)
+        local.append((row["tile_id"], c, e1, e2, ring_xy, ring))
+
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(lat_col).alias("lat"),
+        F.col(lon_col).alias("lon"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id", points.schema[id_col].dataType),
+            T.StructField("tile_id", T.StringType()),
+            T.StructField("dist_m", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            p = unit_vector_np(pdf["lat"].to_numpy(), pdf["lon"].to_numpy())
+            dmat = np.empty((len(pdf), len(local)), dtype=np.float64)
+            for j, (_, c, e1, e2, ring_xy, ring) in enumerate(local):
+                d = arc_boundary_distance_np(p, ring) * earth_radius_m
+                t = p @ c
+                ok = t > 1e-12
+                if ok.any():
+                    x = (p[ok] @ e1) / t[ok]
+                    y = (p[ok] @ e2) / t[ok]
+                    inside = points_in_polygon(x, y, ring_xy)
+                    idx = np.nonzero(ok)[0][inside]
+                    d[idx] = 0.0
+                dmat[:, j] = d
+            best = dmat.argmin(axis=1)  # first minimum = smallest tile_id
+            dist = dmat[np.arange(len(pdf)), best]
+            out = pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "tile_id": [local[j][0] for j in best],
+                    "dist_m": dist,
+                }
+            )
+            if max_dist_m is not None:
+                out = out[out["dist_m"] <= max_dist_m]
+            if len(out):
+                yield out
+
+    return pts.mapInPandas(kernel, out_schema)
+
+
 def sphere_rasterize(
     tiles: DataFrame, delta_deg: float, *, m_table: list[int] | None = None
 ) -> DataFrame:

@@ -753,3 +753,156 @@ def test_geo_core_distances_brute(spark, world):
     np.testing.assert_allclose(
         got.core_distance_m.to_numpy(), want, rtol=1e-9, atol=1e-6
     )
+
+
+# ----------------------------------------------------- nearest sphere tile
+
+def _sampled_boundary_dist(p, ring, steps=2500):
+    """Sampling twin: min angular distance from unit vectors p to
+    dense slerp samples of every arc (upper-bounds the true distance
+    by ~(arc/steps)^2/8 radians)."""
+    from ffcl_spark.kernels.geo import unit_vector_np
+
+    v = unit_vector_np(ring[:, 0], ring[:, 1])
+    best = np.full(len(p), np.inf)
+    for i in range(len(v)):
+        a, b = v[i], v[(i + 1) % len(v)]
+        ang = math.atan2(np.linalg.norm(np.cross(a, b)), float(a @ b))
+        t = np.linspace(0.0, 1.0, steps)
+        s = (np.sin((1 - t) * ang)[:, None] * a + np.sin(t * ang)[:, None] * b)
+        s /= np.linalg.norm(s, axis=1)[:, None]
+        d = np.arctan2(
+            np.linalg.norm(np.cross(p[:, None, :], s[None, :, :]), axis=2),
+            p @ s.T,
+        ).min(axis=1)
+        best = np.minimum(best, d)
+    return best
+
+
+def test_arc_boundary_distance_matches_sampling():
+    from ffcl_spark.kernels.geo import arc_boundary_distance_np, unit_vector_np
+    from ffcl_spark.operators.geo import sphere_tile_rings
+
+    rng = np.random.default_rng(4)
+    lat = np.degrees(np.arcsin(rng.uniform(-1, 1, 40)))
+    lon = rng.uniform(-180, 180, 40)
+    p = unit_vector_np(lat, lon)
+    for _, ring in sphere_tile_rings(12):
+        ring = np.array(ring)
+        got = arc_boundary_distance_np(p, ring)
+        want = _sampled_boundary_dist(p, ring)
+        # sampling yields an upper bound within its quantization error
+        assert (got <= want + 1e-12).all()
+        np.testing.assert_allclose(got, want, atol=2e-8)  # ~0.13 m
+
+
+def test_geo_nearest_tile_exact_offsets(spark):
+    # construct points at EXACTLY theta radians from an edge midpoint,
+    # perpendicular to the edge's great circle: the boundary distance
+    # is theta by construction (foot = the midpoint, inside the arc)
+    from ffcl_spark.kernels.geo import unit_vector_np
+    from ffcl_spark.operators.geo import (
+        geo_nearest_tile,
+        sphere_tile_rings,
+        sphere_tiles,
+    )
+
+    tid, ring = sphere_tile_rings(12)[7]  # (-5, -60), cap 7 deg, 6 verts
+    ring = np.array(ring)
+    v = unit_vector_np(ring[:, 0], ring[:, 1])
+    a, b = v[0], v[1]
+    g = a + b
+    g = g / np.linalg.norm(g)
+    n = np.cross(a, b)
+    n = n / np.linalg.norm(n)
+    rows = []
+    want = {}
+    for s, sign in (("out", 1.0), ("in", -1.0)):
+        for theta_deg in (0.05, 0.2):
+            th = math.radians(theta_deg)
+            q = g * math.cos(th) + sign * n * math.sin(th)
+            la = math.degrees(math.asin(q[2]))
+            lo = math.degrees(math.atan2(q[1], q[0]))
+            pid = f"{s}-{theta_deg}"
+            rows.append({"id": pid, "lat": la, "lon": lo})
+            want[pid] = (s, th)
+    pts = spark.createDataFrame(pd.DataFrame(rows))
+    got = (
+        geo_nearest_tile(pts, sphere_tiles(spark))
+        .toPandas()
+        .set_index("id")
+    )
+    from ffcl_spark.operators.geo import EARTH_RADIUS_M as R
+
+    # one of the two signs is inside the tile (dist 0), the other is
+    # outside at exactly theta*R
+    sides = {s: got.loc[f"{s}-0.05"].dist_m for s in ("out", "in")}
+    out_side = max(sides, key=sides.get)
+    in_side = "in" if out_side == "out" else "out"
+    for theta_deg in (0.05, 0.2):
+        r_out = got.loc[f"{out_side}-{theta_deg}"]
+        assert r_out.tile_id == tid
+        assert r_out.dist_m == pytest.approx(math.radians(theta_deg) * R, rel=1e-9)
+        r_in = got.loc[f"{in_side}-{theta_deg}"]
+        assert r_in.tile_id == tid and r_in.dist_m == 0.0
+
+
+def test_geo_nearest_tile_matches_sampling_twin(spark, world):
+    from ffcl_spark.kernels.geo import unit_vector_np
+    from ffcl_spark.operators.geo import (
+        EARTH_RADIUS_M as R,
+        geo_nearest_tile,
+        sphere_tile_rings,
+        sphere_tiles,
+    )
+
+    df, pdf = world
+    sub = pdf.iloc[:60]
+    p = unit_vector_np(sub.lat.to_numpy(), sub.lon.to_numpy())
+    rings = sphere_tile_rings(12)
+    dmat = np.stack(
+        [_sampled_boundary_dist(p, np.array(r)) * R for _, r in rings], axis=1
+    )
+    # inside points are distance 0 in the operator; mark them in the twin
+    from ffcl_spark.kernels.geo import spherical_pip_np
+
+    for j, (_, r) in enumerate(rings):
+        ins = spherical_pip_np(sub.lat.to_numpy(), sub.lon.to_numpy(), np.array(r))
+        dmat[ins, j] = 0.0
+    got = (
+        geo_nearest_tile(
+            df.where(df.id < 60), sphere_tiles(spark)
+        )
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    best = dmat.min(axis=1)
+    for i in range(len(sub)):
+        row = got.loc[int(sub.id.iloc[i])]
+        assert row.dist_m == pytest.approx(best[i], abs=1.0)
+        # argmin tile matches unless two tiles are sampling-close
+        order = np.sort(dmat[i])
+        if order[1] - order[0] > 2.0:
+            assert row.tile_id == rings[int(dmat[i].argmin())][0]
+
+
+def test_geo_nearest_tile_max_dist_and_pip_parity(spark, world):
+    from ffcl_spark.operators.geo import (
+        geo_nearest_tile,
+        geo_pip_join,
+        sphere_tiles,
+    )
+
+    df, _ = world
+    tiles = sphere_tiles(spark)
+    near = geo_nearest_tile(df, tiles).toPandas()
+    assert len(near) == df.count()  # total assignment without a cap
+    pip = geo_pip_join(df, tiles).toPandas()
+    # every pip containment appears as a zero-distance assignment (the
+    # fixture tiles are disjoint, so the nearest tile IS the container)
+    zero = near[near.dist_m == 0.0]
+    assert set(zip(pip.id, pip.tile_id)) == set(zip(zero.id, zero.tile_id))
+    capped = geo_nearest_tile(df, tiles, max_dist_m=500_000.0).toPandas()
+    assert (capped.dist_m <= 500_000.0).all()
+    assert len(capped) == (near.dist_m <= 500_000.0).sum()
