@@ -40,6 +40,7 @@ from ffcl_spark.config import EngineConfig
 from ffcl_spark.functions import cells as C
 from ffcl_spark.kernels.neighbors import pairwise_sq_2d
 from ffcl_spark.operators.search import radius_join
+from ffcl_spark.plans.cache import carry
 
 
 class UnionFind:
@@ -251,4 +252,7 @@ def _dbscan_from_pairs(
             F.col("label").isNull().alias("is_noise"),
         )
     )
-    return out
+    # persisted intermediates (the caller's pairs join + core/comp)
+    # ride the result for plans.cache.release — the one-shot-caller
+    # hand-off discipline every other persisting operator follows
+    return carry(out, pairs, core, comp)
