@@ -880,15 +880,40 @@ def geo_pip_join(
     return cand.mapInPandas(verify_kernel, out_schema)
 
 
+def nearest_tile_locals(tiles: DataFrame) -> list[tuple]:
+    """Collect a (bounded) tile table into the per-tile closure payload
+    :func:`geo_nearest_tile` ships to tasks: (tile_id, gnomonic frame,
+    projected ring, vertex ring), sorted by tile_id (the tie order).
+    Iterative/streaming callers compute this ONCE and pass it via
+    ``tile_locals=`` so a static tile set is not re-collected per
+    epoch (the ``hot_coarse_groups`` hoisting discipline)."""
+    import numpy as np
+
+    from ffcl_spark.kernels.geo import tile_frame_np
+
+    rows = sorted(
+        tiles.select("tile_id", "ring").collect(), key=lambda r: r["tile_id"]
+    )
+    local = []
+    for row in rows:
+        ring = np.array(
+            [[v["lat"], v["lon"]] for v in row["ring"]], dtype=np.float64
+        )
+        c, e1, e2, ring_xy, _ = tile_frame_np(ring)
+        local.append((row["tile_id"], c, e1, e2, ring_xy, ring))
+    return local
+
+
 def geo_nearest_tile(
     points: DataFrame,
-    tiles: DataFrame,
+    tiles: DataFrame | None,
     *,
     max_dist_m: float | None = None,
     id_col: str = "id",
     lat_col: str = "lat",
     lon_col: str = "lon",
     earth_radius_m: float = EARTH_RADIUS_M,
+    tile_locals: list[tuple] | None = None,
 ) -> DataFrame:
     """Nearest spherical tile per point: (id, tile_id, dist_m) where
     ``dist_m`` is the great-circle distance to the tile REGION (0 for
@@ -904,28 +929,19 @@ def geo_nearest_tile(
     frames ship in the task closure (bounded tile-table contract,
     same as the planar literal fold); one Arrow pass over the points,
     no join, no shuffle. ``max_dist_m`` drops assignments farther than
-    the cap (the bounded-search form)."""
+    the cap (the bounded-search form). ``tile_locals``: precomputed
+    :func:`nearest_tile_locals` payload for callers with a static tile
+    set (streaming epochs) — skips the per-call collect."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    from ffcl_spark.kernels.geo import (
-        arc_boundary_distance_np,
-        tile_frame_np,
-        unit_vector_np,
-    )
+    from ffcl_spark.kernels.geo import arc_boundary_distance_np, unit_vector_np
     from ffcl_spark.kernels.pip import points_in_polygon
 
-    rows = sorted(
-        tiles.select("tile_id", "ring").collect(), key=lambda r: r["tile_id"]
+    local = (
+        tile_locals if tile_locals is not None else nearest_tile_locals(tiles)
     )
-    local = []
-    for row in rows:
-        ring = np.array(
-            [[v["lat"], v["lon"]] for v in row["ring"]], dtype=np.float64
-        )
-        c, e1, e2, ring_xy, _ = tile_frame_np(ring)
-        local.append((row["tile_id"], c, e1, e2, ring_xy, ring))
 
     pts = points.select(
         F.col(id_col).alias("id"),

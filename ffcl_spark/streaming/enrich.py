@@ -95,3 +95,67 @@ def knn_enrich_stream(
     )
     q.awaitTermination()
     return q
+
+
+def geo_enrich_stream(
+    docs_stream: DataFrame,
+    tiles: DataFrame,
+    out_dir: str,
+    ckpt_dir: str,
+    *,
+    max_dist_m: float | None = None,
+    points_fn=None,
+):
+    """Start (availableNow) geodesic tile-assignment enrichment: per
+    micro-batch, map the batch's media points onto the sphere and
+    attach each point's nearest spherical tile (exact great-circle
+    boundary distance, 0 inside) — the streaming face of
+    ``operators.geo.geo_nearest_tile``.
+
+    Stateless per batch and MAP-ONLY per epoch: the tile frames are
+    computed ONCE here and closed over the handler (the
+    ``hot_coarse_groups`` hoisting discipline — a static tile set is
+    never re-collected per epoch), the kernel persists nothing, so
+    executor state stays O(tiles) for the life of the stream. Epoch
+    output lands in ``out_dir/epoch=<id>`` (idempotent overwrite on
+    replay, same discipline as ``knn_enrich_stream``).
+
+    ``points_fn`` maps a docs micro-batch to an (id, lat, lon) frame;
+    the default extracts media points under the engine's worldwide
+    test mapping lat = 3x, lon = 6y.
+    """
+    from pyspark.sql import functions as F
+
+    from ffcl_spark.operators.geo import geo_nearest_tile, nearest_tile_locals
+    from ffcl_spark.sources.points import media_points
+
+    tile_locals = nearest_tile_locals(tiles)
+    if points_fn is None:
+
+        def points_fn(batch: DataFrame) -> DataFrame:
+            p = media_points(batch)
+            return p.select(
+                "id",
+                (F.col("x") * 3).alias("lat"),
+                (F.col("y") * 6).alias("lon"),
+            )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = geo_nearest_tile(
+            points_fn(batch_df),
+            None,
+            max_dist_m=max_dist_m,
+            tile_locals=tile_locals,
+        )
+        out.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    q = (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -256,3 +256,37 @@ def test_knn_enrich_stream_no_cache_growth(spark, tmp_path):
     # no amount of GC would remove
     assert n_stream_persistent() == 0
     refs.unpersist()
+
+
+def test_geo_enrich_stream_matches_batch(spark, tmp_path):
+    from ffcl_spark.operators.geo import geo_nearest_tile, sphere_tiles
+    from ffcl_spark.sources.docs import synth_docs
+    from ffcl_spark.sources.points import media_points
+    from ffcl_spark.streaming.enrich import geo_enrich_stream, read_docs_stream
+
+    base = spark.range(300).withColumn("text", F.lit("t"))
+    docs = synth_docs(base, "id", "text")
+    tiles = sphere_tiles(spark)
+
+    drop = str(tmp_path / "geo_drop")
+    out = str(tmp_path / "geo_out")
+    ckpt = str(tmp_path / "geo_ckpt")
+    docs.repartition(3).write.parquet(drop)
+
+    geo_enrich_stream(read_docs_stream(spark, drop), tiles, out, ckpt)
+    got = spark.read.parquet(f"{out}/epoch=*").toPandas()
+
+    pts = media_points(docs).select(
+        "id", (F.col("x") * 3).alias("lat"), (F.col("y") * 6).alias("lon")
+    )
+    exp = geo_nearest_tile(pts, tiles).toPandas()
+    key = ["id", "tile_id"]
+    assert len(got) == len(exp)
+    g = got.sort_values(key).reset_index(drop=True)
+    e = exp.sort_values(key).reset_index(drop=True)
+    assert g[key].equals(e[key])
+    assert (g.dist_m.to_numpy() == e.dist_m.to_numpy()).all()
+
+    # restart on the same checkpoint: nothing new consumed, output intact
+    geo_enrich_stream(read_docs_stream(spark, drop), tiles, out, ckpt)
+    assert len(spark.read.parquet(f"{out}/epoch=*").toPandas()) == len(exp)
