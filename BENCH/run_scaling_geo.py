@@ -6,10 +6,12 @@ threads this box hits a memory-bandwidth ceiling a real multi-node
 cluster does not have; see BENCH/BASELINE.md round-3 note).
 
 Input: the deterministic 913,722-point sf0.1 media-point table mapped
-worldwide (lat = 3x, lon = 6y); the radius join runs on its xxhash64
-1/2 subset (456,632 points) so one local[1] rep stays in minutes.
-Per level, REPS runs; per-stage minima are kept (min is the
-noise-robust estimator in this shared sandbox).
+worldwide (lat = 3x, lon = 6y); the radius join runs on the FULL set
+(≈143M output pairs — first calibration on a 1/2 subset produced
+~29 s local[1] walls where fixed job/Arrow overheads distorted the
+ratio) and the nearest-tile stage on a ×4 replication (3.65M points)
+for the same reason. Per level, REPS runs; per-stage minima are kept
+(min is the noise-robust estimator in this shared sandbox).
 
     python BENCH/run_scaling_geo.py [reps]
 """
@@ -49,20 +51,22 @@ geo = pts.select(
     "id", (F.col("x") * 3).alias("lat"), (F.col("y") * 6).alias("lon")
 ).cache()
 n = geo.count()
-sub = geo.where(F.pmod(F.xxhash64("id"), F.lit(2)) == 0).cache()
-n_sub = sub.count()
 
 t0 = time.time()
-rad_rows = geo_radius_join(sub, sub, 100_000.0).count()
+rad_rows = geo_radius_join(geo, geo, 100_000.0).count()
 t_rad = time.time() - t0
 
+big = geo.crossJoin(
+    spark.range(4).select(F.col("id").alias("rep"))
+).select(F.concat_ws("#", "id", "rep").alias("id"), "lat", "lon").cache()
+n_big = big.count()
 tiles = sphere_tiles(spark)
 t0 = time.time()
-near_rows = geo_nearest_tile(geo, tiles).count()
+near_rows = geo_nearest_tile(big, tiles).count()
 t_near = time.time() - t0
 
 print(json.dumps({
-    "cpus": cpus, "n_points": n, "n_sub": n_sub,
+    "cpus": cpus, "n_points": n, "n_big": n_big,
     "geo_radius": round(t_rad, 2), "geo_radius_rows": rad_rows,
     "geo_nearest": round(t_near, 2), "geo_nearest_rows": near_rows,
 }))

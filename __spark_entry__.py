@@ -1001,7 +1001,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.floor("dist_m").cast("long").alias("dist_floor_m"),
             F.lit(None).cast("int").alias("rank"),
         )
-        return out.unionByName(near)
+        # overlay variant (r5): spherical tile↔tile intersection pairs
+        # between the fixture tiles and their 2°-shifted copies — the
+        # exact great-circle overlay (transversal arc crossings via
+        # ±(n̂1×n̂2) within-both-arcs sign tests + mutual first-vertex
+        # containment). The oracle recomputes every arc-pair decision
+        # in SQL from edge/normal literals; margin audit at sf0.01:
+        # see the comment at the oracle's ovcross CTE.
+        ov = GEO.sphere_overlay_join(
+            tiles, GEO.sphere_tiles_shifted(spark)
+        ).select(
+            F.lit("overlay").alias("variant"),
+            F.col("a_id").alias("q_id"),
+            F.col("b_id").alias("r_id"),
+            F.lit(None).cast("long").alias("dist_floor_m"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+        return out.unionByName(near).unionByName(ov)
 
     def q_dedup_groups(spark, sf):
         # near-dup GROUP closure over the verified MinHash pairs (r4):
@@ -2541,18 +2557,17 @@ SELECT 'pairs' AS variant, CAST(id_a AS VARCHAR) AS a, CAST(id_b AS VARCHAR) AS 
 FROM scored WHERE jaccard >= {JACCARD_T}
 """
 
-    def _pip_edge_values() -> str:
-        # inward great-circle edge normals of the convex spherical
-        # fixture tiles, precomputed once (pure NumPy, same vertices
-        # the Spark side builds its tiles from) and embedded as
-        # full-precision literals — the half-space containment oracle
+    def _halfspace_values(rings) -> str:
+        # inward great-circle edge normals of convex spherical tiles,
+        # precomputed once (pure NumPy, same vertices the Spark side
+        # builds its tiles from) and embedded as full-precision
+        # literals — the half-space containment oracle
         import numpy as np
 
         from ffcl_spark.kernels.geo import unit_vector_np
-        from ffcl_spark.operators.geo import sphere_tile_rings
 
         rows = []
-        for tid, ring in sphere_tile_rings():
+        for tid, ring in rings:
             ring = np.array(ring)
             v = unit_vector_np(ring[:, 0], ring[:, 1])
             c = v.mean(0)
@@ -2564,18 +2579,20 @@ FROM scored WHERE jaccard >= {JACCARD_T}
                 rows.append(f"('{tid}', {e[0]!r}, {e[1]!r}, {e[2]!r})")
         return ",\n  ".join(rows)
 
-    def _nearest_edge_values() -> str:
-        # every great-circle edge of the fixture tiles as full-
-        # precision literals: endpoint unit vectors + the edge plane's
-        # unit normal (cross(a, b) orientation — the same convention
-        # the kernel uses, so the on-arc sign tests agree)
+    def _pip_edge_values() -> str:
+        from ffcl_spark.operators.geo import sphere_tile_rings
+
+        return _halfspace_values(sphere_tile_rings())
+
+    def _arc_edge_values(rings) -> str:
+        # (tile, endpoint unit vectors, unit edge normal) per great-
+        # circle edge — cross(a, b) orientation, the kernel's convention
         import numpy as np
 
         from ffcl_spark.kernels.geo import unit_vector_np
-        from ffcl_spark.operators.geo import sphere_tile_rings
 
         rows = []
-        for tid, ring in sphere_tile_rings():
+        for tid, ring in rings:
             v = unit_vector_np(
                 np.array([la for la, _ in ring]), np.array([lo for _, lo in ring])
             )
@@ -2588,6 +2605,27 @@ FROM scored WHERE jaccard >= {JACCARD_T}
                     f"{b[0]!r}, {b[1]!r}, {b[2]!r}, {n[0]!r}, {n[1]!r}, {n[2]!r})"
                 )
         return ",\n  ".join(rows)
+
+    def _vertex0_values(rings) -> str:
+        # first ring vertex as a unit vector — the kernel's containment
+        # witness point
+        import numpy as np
+
+        from ffcl_spark.kernels.geo import unit_vector_np
+
+        rows = []
+        for tid, ring in rings:
+            la, lo = ring[0]
+            v = unit_vector_np(np.array([la]), np.array([lo]))[0]
+            rows.append(f"('{tid}', {v[0]!r}, {v[1]!r}, {v[2]!r})")
+        return ",\n  ".join(rows)
+
+    def _nearest_edge_values() -> str:
+        # every great-circle edge of the fixture tiles as literals —
+        # the shared _arc_edge_values form
+        from ffcl_spark.operators.geo import sphere_tile_rings
+
+        return _arc_edge_values(sphere_tile_rings())
 
     # per-edge boundary distance, recomputed in SQL: perpendicular
     # foot g = p − (p·n̂)n̂ lies on the arc iff both orientation signs
@@ -2648,8 +2686,73 @@ hav AS (SELECT q.id AS q_id, r.id AS r_id,
     _nearest_ctes = _nearest_sql.replace("{EDGES}", _nearest_edge_values()).replace(
         "{PIPEDGES}", _pip_edge_values()
     )
+
+    # overlay CTEs: every (edge of A) × (edge of B) × (±) candidate
+    # great-circle intersection t = ±(n̂1×n̂2), accepted when t lies
+    # within BOTH arcs (the kernel's transversal test, dots normalized
+    # by |t| so the -1e-12 tolerance matches the kernel's normalized
+    # s); plus mutual first-vertex containment via the convex
+    # half-space literals. The kernel's same-great-circle branch is
+    # omitted: the margin audit shows min |n̂1×n̂2| = 1.9e-3 across all
+    # 4,096 edge pairs of this fixture — no pair is near-collinear.
+    # Decision margins: min |within-arc dot| 1.3e-4, min |containment
+    # half-space dot| 6.0e-5 — ≥ 10^7 × cross-engine trig slop.
+    from ffcl_spark.operators.geo import (
+        sphere_tile_rings as _base_rings,
+        sphere_tile_rings_shifted as _shift_rings,
+    )
+
+    def _ov_within(a1, a2, n):
+        c1 = (
+            f"(({a1}y*tz - {a1}z*ty)*{n}x + ({a1}z*tx - {a1}x*tz)*{n}y"
+            f" + ({a1}x*ty - {a1}y*tx)*{n}z) / tn >= -1e-12"
+        )
+        c2 = (
+            f"((ty*{a2}z - tz*{a2}y)*{n}x + (tz*{a2}x - tx*{a2}z)*{n}y"
+            f" + (tx*{a2}y - ty*{a2}x)*{n}z) / tn >= -1e-12"
+        )
+        return f"({c1} AND {c2})"
+
+    _overlay_ctes = f"""
+ovea AS (SELECT * FROM (VALUES
+  {_arc_edge_values(_base_rings())}) t(ta, a1x, a1y, a1z, a2x, a2y, a2z, n1x, n1y, n1z)),
+oveb AS (SELECT * FROM (VALUES
+  {_arc_edge_values(_shift_rings())}) t(tb, b1x, b1y, b1z, b2x, b2y, b2z, n2x, n2y, n2z)),
+ovraw AS (
+  SELECT ta, tb,
+         sg * (n1y*n2z - n1z*n2y) AS tx,
+         sg * (n1z*n2x - n1x*n2z) AS ty,
+         sg * (n1x*n2y - n1y*n2x) AS tz,
+         a1x, a1y, a1z, a2x, a2y, a2z, n1x, n1y, n1z,
+         b1x, b1y, b1z, b2x, b2y, b2z, n2x, n2y, n2z
+  FROM ovea CROSS JOIN oveb CROSS JOIN (VALUES (1.0), (-1.0)) s(sg)),
+ovtn AS (SELECT *, sqrt(tx*tx + ty*ty + tz*tz) AS tn FROM ovraw),
+ovcross AS (
+  SELECT DISTINCT ta, tb FROM ovtn
+  WHERE tn > 1e-12
+    AND {_ov_within("a1", "a2", "n1")}
+    AND {_ov_within("b1", "b2", "n2")}),
+ovina AS (
+  SELECT h.tile_id AS ta, b0.tb
+  FROM (VALUES
+  {_vertex0_values(_shift_rings())}) b0(tb, px, py, pz)
+  CROSS JOIN (VALUES
+  {_halfspace_values(_base_rings())}) h(tile_id, nx, ny, nz)
+  GROUP BY 1, 2 HAVING min(h.nx*b0.px + h.ny*b0.py + h.nz*b0.pz) >= 0),
+ovinb AS (
+  SELECT a0.ta, h.tile_id AS tb
+  FROM (VALUES
+  {_vertex0_values(_base_rings())}) a0(ta, px, py, pz)
+  CROSS JOIN (VALUES
+  {_halfspace_values(_shift_rings())}) h(tile_id, nx, ny, nz)
+  GROUP BY 1, 2 HAVING min(h.nx*a0.px + h.ny*a0.py + h.nz*a0.pz) >= 0),
+ovpairs AS (
+  SELECT ta, tb FROM ovcross
+  UNION SELECT ta, tb FROM ovina
+  UNION SELECT ta, tb FROM ovinb)
+"""
     o["geo_search"] = f"""
-WITH {_PTS_DOCS}, {_geo_hav}, {_nearest_ctes},
+WITH {_PTS_DOCS}, {_geo_hav}, {_nearest_ctes}, {_overlay_ctes},
 plans(pl) AS (VALUES ('sphere'), ('embed'))
 SELECT 'radius_' || pl AS variant, q_id, r_id,
        CAST(floor(dist) AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
@@ -2681,6 +2784,10 @@ UNION ALL
 SELECT 'nearest' AS variant, tile_id AS q_id, id AS r_id,
        CAST(floor(dist) AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
 FROM gnear WHERE rk = 1
+UNION ALL
+SELECT 'overlay' AS variant, ta AS q_id, tb AS r_id,
+       CAST(NULL AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
+FROM ovpairs
 """
 
     # group closure over the same verified pairs: recursive min-label

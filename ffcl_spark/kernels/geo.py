@@ -186,3 +186,81 @@ def arc_boundary_distance_np(p: np.ndarray, ring_latlon: np.ndarray) -> np.ndarr
         d = np.where(on, d_ct, np.minimum(d_a, d_b))
         best = np.minimum(best, d)
     return best
+
+
+OVERLAY_EPS = 1e-12
+
+
+def _within_arc_grid(P, A1, A2, n1):
+    """Boolean [m, k]: P[j] lies on the minor arc A1[i]→A2[i] side
+    tests (assumes P on the arc's great circle; tolerance counts
+    endpoint touches). All inputs unit vectors."""
+    c1 = (np.cross(A1[:, None, :], P[None, :, :]) * n1[:, None, :]).sum(-1)
+    c2 = (np.cross(P[None, :, :], A2[:, None, :]) * n1[:, None, :]).sum(-1)
+    return (c1 >= -OVERLAY_EPS) & (c2 >= -OVERLAY_EPS)
+
+
+def sphere_arcs_cross(va: np.ndarray, vb: np.ndarray) -> bool:
+    """True iff some edge arc of ring A meets some edge arc of ring B
+    (proper crossing, T-touch, endpoint touch, or same-great-circle
+    overlap) — the spherical twin of ``kernels.overlay.segments_cross``.
+    Inputs are rings of unit vectors [m, 3] / [k, 3]; edges are minor
+    great-circle arcs (the tile cap contract).
+
+    Transversal case: the two great circles meet at ±t with
+    t = n̂1×n̂2; the arcs share a point iff one of ±t lies within both
+    arcs (orientation sign tests). Degenerate case (same great circle,
+    |t| ≈ 0): the arcs overlap iff an endpoint of one lies within the
+    other arc."""
+    A1, A2 = va, np.roll(va, -1, axis=0)
+    B1, B2 = vb, np.roll(vb, -1, axis=0)
+    n1 = np.cross(A1, A2)
+    n1 = n1 / np.linalg.norm(n1, axis=1, keepdims=True)
+    n2 = np.cross(B1, B2)
+    n2 = n2 / np.linalg.norm(n2, axis=1, keepdims=True)
+    t = np.cross(n1[:, None, :], n2[None, :, :])  # [m, k, 3]
+    tn = np.linalg.norm(t, axis=2)
+    transversal = tn > 1e-12
+    tt = t / np.where(transversal, tn, 1.0)[..., None]
+    hit = np.zeros(tn.shape, dtype=bool)
+    for sign in (1.0, -1.0):
+        s = sign * tt
+        wa = (
+            ((np.cross(A1[:, None, :], s) * n1[:, None, :]).sum(-1) >= -OVERLAY_EPS)
+            & ((np.cross(s, A2[:, None, :]) * n1[:, None, :]).sum(-1) >= -OVERLAY_EPS)
+        )
+        wb = (
+            ((np.cross(B1[None, :, :], s) * n2[None, :, :]).sum(-1) >= -OVERLAY_EPS)
+            & ((np.cross(s, B2[None, :, :]) * n2[None, :, :]).sum(-1) >= -OVERLAY_EPS)
+        )
+        hit |= transversal & wa & wb
+    if hit.any():
+        return True
+    if (~transversal).any():
+        # same great circle: endpoint-membership overlap test
+        inb = (
+            _within_arc_grid(B1, A1, A2, n1)
+            | _within_arc_grid(B2, A1, A2, n1)
+            | _within_arc_grid(A1, B1, B2, n2).T
+            | _within_arc_grid(A2, B1, B2, n2).T
+        )
+        if (inb & ~transversal).any():
+            return True
+    return False
+
+
+def sphere_polys_intersect(ring_a: np.ndarray, ring_b: np.ndarray) -> bool:
+    """Two spherical polygons (minor great-circle arc edges, each tile
+    smaller than a hemisphere) share at least one point — boundary
+    touch counts, same semantics as the planar overlay kernel:
+    (a) some arc of A meets some arc of B, or (b) a vertex of one lies
+    inside the other (containment with no boundary contact)."""
+    ring_a = np.asarray(ring_a, dtype=np.float64)
+    ring_b = np.asarray(ring_b, dtype=np.float64)
+    va = unit_vector_np(ring_a[:, 0], ring_a[:, 1])
+    vb = unit_vector_np(ring_b[:, 0], ring_b[:, 1])
+    if sphere_arcs_cross(va, vb):
+        return True
+    if spherical_pip_np(ring_b[:1, 0], ring_b[:1, 1], ring_a)[0]:
+        return True
+    return bool(spherical_pip_np(ring_a[:1, 0], ring_a[:1, 1], ring_b)[0])

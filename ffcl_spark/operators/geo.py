@@ -713,6 +713,37 @@ def sphere_tiles(spark, n_tiles: int = 12) -> DataFrame:
     return spark.createDataFrame(rows, f"tile_id string, ring {GEO_RING_TYPE}")
 
 
+def sphere_tile_rings_shifted(
+    arc_deg: float = 2.0, bearing_deg: float = 40.0, n_tiles: int = 12
+) -> list[tuple[str, list[tuple[float, float]]]]:
+    """The fixture tiles with every vertex moved ``arc_deg`` along
+    ``bearing_deg`` — a deterministic partially-overlapping second
+    layer for the overlay tests and gate."""
+    import numpy as np
+
+    from ffcl_spark.kernels.geo import destination_point_np
+
+    out = []
+    for tid, ring in sphere_tile_rings(n_tiles):
+        moved = []
+        for la0, lo0 in ring:
+            la, lo = destination_point_np(la0, lo0, np.array([bearing_deg]), arc_deg)
+            moved.append((float(la[0]), float(lo[0])))
+        out.append((f"s-{tid}", moved))
+    return out
+
+
+def sphere_tiles_shifted(
+    spark, arc_deg: float = 2.0, bearing_deg: float = 40.0, n_tiles: int = 12
+) -> DataFrame:
+    """:func:`sphere_tile_rings_shifted` as a DataFrame."""
+    rows = [
+        {"tile_id": tid, "ring": [{"lat": la, "lon": lo} for la, lo in ring]}
+        for tid, ring in sphere_tile_rings_shifted(arc_deg, bearing_deg, n_tiles)
+    ]
+    return spark.createDataFrame(rows, f"tile_id string, ring {GEO_RING_TYPE}")
+
+
 def _tile_locals(tiles_rows, delta_deg: float, m_table: list[int]):
     """Collected tile rows → per-tile closure payload: (tile_id,
     gnomonic frame, projected ring, padded spherical cell cover)."""
@@ -1034,6 +1065,69 @@ def sphere_rasterize(
                 yield pd.concat(outs, ignore_index=True)
 
     return tiles.select("tile_id", "ring").mapInPandas(cover_kernel, cov_schema)
+
+
+def sphere_overlay_join(
+    tiles_a: DataFrame,
+    tiles_b: DataFrame,
+    delta_deg: float = 5.0,
+) -> DataFrame:
+    """Spherical polygon-polygon overlay: (a_id, b_id) pairs of tiles
+    that share at least one point (boundary touch counts) — the
+    geodesic twin of ``tiles.overlay_join``, exact great-circle
+    geometry throughout.
+
+    Candidates come from the spherical raster form: both sides explode
+    over their padded cap-cover cells (``sphere_rasterize``, computed
+    DISTRIBUTED) and equi-join on the latitude-band cell key. The
+    cover is a conservative superset, so intersecting tiles always
+    share a cell — no false negatives; pair work is candidate-bounded,
+    never |A|·|B|. The exact test runs Arrow-batched per candidate
+    pair (``kernels.geo.sphere_polys_intersect``: transversal arc
+    crossings via ±(n̂1×n̂2) within-both-arcs sign tests, a
+    same-great-circle overlap branch, and mutual vertex containment
+    via the gnomonic kernel). Poles and the antimeridian are not
+    special cases. Self-pairs appear when both sides are one table."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ffcl_spark.kernels.geo import sphere_polys_intersect
+
+    m_table = S.band_m_table(delta_deg)
+    a = sphere_rasterize(tiles_a, delta_deg, m_table=m_table).select(
+        F.col("tile_id").alias("a_id"), F.col("ring").alias("ring_a"), "cell"
+    )
+    b = sphere_rasterize(tiles_b, delta_deg, m_table=m_table).select(
+        F.col("tile_id").alias("b_id"), F.col("ring").alias("ring_b"), "cell"
+    )
+    cand = a.join(b, "cell").dropDuplicates(["a_id", "b_id"])
+
+    out_schema = T.StructType(
+        [T.StructField("a_id", T.StringType()), T.StructField("b_id", T.StringType())]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep_a, keep_b = [], []
+            for row in pdf.itertuples(index=False):
+                ra = np.array(
+                    [[v["lat"], v["lon"]] for v in row.ring_a], dtype=np.float64
+                )
+                rb = np.array(
+                    [[v["lat"], v["lon"]] for v in row.ring_b], dtype=np.float64
+                )
+                if sphere_polys_intersect(ra, rb):
+                    keep_a.append(row.a_id)
+                    keep_b.append(row.b_id)
+            if keep_a:
+                yield pd.DataFrame({"a_id": keep_a, "b_id": keep_b})
+
+    return cand.select("a_id", "b_id", "ring_a", "ring_b").mapInPandas(
+        kernel, out_schema
+    )
 
 
 def sphere_vectorize(

@@ -906,3 +906,65 @@ def test_geo_nearest_tile_max_dist_and_pip_parity(spark, world):
     capped = geo_nearest_tile(df, tiles, max_dist_m=500_000.0).toPandas()
     assert (capped.dist_m <= 500_000.0).all()
     assert len(capped) == (near.dist_m <= 500_000.0).sum()
+
+
+# ------------------------------------------------------ spherical overlay
+
+def shifted_tile_rings(arc_deg: float = 2.0, bearing: float = 40.0):
+    from ffcl_spark.operators.geo import sphere_tile_rings_shifted
+
+    return sphere_tile_rings_shifted(arc_deg, bearing)
+
+
+def _rings_df(spark, rings):
+    from ffcl_spark.operators.geo import GEO_RING_TYPE
+
+    rows = [
+        {"tile_id": tid, "ring": [{"lat": la, "lon": lo} for la, lo in ring]}
+        for tid, ring in rings
+    ]
+    return spark.createDataFrame(rows, f"tile_id string, ring {GEO_RING_TYPE}")
+
+
+def test_sphere_overlay_matches_brute(spark):
+    from ffcl_spark.kernels.geo import sphere_polys_intersect
+    from ffcl_spark.operators.geo import sphere_overlay_join, sphere_tile_rings, sphere_tiles
+
+    a_rings = sphere_tile_rings(12)
+    b_rings = shifted_tile_rings()
+    want = {
+        (ta, tb)
+        for ta, ra in a_rings
+        for tb, rb in b_rings
+        if sphere_polys_intersect(np.array(ra), np.array(rb))
+    }
+    got = sphere_overlay_join(sphere_tiles(spark), _rings_df(spark, b_rings)).toPandas()
+    assert set(zip(got.a_id, got.b_id)) == want
+    # every shifted tile overlaps its own original (2 deg shift < tile size)
+    assert all((tid, f"s-{tid}") in want for tid, _ in a_rings)
+
+
+def test_sphere_overlay_self_join_disjoint_fixture(spark):
+    from ffcl_spark.operators.geo import sphere_overlay_join, sphere_tiles
+
+    tiles = sphere_tiles(spark)
+    got = sphere_overlay_join(tiles, tiles).toPandas()
+    # the 12 fixture caps are pairwise disjoint: only self pairs
+    assert sorted(zip(got.a_id, got.b_id)) == sorted(
+        (t, t) for t in got.a_id.unique()
+    )
+    assert len(got) == 12
+
+
+def test_sphere_overlay_containment_no_edge_cross(spark):
+    from ffcl_spark.operators.geo import sphere_overlay_join
+
+    sq = lambda clat, clon, h: [  # noqa: E731
+        (clat - h, clon - h), (clat - h, clon + h),
+        (clat + h, clon + h), (clat + h, clon - h),
+    ]
+    big = _rings_df(spark, [("big", sq(10.0, 20.0, 12.0))])
+    small = _rings_df(spark, [("small", sq(10.0, 20.0, 2.0))])
+    far = _rings_df(spark, [("far", sq(-40.0, -120.0, 2.0))])
+    got = sphere_overlay_join(big, small.unionByName(far)).toPandas()
+    assert set(zip(got.a_id, got.b_id)) == {("big", "small")}
