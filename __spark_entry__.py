@@ -2576,7 +2576,10 @@ FROM scored WHERE jaccard >= {JACCARD_T}
             if (nrm @ c < 0).all():
                 nrm = -nrm
             for e in nrm:
-                rows.append(f"('{tid}', {e[0]!r}, {e[1]!r}, {e[2]!r})")
+                rows.append(
+                    f"('{tid}', CAST({e[0]!r} AS DOUBLE), "
+                    f"CAST({e[1]!r} AS DOUBLE), CAST({e[2]!r} AS DOUBLE))"
+                )
         return ",\n  ".join(rows)
 
     def _pip_edge_values() -> str:
@@ -2600,10 +2603,11 @@ FROM scored WHERE jaccard >= {JACCARD_T}
             for a, b in zip(v, w):
                 n = np.cross(a, b)
                 n = n / np.linalg.norm(n)
-                rows.append(
-                    f"('{tid}', {a[0]!r}, {a[1]!r}, {a[2]!r}, "
-                    f"{b[0]!r}, {b[1]!r}, {b[2]!r}, {n[0]!r}, {n[1]!r}, {n[2]!r})"
+                vals = ", ".join(
+                    f"CAST({x!r} AS DOUBLE)"
+                    for x in (a[0], a[1], a[2], b[0], b[1], b[2], n[0], n[1], n[2])
                 )
+                rows.append(f"('{tid}', {vals})")
         return ",\n  ".join(rows)
 
     def _vertex0_values(rings) -> str:
@@ -2617,7 +2621,10 @@ FROM scored WHERE jaccard >= {JACCARD_T}
         for tid, ring in rings:
             la, lo = ring[0]
             v = unit_vector_np(np.array([la]), np.array([lo]))[0]
-            rows.append(f"('{tid}', {v[0]!r}, {v[1]!r}, {v[2]!r})")
+            rows.append(
+                f"('{tid}', CAST({v[0]!r} AS DOUBLE), "
+                f"CAST({v[1]!r} AS DOUBLE), CAST({v[2]!r} AS DOUBLE))"
+            )
         return ",\n  ".join(rows)
 
     def _nearest_edge_values() -> str:
