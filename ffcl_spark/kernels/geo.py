@@ -264,3 +264,33 @@ def sphere_polys_intersect(ring_a: np.ndarray, ring_b: np.ndarray) -> bool:
     if spherical_pip_np(ring_b[:1, 0], ring_b[:1, 1], ring_a)[0]:
         return True
     return bool(spherical_pip_np(ring_a[:1, 0], ring_a[:1, 1], ring_b)[0])
+
+
+def sphere_ring_measures(ring_latlon: np.ndarray) -> tuple[float, float]:
+    """(solid_angle, perimeter_rad) of a simple spherical polygon with
+    minor great-circle arc edges — exact geometry, no small-angle or
+    planar approximation.
+
+    Solid angle: signed fan decomposition about the first vertex with
+    the Van Oosterom–Strackee signed spherical-triangle formula
+    tan(Ω/2) = a·(b×c) / (1 + a·b + b·c + c·a) — signed terms make the
+    fan exact for any simple (also non-convex) polygon; the absolute
+    value is returned (tiles are smaller than a hemisphere by the cap
+    contract, so no 4π ambiguity). Perimeter: Σ atan2(|vᵢ×vᵢ₊₁|,
+    vᵢ·vᵢ₊₁) — robust at small and near-π arcs."""
+    ring = np.asarray(ring_latlon, dtype=np.float64)
+    v = unit_vector_np(ring[:, 0], ring[:, 1])
+    if len(v) > 1 and np.array_equal(v[0], v[-1]):
+        v = v[:-1]
+    w = np.roll(v, -1, axis=0)
+    per = float(
+        np.arctan2(np.linalg.norm(np.cross(v, w), axis=1), (v * w).sum(1)).sum()
+    )
+    a = v[0]
+    omega = 0.0
+    for i in range(1, len(v) - 1):
+        b, c = v[i], v[i + 1]
+        num = float(a @ np.cross(b, c))
+        den = 1.0 + float(a @ b) + float(b @ c) + float(c @ a)
+        omega += 2.0 * math.atan2(num, den)
+    return abs(omega), per

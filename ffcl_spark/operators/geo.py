@@ -1163,3 +1163,58 @@ def sphere_vectorize(
         pt(lat_lo, lon_lo),
     )
     return cells.select(F.col(cell_col).alias("cell"), ring.alias("ring"))
+
+
+def sphere_tile_measures(
+    tiles: DataFrame, earth_radius_m: float = EARTH_RADIUS_M
+) -> DataFrame:
+    """(tile_id, area_m2, perimeter_m, clat, clon): exact spherical
+    measures per tile — the geodesic twin of ``tiles.tile_measures``.
+    Area = |signed solid angle|·R² (Van Oosterom–Strackee fan, exact
+    for simple polygons, convex or not), perimeter = Σ great-circle
+    edge arcs·R, (clat, clon) = the tile's gnomonic frame center (the
+    normalized vertex mean — the anchor every other geo-tile operator
+    uses, not the mass centroid). MAP-ONLY Arrow pass over the tile
+    table — no join, no shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ffcl_spark.kernels.geo import sphere_ring_measures, tile_frame_np
+
+    out_schema = T.StructType(
+        [
+            T.StructField("tile_id", T.StringType()),
+            T.StructField("area_m2", T.DoubleType()),
+            T.StructField("perimeter_m", T.DoubleType()),
+            T.StructField("clat", T.DoubleType()),
+            T.StructField("clon", T.DoubleType()),
+        ]
+    )
+    r2 = earth_radius_m * earth_radius_m
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for row in pdf.itertuples(index=False):
+                ring = np.array(
+                    [[v["lat"], v["lon"]] for v in row.ring], dtype=np.float64
+                )
+                omega, per = sphere_ring_measures(ring)
+                c, *_ = tile_frame_np(ring)
+                rows.append(
+                    (
+                        row.tile_id,
+                        omega * r2,
+                        per * earth_radius_m,
+                        math.degrees(math.asin(max(-1.0, min(1.0, float(c[2]))))),
+                        math.degrees(math.atan2(float(c[1]), float(c[0]))),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["tile_id", "area_m2", "perimeter_m", "clat", "clon"]
+            )
+
+    return tiles.select("tile_id", "ring").mapInPandas(kernel, out_schema)

@@ -968,3 +968,62 @@ def test_sphere_overlay_containment_no_edge_cross(spark):
     far = _rings_df(spark, [("far", sq(-40.0, -120.0, 2.0))])
     got = sphere_overlay_join(big, small.unionByName(far)).toPandas()
     assert set(zip(got.a_id, got.b_id)) == {("big", "small")}
+
+
+# ------------------------------------------------------ spherical measures
+
+def test_sphere_ring_measures_octant_exact():
+    from ffcl_spark.kernels.geo import sphere_ring_measures
+
+    # octant triangle (0,0)-(0,90)-(90,0): solid angle exactly pi/2,
+    # perimeter exactly 3*(pi/2)
+    ring = np.array([[0.0, 0.0], [0.0, 90.0], [90.0, 0.0]])
+    omega, per = sphere_ring_measures(ring)
+    assert omega == pytest.approx(math.pi / 2, rel=1e-12)
+    assert per == pytest.approx(3 * math.pi / 2, rel=1e-12)
+
+
+def test_sphere_ring_measures_fan_invariance_nonconvex():
+    # the signed fan about v0 must equal the fan about the frame
+    # center for a NON-convex ring (an independent decomposition)
+    from ffcl_spark.kernels.geo import (
+        sphere_ring_measures,
+        tile_frame_np,
+        unit_vector_np,
+    )
+
+    ring = np.array(
+        [[0.0, 0.0], [0.0, 8.0], [4.0, 8.0], [1.5, 4.0], [4.0, 0.0]]
+    )  # notch at (1.5, 4) makes it non-convex
+    omega, _ = sphere_ring_measures(ring)
+    v = unit_vector_np(ring[:, 0], ring[:, 1])
+    c, *_ = tile_frame_np(ring)
+    om2 = 0.0
+    for i in range(len(v)):
+        b, d = v[i], v[(i + 1) % len(v)]
+        num = float(c @ np.cross(b, d))
+        den = 1.0 + float(c @ b) + float(b @ d) + float(d @ c)
+        om2 += 2.0 * math.atan2(num, den)
+    assert omega == pytest.approx(abs(om2), rel=1e-12)
+
+
+def test_sphere_tile_measures_df(spark):
+    from ffcl_spark.operators.geo import (
+        EARTH_RADIUS_M as R,
+        sphere_tile_measures,
+        sphere_tile_rings,
+        sphere_tiles,
+    )
+    from ffcl_spark.kernels.geo import sphere_ring_measures
+
+    got = sphere_tile_measures(sphere_tiles(spark)).toPandas().set_index("tile_id")
+    for tid, ring in sphere_tile_rings(12):
+        omega, per = sphere_ring_measures(np.array(ring))
+        row = got.loc[tid]
+        assert row.area_m2 == pytest.approx(omega * R * R, rel=1e-12)
+        assert row.perimeter_m == pytest.approx(per * R, rel=1e-12)
+    # the pole cap's vertex polygon is inscribed in its 2.5 deg cap:
+    # area below the cap area, above the planar n-gon lower bound
+    cap = 2 * math.pi * (1 - math.cos(math.radians(2.5))) * R * R
+    assert 0.5 * cap < got.loc["gtile-0"].area_m2 < cap
+    assert abs(got.loc["gtile-0"].clat - 88.5) < 0.2
