@@ -68,6 +68,7 @@ def knn_enrich_stream(
     cost in the loop.
     """
     from ffcl_spark.operators.knn_kernel import hot_coarse_groups, knn_join_grid
+    from ffcl_spark.plans.cache import free_checkpoint_tree
     from ffcl_spark.sources.points import media_points
 
     # the reference side is static across every micro-batch: detect hot
@@ -86,6 +87,12 @@ def knn_enrich_stream(
         # release, which a fire-and-forget handler never does)
         out = knn_join_grid(qs, refs, k, cfg, checkpoint=True, hot_groups=hot)
         out.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+        # the returned rows are themselves localCheckpointed (one or
+        # more LogicalRDD leaves after escalation rounds); drop their
+        # blocks deterministically now that the epoch is on disk —
+        # GC + ContextCleaner timing is not a release strategy for an
+        # unbounded stream (the streaming-dedup discipline)
+        free_checkpoint_tree(out)
 
     q = (
         docs_stream.writeStream.foreachBatch(handle)
