@@ -1017,7 +1017,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("long").alias("dist_floor_m"),
             F.lit(None).cast("int").alias("rank"),
         )
-        return out.unionByName(near).unionByName(ov)
+        out = out.unionByName(near).unionByName(ov)
+        # probe variant (r5): the geodesic index AT REST — points
+        # partitioned by spherical cell, probed at the 3 lowest-d gate
+        # queries with the same 400 km radius. The probe's cap cover
+        # becomes PartitionFilters (bytes read scale with the cap, not
+        # the corpus); results must equal the oracle's full haversine
+        # recomputation row-for-row — the stored==fly proof for the
+        # sphere (planar twin: box_plans:idx). Floor margins are the
+        # radius variant's (same (q, r) pairs, audited).
+        import tempfile
+
+        from ffcl_spark.sources.geo_index import geo_radius_probe, write_geo_index
+
+        gidx = tempfile.mkdtemp(prefix="ffcl_gate_geoidx_")
+        write_geo_index(pts, gidx, delta_deg=1.0)
+        probes = (
+            qs.orderBy("d", "id").limit(3).select("id", "lat", "lon").collect()
+        )
+        for p in probes:
+            pr = geo_radius_probe(
+                spark, gidx, float(p["lat"]), float(p["lon"]), GEO_RADIUS_M
+            ).select(
+                F.lit("probe").alias("variant"),
+                F.lit(p["id"]).alias("q_id"),
+                F.col("id").alias("r_id"),
+                F.floor("dist_m").cast("long").alias("dist_floor_m"),
+                F.lit(None).cast("int").alias("rank"),
+            )
+            out = out.unionByName(pr)
+        # zonal variant (r5): zonal statistics — per spherical tile,
+        # the point count plus sum/max of an integer payload (d % 1000;
+        # integer sums are order-free exact cross-engine). The engine
+        # runs the carry-through PIP kernel + one partial agg; the
+        # oracle re-derives membership from the half-space formulation
+        # and aggregates in SQL. Packed: r_id = sum, dist_floor_m =
+        # count, rank = max.
+        zon = GEO.geo_zonal_stats(
+            pts.withColumn("v", (F.col("d") % 1000).cast("long")),
+            tiles,
+            values=("v",),
+        ).select(
+            F.lit("zonal").alias("variant"),
+            F.col("tile_id").alias("q_id"),
+            F.col("sum_v").cast("string").alias("r_id"),
+            F.col("n_points").cast("long").alias("dist_floor_m"),
+            F.col("max_v").cast("int").alias("rank"),
+        )
+        return out.unionByName(zon)
 
     def q_dedup_groups(spark, sf):
         # near-dup GROUP closure over the verified MinHash pairs (r4):
@@ -2795,6 +2842,19 @@ UNION ALL
 SELECT 'overlay' AS variant, ta AS q_id, tb AS r_id,
        CAST(NULL AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
 FROM ovpairs
+UNION ALL
+SELECT 'probe' AS variant, q_id, r_id,
+       CAST(floor(dist) AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
+FROM hav
+WHERE dist < {GEO_RADIUS_M}
+  AND q_id IN (SELECT id FROM gq ORDER BY d, id LIMIT 3)
+UNION ALL
+SELECT 'zonal' AS variant, i.tile_id AS q_id,
+       CAST(SUM(g.d % 1000) AS VARCHAR) AS r_id,
+       CAST(COUNT(*) AS BIGINT) AS dist_floor_m,
+       CAST(MAX(g.d % 1000) AS INTEGER) AS rank
+FROM gins i JOIN geo g ON g.id = i.id
+GROUP BY i.tile_id
 """
 
     # group closure over the same verified pairs: recursive min-label

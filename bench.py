@@ -153,6 +153,40 @@ def main() -> None:
         )
         extras["radius_rows_per_sec"] = radius_rows / timings["radius_join"]
 
+    # --- q6b: geodesic nearest-tile assignment — the geospatial
+    # tier's map-only headline: every point mapped to (lat, lon) and
+    # assigned its nearest of 12 spherical tiles with the EXACT
+    # great-circle boundary distance (0 inside); tile frames ride the
+    # task closure, one Arrow pass, NO shuffle. Opt-in extra stage
+    # `geo_radius` measures the spherical-grid radius join (one
+    # equi-join on the cell key + codegen haversine) — its N→4N
+    # scaling is recorded in BENCH/BASELINE.md.
+    if _enabled("geo_tile"):
+        from ffcl_spark.operators.geo import (
+            geo_nearest_tile,
+            nearest_tile_locals,
+            sphere_tiles,
+        )
+
+        geo_pts = pts.select(
+            "id", (F.col("x") * 3).alias("lat"), (F.col("y") * 6).alias("lon")
+        )
+        locs = nearest_tile_locals(sphere_tiles(spark))
+        timings["geo_tile"], geo_rows = _timed(
+            lambda: geo_nearest_tile(geo_pts, None, tile_locals=locs).count()
+        )
+        extras["geo_tile_rows_per_sec"] = geo_rows / timings["geo_tile"]
+    if STAGES != "all" and _enabled("geo_radius"):
+        from ffcl_spark.operators.geo import geo_radius_join
+
+        geo_pts = pts.select(
+            "id", (F.col("x") * 3).alias("lat"), (F.col("y") * 6).alias("lon")
+        )
+        timings["geo_radius"], geo_pairs = _timed(
+            lambda: geo_radius_join(geo_pts, geo_pts, 100_000.0).count()
+        )
+        extras["geo_radius_rows_per_sec"] = geo_pairs / timings["geo_radius"]
+
     # spatial intermediates are no longer needed — drop cached blocks so
     # the text/embedding stages measure themselves, not GC pressure
     spark.catalog.clearCache()

@@ -777,6 +777,7 @@ def geo_pip_join(
     lat_col: str = "lat",
     lon_col: str = "lon",
     closure_tile_limit: int = 4096,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Geodesic tile assignment: (id, tile_id) for every point inside
     (or on the boundary of) a spherical tile polygon — the north
@@ -805,7 +806,11 @@ def geo_pip_join(
 
     Both sides of the cell equi-key derive from ONE Python
     ``band_m_table`` (see ``functions/sphere.py``), so cover and
-    assignment can never disagree on grid topology."""
+    assignment can never disagree on grid topology.
+
+    ``carry_cols``: point columns that ride through the kernel
+    unchanged onto the output rows — aggregating consumers (zonal
+    statistics) get their values WITHOUT a join-back shuffle on id."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
@@ -821,12 +826,14 @@ def geo_pip_join(
         S.sphere_cell_table(
             F.col(lat_col), F.col(lon_col), delta_deg, m_table
         ).alias("cell"),
+        *[F.col(c) for c in carry_cols],
     )
     out_schema = T.StructType(
         [
             T.StructField("id", points.schema[id_col].dataType),
             T.StructField("tile_id", T.StringType()),
         ]
+        + [T.StructField(c, points.schema[c].dataType) for c in carry_cols]
     )
 
     n_tiles = tiles.count()
@@ -859,11 +866,11 @@ def geo_pip_join(
                     y = (p[idx] @ e2) / t[ok]
                     mask = points_in_polygon(x, y, ring_xy)
                     if mask.any():
-                        outs.append(
-                            pd.DataFrame(
-                                {"id": ids.iloc[idx[mask]], "tile_id": tile_id}
-                            )
-                        )
+                        hit = idx[mask]
+                        row = {"id": ids.iloc[hit], "tile_id": tile_id}
+                        for cc in carry_cols:
+                            row[cc] = pdf[cc].iloc[hit].to_numpy()
+                        outs.append(pd.DataFrame(row))
                 if outs:
                     yield pd.concat(outs, ignore_index=True)
 
@@ -872,7 +879,7 @@ def geo_pip_join(
     # large tile tables: distributed cover computation, broadcast join
     t_cov = sphere_rasterize(tiles, delta_deg, m_table=m_table)
     cand = pts.join(F.broadcast(t_cov), "cell").select(
-        "id", "lat", "lon", "tile_id", "ring"
+        "id", "lat", "lon", "tile_id", "ring", *[F.col(c) for c in carry_cols]
     )
 
     def verify_kernel(batches):
@@ -897,18 +904,64 @@ def geo_pip_join(
                 y = (p[ok] @ e2) / t[ok]
                 mask = points_in_polygon(x, y, ring_xy)
                 if mask.any():
-                    outs.append(
-                        pd.DataFrame(
-                            {
-                                "id": grp["id"].to_numpy()[ok][mask],
-                                "tile_id": tile_id,
-                            }
-                        )
-                    )
+                    row = {
+                        "id": grp["id"].to_numpy()[ok][mask],
+                        "tile_id": tile_id,
+                    }
+                    for cc in carry_cols:
+                        row[cc] = grp[cc].to_numpy()[ok][mask]
+                    outs.append(pd.DataFrame(row))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
     return cand.mapInPandas(verify_kernel, out_schema)
+
+
+def geo_zonal_stats(
+    points: DataFrame,
+    tiles: DataFrame,
+    values: tuple[str, ...] = (),
+    *,
+    delta_deg: float = 5.0,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    closure_tile_limit: int = 4096,
+) -> DataFrame:
+    """Zonal statistics under the great-circle metric: per spherical
+    tile, the point count plus sum/min/max of each ``values`` column —
+    the classic raster/vector zonal-stats operator a tiling engine
+    serves (counts per zone, total payload bytes per zone, extreme
+    values per zone).
+
+    Plan: the exact gnomonic PIP pass with the value columns riding
+    the kernel (``carry_cols`` — no join-back shuffle on id), then one
+    partial aggregation whose shuffle is |tiles| rows: map-side
+    combine reduces each task's output to one row per tile before
+    anything moves. A point inside several overlapping tiles counts in
+    each (PIP semantics, not nearest-assignment — use
+    :func:`geo_nearest_tile` + groupBy for partition-of-space zones).
+
+    Exactness contract: counts and integer sums are order-free exact;
+    float sums carry the usual reorder caveat (min/max are exact)."""
+    asg = geo_pip_join(
+        points,
+        tiles,
+        delta_deg=delta_deg,
+        id_col=id_col,
+        lat_col=lat_col,
+        lon_col=lon_col,
+        closure_tile_limit=closure_tile_limit,
+        carry_cols=tuple(values),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_points")]
+    for c in values:
+        aggs += [
+            F.sum(c).alias(f"sum_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    return asg.groupBy("tile_id").agg(*aggs)
 
 
 def nearest_tile_locals(tiles: DataFrame) -> list[tuple]:

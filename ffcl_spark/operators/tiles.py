@@ -130,6 +130,7 @@ def pip_join(
     tiles: DataFrame,
     cfg: EngineConfig,
     closure_tile_limit: int = 4096,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Tile assignment: (id, tile_id) for every point inside (or on
     the boundary of) a tile polygon.
@@ -150,7 +151,7 @@ def pip_join(
 
     n_tiles = tiles.count()
     if n_tiles > closure_tile_limit:
-        return pip_join_broadcast(points, tiles, cfg)
+        return pip_join_broadcast(points, tiles, cfg, carry_cols=carry_cols)
 
     # tiles are small by contract → collected once and shipped in the
     # task closure (the moral equivalent of a broadcast variable); the
@@ -165,13 +166,18 @@ def pip_join(
     ]
 
     pts = points.select(
-        "id", "x", "y", C.cell_id(F.col("x"), F.col("y"), cfg).alias("cell")
+        "id",
+        "x",
+        "y",
+        C.cell_id(F.col("x"), F.col("y"), cfg).alias("cell"),
+        *[F.col(c) for c in carry_cols],
     )
     out_schema = T.StructType(
         [
             T.StructField("id", points.schema["id"].dataType),
             T.StructField("tile_id", T.StringType()),
         ]
+        + [T.StructField(c, points.schema[c].dataType) for c in carry_cols]
     )
 
     def kernel(batches):
@@ -190,18 +196,23 @@ def pip_join(
                 idx = np.nonzero(cand)[0]
                 mask = points_in_polygon(px[idx], py[idx], ring)
                 if mask.any():
-                    outs.append(
-                        pd.DataFrame(
-                            {"id": ids.iloc[idx[mask]], "tile_id": tile_id}
-                        )
-                    )
+                    hit = idx[mask]
+                    row = {"id": ids.iloc[hit], "tile_id": tile_id}
+                    for cc in carry_cols:
+                        row[cc] = pdf[cc].iloc[hit].to_numpy()
+                    outs.append(pd.DataFrame(row))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
     return pts.mapInPandas(kernel, out_schema)
 
 
-def pip_join_broadcast(points: DataFrame, tiles: DataFrame, cfg: EngineConfig) -> DataFrame:
+def pip_join_broadcast(
+    points: DataFrame,
+    tiles: DataFrame,
+    cfg: EngineConfig,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """PIP join for tile tables too large for the task closure: tiles
     explode by covering cell into a broadcast-hinted join against the
     point's cell (candidate generation — one narrow pass over points),
@@ -212,15 +223,22 @@ def pip_join_broadcast(points: DataFrame, tiles: DataFrame, cfg: EngineConfig) -
 
     t = tiles.select("tile_id", "ring", F.explode("cells").alias("cell"))
     pts = points.select(
-        "id", "x", "y", C.cell_id(F.col("x"), F.col("y"), cfg).alias("cell")
+        "id",
+        "x",
+        "y",
+        C.cell_id(F.col("x"), F.col("y"), cfg).alias("cell"),
+        *[F.col(c) for c in carry_cols],
     )
-    cand = pts.join(F.broadcast(t), "cell").select("id", "x", "y", "tile_id", "ring")
+    cand = pts.join(F.broadcast(t), "cell").select(
+        "id", "x", "y", "tile_id", "ring", *[F.col(c) for c in carry_cols]
+    )
 
     out_schema = T.StructType(
         [
             T.StructField("id", points.schema["id"].dataType),
             T.StructField("tile_id", T.StringType()),
         ]
+        + [T.StructField(c, points.schema[c].dataType) for c in carry_cols]
     )
 
     def kernel(batches):
@@ -236,13 +254,46 @@ def pip_join_broadcast(points: DataFrame, tiles: DataFrame, cfg: EngineConfig) -
                     grp["x"].to_numpy(), grp["y"].to_numpy(), ring
                 )
                 if mask.any():
-                    outs.append(
-                        pd.DataFrame({"id": grp["id"].to_numpy()[mask], "tile_id": tile_id})
-                    )
+                    row = {"id": grp["id"].to_numpy()[mask], "tile_id": tile_id}
+                    for cc in carry_cols:
+                        row[cc] = grp[cc].to_numpy()[mask]
+                    outs.append(pd.DataFrame(row))
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
     return cand.mapInPandas(kernel, out_schema)
+
+
+def zonal_stats(
+    points: DataFrame,
+    tiles: DataFrame,
+    cfg: EngineConfig,
+    values: tuple[str, ...] = (),
+    closure_tile_limit: int = 4096,
+) -> DataFrame:
+    """Zonal statistics: per tile polygon, the point count plus
+    sum/min/max of each ``values`` column — the classic raster/vector
+    zonal-stats aggregate over the exact PIP assignment.
+
+    Plan: the PIP kernel with the value columns riding through
+    (``carry_cols`` — no join-back shuffle on id), then ONE partial
+    aggregation; map-side combine collapses each task to a row per
+    tile before the |tiles|-row shuffle. Points inside several
+    overlapping tiles count in each (PIP semantics). Counts and
+    integer sums are order-free exact; float sums carry the usual
+    reorder caveat (min/max are exact). Geodesic twin:
+    ``operators.geo.geo_zonal_stats``."""
+    asg = pip_join(
+        points, tiles, cfg, closure_tile_limit, carry_cols=tuple(values)
+    )
+    aggs = [F.count(F.lit(1)).alias("n_points")]
+    for c in values:
+        aggs += [
+            F.sum(c).alias(f"sum_{c}"),
+            F.min(c).alias(f"min_{c}"),
+            F.max(c).alias(f"max_{c}"),
+        ]
+    return asg.groupBy("tile_id").agg(*aggs)
 
 
 def rasterize(tiles: DataFrame, cfg: EngineConfig) -> DataFrame:

@@ -1027,3 +1027,38 @@ def test_sphere_tile_measures_df(spark):
     cap = 2 * math.pi * (1 - math.cos(math.radians(2.5))) * R * R
     assert 0.5 * cap < got.loc["gtile-0"].area_m2 < cap
     assert abs(got.loc["gtile-0"].clat - 88.5) < 0.2
+
+
+def test_geo_zonal_stats_matches_twin(spark, world):
+    """Zonal stats under the great-circle metric: counts and integer
+    sums per spherical tile equal the pip-assignment + groupby twin on
+    BOTH physical plans (closure and broadcast-join)."""
+    from pyspark.sql import functions as F
+
+    from ffcl_spark.operators.geo import geo_pip_join, geo_zonal_stats, sphere_tiles
+
+    df, pdf = world
+    vals = df.withColumn("v", (F.col("id") % 89).cast("long"))
+    tiles = sphere_tiles(spark)
+
+    asg = geo_pip_join(df, tiles).toPandas()
+    vpdf = pdf.assign(v=(pdf.id % 89).astype("int64"))
+    j = asg.merge(vpdf[["id", "v"]], on="id")
+    want = (
+        j.groupby("tile_id")
+        .agg(n_points=("id", "size"), sum_v=("v", "sum"),
+             min_v=("v", "min"), max_v=("v", "max"))
+        .sort_index()
+    )
+    assert want.n_points.sum() > 20  # fixture exercises interiors
+
+    for limit in (4096, 0):  # closure path, then forced broadcast path
+        got = (
+            geo_zonal_stats(vals, tiles, values=("v",), closure_tile_limit=limit)
+            .toPandas()
+            .set_index("tile_id")
+            .sort_index()
+        )
+        assert list(got.index) == list(want.index), limit
+        for c in ("n_points", "sum_v", "min_v", "max_v"):
+            assert (got[c].to_numpy() == want[c].to_numpy()).all(), (limit, c)

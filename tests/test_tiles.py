@@ -236,3 +236,45 @@ def test_tile_measures_match_numpy(spark, cfg):
         x, y = ring[:, 0], ring[:, 1]
         per = float(np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2).sum())
         assert abs(g.perimeter - per) < 1e-12
+
+
+def test_zonal_stats_matches_pandas_twin(spark, cfg, blobs):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df, pdf = blobs
+    vals = df.withColumn("v", (F.col("id") % 97).cast("long")).withColumn(
+        "w", F.col("x") * 0.5
+    )
+    tiles = TL.grid_tiles(spark, cfg)
+    got = TL.zonal_stats(vals, tiles, cfg, values=("v", "w")).toPandas()
+
+    asg = TL.pip_join(df, tiles, cfg).toPandas()
+    vpdf = pdf.assign(v=(pdf.id % 97).astype("int64"), w=pdf.x * 0.5)
+    j = asg.merge(vpdf[["id", "v", "w"]], on="id")
+    want = j.groupby("tile_id").agg(
+        n_points=("id", "size"),
+        sum_v=("v", "sum"),
+        min_v=("v", "min"),
+        max_v=("v", "max"),
+        min_w=("w", "min"),
+        max_w=("w", "max"),
+    )
+    g = got.set_index("tile_id").sort_index()
+    want = want.sort_index()
+    assert list(g.index) == list(want.index) and len(g) > 5
+    for c in ("n_points", "sum_v", "min_v", "max_v", "min_w", "max_w"):
+        assert (g[c].to_numpy() == want[c].to_numpy()).all(), c
+    # float sums agree to reorder tolerance
+    sw = j.groupby("tile_id").w.sum().sort_index()
+    assert np.allclose(g["sum_w"].to_numpy(), sw.to_numpy(), rtol=1e-12)
+
+    # broadcast path (forced) produces the identical aggregate
+    got_b = (
+        TL.zonal_stats(vals, tiles, cfg, values=("v",), closure_tile_limit=0)
+        .toPandas()
+        .set_index("tile_id")
+        .sort_index()
+    )
+    assert (got_b["n_points"].to_numpy() == want["n_points"].to_numpy()).all()
+    assert (got_b["sum_v"].to_numpy() == want["sum_v"].to_numpy()).all()
