@@ -45,10 +45,15 @@ def compact_epochs(spark, store_path: str, *partition_cols: str) -> None:
     tmp = f"{local}__compacting"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
+    # repartition on the partition cols so the rewrite emits exactly
+    # one file per partition value — otherwise every rewrite task
+    # would write a file per value it touches and compaction would
+    # reintroduce the small files it exists to remove
+    df = spark.read.parquet(store_path).drop("epoch")
+    if partition_cols:
+        df = df.repartition(*[F.col(c) for c in partition_cols])
     (
-        spark.read.parquet(store_path)
-        .drop("epoch")
-        .withColumn("epoch", F.lit(0))
+        df.withColumn("epoch", F.lit(0))
         .write.mode("overwrite")
         .partitionBy(*partition_cols, "epoch")
         .parquet(tmp)

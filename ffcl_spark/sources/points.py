@@ -232,9 +232,16 @@ def write_point_index(points: DataFrame, path: str, cfg: EngineConfig) -> None:
     partition scheme."""
     import json
 
-    with_cell(points, cfg).withColumn("epoch", F.lit(0)).write.mode(
-        "overwrite"
-    ).partitionBy("cell", "epoch").parquet(f"{path}/points")
+    # repartition on the partition column first: without it every
+    # write task emits one file per cell it touches (tasks × cells
+    # tiny files); with it each cell is exactly one file and a probe's
+    # task count equals its covered-cell count (oversized cells still
+    # split at read via maxPartitionBytes row groups)
+    with_cell(points, cfg).repartition("cell").withColumn(
+        "epoch", F.lit(0)
+    ).write.mode("overwrite").partitionBy("cell", "epoch").parquet(
+        f"{path}/points"
+    )
     meta = {
         "x0": cfg.x0,
         "y0": cfg.y0,
@@ -423,7 +430,9 @@ def append_point_index(points: DataFrame, path: str, epoch: int) -> None:
 
     _, cfg = read_point_index(points.sparkSession, path)
     overwrite_epoch_partitions(
-        with_cell(points, cfg).withColumn("epoch", F.lit(int(epoch))),
+        with_cell(points, cfg)
+        .repartition("cell")
+        .withColumn("epoch", F.lit(int(epoch))),
         f"{path}/points",
         "cell",
         "epoch",

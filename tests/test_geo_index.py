@@ -68,6 +68,16 @@ def test_geo_radius_probe_partition_prunes(spark, store):
     assert "cell" in txt.split("PartitionFilters", 1)[1][:200]
 
 
+def test_geo_index_one_file_per_cell(spark, store):
+    """The write repartitions on the partition column, so each cell is
+    exactly one parquet file — a probe's task count equals its covered
+    cells, and a small store cannot explode into tasks × cells files."""
+    path, _ = store
+    df = spark.read.parquet(f"{path}/points")
+    n_cells = df.select("cell").distinct().count()
+    assert len(df.inputFiles()) == n_cells
+
+
 def test_geo_knn_probe_matches_brute(spark, store):
     path, pdf = store
     ids = pdf.id.to_numpy()
