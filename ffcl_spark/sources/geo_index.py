@@ -55,11 +55,28 @@ def _with_sphere_cell(
     )
 
 
+# whole-sphere solid angle in square degrees: a δ×δ grid has ≈ this/δ²
+# cells, the sizing identity behind the density-based default below
+_SPHERE_SQ_DEG = 41_252.96
+
+
+def auto_delta_deg(n: int, rows_per_cell: int = 2_000) -> float:
+    """Density-based band height: size the grid so the EXPECTED cell
+    holds ~``rows_per_cell`` points (uniform bound; city-skewed real
+    data still splits at read via row groups). Over-partitioning is
+    the store's failure mode — a 1° grid for 1M points makes ~15k
+    near-empty cells whose directory LISTING dominates probe latency
+    (measured 21 s for a 32-row probe at sf0.1); at 10⁹ points the
+    same formula lands at ~0.3° and listing amortizes."""
+    cells = max(48.0, n / max(rows_per_cell, 1))
+    return max(0.05, min(30.0, math.sqrt(_SPHERE_SQ_DEG / cells)))
+
+
 def write_geo_index(
     points: DataFrame,
     path: str,
     *,
-    delta_deg: float = 1.0,
+    delta_deg: float | None = None,
     id_col: str = "id",
     lat_col: str = "lat",
     lon_col: str = "lon",
@@ -67,10 +84,14 @@ def write_geo_index(
     """Build the geodesic index at rest: points partitioned by their
     spherical cell at ``epoch=0``, plus a JSON sidecar carrying the
     grid parameter and the row count (the kNN probe sizes its start
-    radius from global density, like ``sphere_knn_join``)."""
+    radius from global density, like ``sphere_knn_join``). With the
+    default ``delta_deg=None`` the band height is sized from the row
+    count (:func:`auto_delta_deg`)."""
+    n = points.count()
+    if delta_deg is None:
+        delta_deg = auto_delta_deg(n)
     m_table = S.band_m_table(delta_deg)
     pts = _with_sphere_cell(points, delta_deg, m_table, id_col, lat_col, lon_col)
-    n = pts.count()
     # repartition on the partition column first: without it every write
     # task emits one file per cell it touches (tasks × cells tiny
     # files — measured 17.8k files for a 20k-row store); with it each

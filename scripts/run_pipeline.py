@@ -66,6 +66,10 @@ def main(argv: list[str] | None = None) -> None:
         "--publish-index", action="store_true",
         help="also publish the cell-partitioned point index at <out>/point_index",
     )
+    ap.add_argument(
+        "--publish-geo-index", action="store_true",
+        help="also publish the spherical-cell geodesic index at <out>/geo_index",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(app_name=f"ffcl_pipeline:{args.job_id}")
@@ -135,6 +139,23 @@ def main(argv: list[str] | None = None) -> None:
 
         write_point_index(pts.select("id", "doc_id", "offset", "x", "y"),
                           f"{out}/point_index", cfg)
+
+    if args.publish_geo_index:
+        # the geodesic twin: the same coordinates mapped onto the
+        # sphere (lat = 3x ∈ [-90, 90], lon = 6y ∈ [-180, 180] — the
+        # engine-wide doc→globe convention), partitioned by
+        # latitude-band cell so great-circle radius/kNN probes
+        # partition-prune to their spherical-cap cover
+        from ffcl_spark.sources.geo_index import write_geo_index
+
+        write_geo_index(
+            pts.select(
+                "id",
+                (F.col("x") * 3).alias("lat"),
+                (F.col("y") * 6).alias("lon"),
+            ),
+            f"{out}/geo_index",
+        )
 
     m = job_metrics(spark, ck, f"{args.job_id}:knn").agg(
         F.count(F.lit(1)).alias("chunks"),

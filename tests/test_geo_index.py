@@ -127,3 +127,26 @@ def test_geo_index_append_and_compact(spark, tmp_path):
         spark.read.parquet(f"{path}/points").select("epoch").distinct().collect()
     )
     assert [r["epoch"] for r in eps] == [0]
+
+
+def test_auto_delta_deg_density_sizing(spark, tmp_path):
+    from ffcl_spark.sources.geo_index import auto_delta_deg
+
+    # expected rows per cell ≈ target: n/(41253/δ²) within 2× of 2000
+    for n in (10_000, 1_000_000, 100_000_000):
+        d = auto_delta_deg(n)
+        cells = 41_252.96 / d**2
+        assert 0.05 <= d <= 30.0
+        if 0.05 < d < 30.0 and cells > 49:
+            assert 1_000 <= n / cells <= 4_000, (n, d)
+    # tiny stores floor at ≥48 cells worth of granularity, huge at 0.05°
+    assert auto_delta_deg(10) <= 30.0
+
+    # a default-delta store answers probes identically to a brute twin
+    pdf = world_pdf(250, seed=77)
+    path = str(tmp_path / "geo_idx_auto")
+    write_geo_index(spark.createDataFrame(pdf), path)
+    d = _brute(pdf, 20.0, -60.0)
+    want = set(pdf.id[d < 2_500_000.0])
+    got = set(geo_radius_probe(spark, path, 20.0, -60.0, 2_500_000.0).toPandas().id)
+    assert got == want and len(want) > 2
