@@ -199,6 +199,68 @@ def geo_radius_probe(
     )
 
 
+def _box_cover_cells_py(
+    lat_lo: float,
+    lat_hi: float,
+    lon_lo: float,
+    lon_hi: float,
+    delta_deg: float,
+    m_table: list[int],
+) -> list[int]:
+    """Every spherical cell intersecting a lat/lon box (``lon_lo >
+    lon_hi`` = antimeridian wrap), padded one band / one lon cell per
+    side so float disagreement with the stored JVM assignment can only
+    WIDEN the cover."""
+    nb = len(m_table)
+    b_lo = max(0, math.floor((lat_lo + 90.0) / delta_deg) - 1)
+    b_hi = min(nb - 1, math.floor((lat_hi + 90.0) / delta_deg) + 1)
+    spans = (
+        [(lon_lo, lon_hi)]
+        if lon_lo <= lon_hi
+        else [(lon_lo, 180.0), (-180.0, lon_hi)]
+    )
+    cells: set[int] = set()
+    for band in range(b_lo, b_hi + 1):
+        m = m_table[band]
+        for a, b in spans:
+            j_lo = math.floor((a + 180.0) * m / 360.0) - 1
+            j_hi = min(math.floor((b + 180.0) * m / 360.0) + 1, j_lo + m - 1)
+            for j in range(j_lo, j_hi + 1):
+                cells.add(band * (1 << 32) + (j % m))
+    return sorted(cells)
+
+
+def geo_box_probe(
+    spark,
+    path: str,
+    lat_lo: float,
+    lat_hi: float,
+    lon_lo: float,
+    lon_hi: float,
+) -> DataFrame:
+    """All stored points inside a lat/lon box (bounds inclusive;
+    ``lon_lo > lon_hi`` crosses the antimeridian), reading only the
+    cells the box covers — value-identical to ``geo.geo_box_search``
+    on the fly. Completes the geodesic probe trio (radius, kNN, box),
+    mirroring the planar store's ``box_search_indexed``."""
+    with open(f"{path}/meta.json".replace("file:", "")) as f:
+        meta = json.load(f)
+    delta_deg = float(meta["delta_deg"])
+    m_table = S.band_m_table(delta_deg)
+    covered = _box_cover_cells_py(
+        lat_lo, lat_hi, lon_lo, lon_hi, delta_deg, m_table
+    )
+    df = spark.read.parquet(f"{path}/points").drop("epoch")
+    lat_ok = F.col("lat").between(lat_lo, lat_hi)
+    if lon_lo <= lon_hi:
+        lon_ok = F.col("lon").between(lon_lo, lon_hi)
+    else:
+        lon_ok = (F.col("lon") >= lon_lo) | (F.col("lon") <= lon_hi)
+    return df.where(F.col("cell").isin(covered)).where(lat_ok & lon_ok).drop(
+        "cell"
+    )
+
+
 def geo_knn_probe(
     spark,
     path: str,

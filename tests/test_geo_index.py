@@ -150,3 +150,27 @@ def test_auto_delta_deg_density_sizing(spark, tmp_path):
     want = set(pdf.id[d < 2_500_000.0])
     got = set(geo_radius_probe(spark, path, 20.0, -60.0, 2_500_000.0).toPandas().id)
     assert got == want and len(want) > 2
+
+
+def test_geo_box_probe_stored_eq_fly(spark, store):
+    """Box probe against the store equals geo_box_search on the source
+    frame — plain, antimeridian-wrapping, and pole-touching boxes."""
+    from ffcl_spark.operators.geo import geo_box_search
+    from ffcl_spark.sources.geo_index import geo_box_probe
+
+    path, pdf = store
+    src = spark.createDataFrame(pdf)
+    boxes = [
+        (-20.0, 35.0, 10.0, 95.0),      # plain
+        (-30.0, 30.0, 160.0, -160.0),   # antimeridian wrap
+        (85.0, 90.0, -180.0, 180.0),    # pole cap band
+    ]
+    nonempty = 0
+    for la0, la1, lo0, lo1 in boxes:
+        got = set(geo_box_probe(spark, path, la0, la1, lo0, lo1).toPandas().id)
+        want = set(
+            geo_box_search(src, la0, la1, lo0, lo1).toPandas().id
+        )
+        assert got == want, (la0, la1, lo0, lo1)
+        nonempty += bool(want)
+    assert nonempty == 3  # fixture exercises all three shapes
