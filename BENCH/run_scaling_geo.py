@@ -33,7 +33,12 @@ from pyspark.sql import functions as F
 from ffcl_spark import get_spark
 from ffcl_spark.sources.docs import synth_docs
 from ffcl_spark.sources.points import media_points
-from ffcl_spark.operators.geo import geo_nearest_tile, geo_radius_join, sphere_tiles
+from ffcl_spark.operators.geo import (
+    geo_nearest_tile,
+    geo_radius_join,
+    geo_zonal_stats,
+    sphere_tiles,
+)
 
 cpus = int(sys.argv[1])
 spark = get_spark(
@@ -65,10 +70,18 @@ t0 = time.time()
 near_rows = geo_nearest_tile(big, tiles).count()
 t_near = time.time() - t0
 
+# zonal statistics over the same x4 replication: carry-through PIP
+# pass + |tiles|-row partial agg
+vals = big.withColumn("v", F.pmod(F.xxhash64("id"), F.lit(1000)))
+t0 = time.time()
+zon_rows = geo_zonal_stats(vals, tiles, values=("v",)).count()
+t_zonal = time.time() - t0
+
 print(json.dumps({
     "cpus": cpus, "n_points": n, "n_big": n_big,
     "geo_radius": round(t_rad, 2), "geo_radius_rows": rad_rows,
     "geo_nearest": round(t_near, 2), "geo_nearest_rows": near_rows,
+    "geo_zonal": round(t_zonal, 2), "geo_zonal_rows": zon_rows,
 }))
 spark.stop()
 """
@@ -92,12 +105,12 @@ def main() -> None:
     for cpus in (1, 4):
         runs = [run_once(cpus) for _ in range(REPS)]
         best = dict(runs[0])
-        for k in ("geo_radius", "geo_nearest"):
+        for k in ("geo_radius", "geo_nearest", "geo_zonal"):
             best[k] = min(r[k] for r in runs)
             best[f"{k}_raw"] = [r[k] for r in runs]
         res[cpus] = best
         print(json.dumps(best), flush=True)
-    for k in ("geo_radius", "geo_nearest"):
+    for k in ("geo_radius", "geo_nearest", "geo_zonal"):
         eff = res[1][k] / (4.0 * res[4][k])
         print(json.dumps({"stage": k, "eff_n_to_4n": round(eff, 3)}), flush=True)
 
