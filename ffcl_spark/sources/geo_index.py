@@ -113,12 +113,17 @@ def append_geo_index(
     id_col: str = "id",
     lat_col: str = "lat",
     lon_col: str = "lon",
+    refresh_n: bool = True,
 ) -> None:
     """Add a batch under ``epoch=<n>`` with dynamic partition
     overwrite — replaying an epoch rewrites exactly its own
     subpartitions (idempotent resume, same discipline as
-    ``append_point_index``). The sidecar's row count is refreshed so
-    kNN probe density stays honest."""
+    ``append_point_index``). With ``refresh_n`` the sidecar's row
+    count is recomputed from the whole store (one store scan) so kNN
+    probe density stays current; streaming callers pass ``False`` —
+    O(store) per epoch is the wrong shape for an unbounded ingest, and
+    a stale ``n`` only widens the kNN probe's START radius (extra
+    rounds at worst, never a wrong answer)."""
     meta_path = f"{path}/meta.json".replace("file:", "")
     with open(meta_path) as f:
         meta = json.load(f)
@@ -131,10 +136,11 @@ def append_geo_index(
         "cell",
         "epoch",
     )
-    spark = points.sparkSession
-    meta["n"] = spark.read.parquet(f"{path}/points").count()
-    with open(meta_path, "w") as f:
-        json.dump(meta, f)
+    if refresh_n:
+        spark = points.sparkSession
+        meta["n"] = spark.read.parquet(f"{path}/points").count()
+        with open(meta_path, "w") as f:
+            json.dump(meta, f)
 
 
 def compact_geo_index(spark, path: str) -> None:

@@ -166,3 +166,81 @@ def geo_enrich_stream(
     )
     q.awaitTermination()
     return q
+
+
+def geo_index_stream(
+    docs_stream: DataFrame,
+    store_dir: str,
+    ckpt_dir: str,
+    *,
+    delta_deg: float | None = None,
+    points_fn=None,
+):
+    """Start (availableNow) streaming ingest INTO the geodesic point
+    index at rest: each micro-batch's points land as an
+    ``epoch=<batch id>`` append under the store's spherical-cell
+    partitioning, so the continuously-built store serves the same
+    partition-pruned radius/kNN/box probes as a batch-built one — the
+    production loop (stream → queryable store → probes) closed.
+
+    Per-epoch discipline (the ``streaming.dedup`` store contract):
+
+    - the append is a DYNAMIC partition overwrite of exactly this
+      epoch's subpartitions — an interrupted or replayed epoch
+      rewrites itself whole, idempotent;
+    - one shuffle per epoch (``repartition("cell")`` inside the
+      append), one file per touched (cell, epoch) — executor state is
+      ZERO between epochs, nothing persists;
+    - the sidecar row count is NOT refreshed per epoch (that would be
+      an O(store) scan per micro-batch); a stale count only widens the
+      kNN probe's start radius. Call ``geo_index.append_geo_index``
+      with ``refresh_n=True`` (or any manual refresh) after a drain if
+      probe round counts matter.
+
+    Grid immutability: the band height is fixed at store creation. On
+    first use the store is created here — from ``delta_deg`` if given,
+    else density-auto from the FIRST batch (documented caveat: a long
+    ingest whose eventual corpus dwarfs its first batch should pass
+    ``delta_deg`` explicitly; `auto_delta_deg(expected_n)` gives the
+    right value). Creation is deterministic, so a replayed first epoch
+    recreates the identical grid.
+    """
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from ffcl_spark.sources.geo_index import append_geo_index, auto_delta_deg
+    from ffcl_spark.sources.points import media_points
+
+    if points_fn is None:
+
+        def points_fn(batch: DataFrame) -> DataFrame:
+            p = media_points(batch)
+            return p.select(
+                "id",
+                (F.col("x") * 3).alias("lat"),
+                (F.col("y") * 6).alias("lon"),
+            )
+
+    meta_path = f"{store_dir}/meta.json".replace("file:", "")
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        pts = points_fn(batch_df)
+        if not _os.path.exists(meta_path):
+            d = delta_deg if delta_deg is not None else auto_delta_deg(pts.count())
+            _os.makedirs(_os.path.dirname(meta_path), exist_ok=True)
+            with open(meta_path, "w") as f:
+                _json.dump({"delta_deg": d, "n": 0}, f)
+        append_geo_index(pts, store_dir, int(epoch_id), refresh_n=False)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -290,3 +290,77 @@ def test_geo_enrich_stream_matches_batch(spark, tmp_path):
     # restart on the same checkpoint: nothing new consumed, output intact
     geo_enrich_stream(read_docs_stream(spark, drop), tiles, out, ckpt)
     assert len(spark.read.parquet(f"{out}/epoch=*").toPandas()) == len(exp)
+
+
+def test_geo_index_stream_builds_probeable_store(spark, tmp_path):
+    """Streaming ingest into the geodesic store: a multi-epoch drain
+    equals the batch-built store under every probe; restart on the
+    same checkpoint consumes nothing new; executor cache state stays
+    empty between epochs."""
+    import numpy as np
+
+    from ffcl_spark.kernels.geo import haversine_np
+    from ffcl_spark.sources.docs import synth_docs
+    from ffcl_spark.sources.points import media_points
+    from ffcl_spark.sources.geo_index import (
+        geo_box_probe,
+        geo_knn_probe,
+        geo_radius_probe,
+    )
+    from ffcl_spark.streaming.enrich import geo_index_stream, read_docs_stream
+
+    base = spark.range(300).withColumn("text", F.lit("t"))
+    docs = synth_docs(base, "id", "text")
+    drop = str(tmp_path / "gidx_drop")
+    store = str(tmp_path / "gidx_store")
+    ckpt = str(tmp_path / "gidx_ckpt")
+    docs.repartition(4).write.parquet(drop)
+
+    # multi-epoch drain (one file per micro-batch → ≥4 epochs)
+    geo_index_stream(
+        read_docs_stream(spark, drop, max_files_per_trigger=1),
+        store,
+        ckpt,
+        delta_deg=4.0,
+    )
+    stored = spark.read.parquet(f"{store}/points")
+    assert stored.select("epoch").distinct().count() >= 4
+
+    pts = media_points(docs).select(
+        "id", (F.col("x") * 3).alias("lat"), (F.col("y") * 6).alias("lon")
+    ).toPandas()
+    assert stored.count() == len(pts)
+
+    lat, lon, r_m = 10.0, 20.0, 3_000_000.0
+    d = haversine_np(
+        np.full(len(pts), lat), np.full(len(pts), lon),
+        pts.lat.to_numpy(), pts.lon.to_numpy(),
+    )
+    want = set(pts.id[d < r_m])
+    got = set(geo_radius_probe(spark, store, lat, lon, r_m).toPandas().id)
+    assert got == want and len(want) > 2
+
+    k = 7
+    order = np.lexsort((pts.id.to_numpy(), d))[:k]
+    knn = geo_knn_probe(spark, store, lat, lon, k).toPandas()
+    assert list(knn.id) == [pts.id.to_numpy()[i] for i in order]
+
+    box = set(
+        geo_box_probe(spark, store, -30.0, 30.0, 160.0, -160.0).toPandas().id
+    )
+    wantb = set(
+        pts.id[
+            pts.lat.between(-30.0, 30.0)
+            & ((pts.lon >= 160.0) | (pts.lon <= -160.0))
+        ]
+    )
+    assert box == wantb
+
+    # restart: file source consumes nothing new, store unchanged
+    geo_index_stream(
+        read_docs_stream(spark, drop, max_files_per_trigger=1),
+        store,
+        ckpt,
+        delta_deg=4.0,
+    )
+    assert spark.read.parquet(f"{store}/points").count() == len(pts)
