@@ -139,10 +139,14 @@ def geo_brute_knn(
     return out
 
 
-def arc_boundary_distance_np(p: np.ndarray, ring_latlon: np.ndarray) -> np.ndarray:
+def arc_boundary_distance_np(
+    p: np.ndarray, ring_latlon: np.ndarray, closed: bool = True
+) -> np.ndarray:
     """Angular distance (radians) from unit vectors ``p`` [n, 3] to the
     CLOSED boundary of the spherical polygon ``ring_latlon`` [m, 2]
     (edges = minor great-circle arcs) — exact spherical geometry.
+    ``closed=False`` treats the vertex chain as an OPEN polyline (no
+    wrap edge) — the point-to-route distance for snapping/map-matching.
 
     Per edge (a, b) with great-circle normal n̂ = a×b/|a×b|: the foot
     of the perpendicular from p onto the great circle is
@@ -155,8 +159,12 @@ def arc_boundary_distance_np(p: np.ndarray, ring_latlon: np.ndarray) -> np.ndarr
     the endpoint branch, whose value π/2 is then exact."""
     ring = np.asarray(ring_latlon, dtype=np.float64)
     v = unit_vector_np(ring[:, 0], ring[:, 1])
-    a = v
-    b = np.roll(v, -1, axis=0)
+    if closed:
+        a = v
+        b = np.roll(v, -1, axis=0)
+    else:
+        a = v[:-1]
+        b = v[1:]
     p = np.asarray(p, dtype=np.float64)
     best = np.full(len(p), np.inf)
     for i in range(len(a)):

@@ -1074,6 +1074,97 @@ def geo_nearest_tile(
     return pts.mapInPandas(kernel, out_schema)
 
 
+def polyline_locals(lines: DataFrame) -> list[tuple]:
+    """Collect a (bounded) polyline table — (line_id, path:
+    array<struct<lat, lon>>) — into the per-line closure payload
+    :func:`geo_nearest_polyline` ships to tasks, sorted by line_id
+    (the tie order). Streaming/iterative callers compute this ONCE."""
+    import numpy as np
+
+    rows = sorted(
+        lines.select("line_id", "path").collect(), key=lambda r: r["line_id"]
+    )
+    return [
+        (
+            row["line_id"],
+            np.array([[v["lat"], v["lon"]] for v in row["path"]], dtype=np.float64),
+        )
+        for row in rows
+    ]
+
+
+def geo_nearest_polyline(
+    points: DataFrame,
+    lines: DataFrame | None,
+    *,
+    max_dist_m: float | None = None,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    earth_radius_m: float = EARTH_RADIUS_M,
+    line_locals: list[tuple] | None = None,
+) -> DataFrame:
+    """Snap each point to its nearest great-circle polyline (route,
+    coastline, transmission line): (id, line_id, dist_m), ties by
+    ascending line_id, ``max_dist_m`` drops points farther than the
+    cap (the map-matching candidate filter). Lines are OPEN vertex
+    chains — segments are minor great-circle arcs; the distance is the
+    exact per-edge perpendicular-foot / endpoint resolution
+    (``kernels.geo.arc_boundary_distance_np(closed=False)``), so
+    antimeridian-crossing and polar routes are not special cases.
+
+    MAP-ONLY plan, mirroring :func:`geo_nearest_tile`: line vertex
+    arrays ride the task closure (bounded line-table contract), one
+    Arrow pass over the points, no join, no shuffle — at 1000
+    executors throughput is linear in points × total segments."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ffcl_spark.kernels.geo import arc_boundary_distance_np, unit_vector_np
+
+    local = line_locals if line_locals is not None else polyline_locals(lines)
+
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(lat_col).alias("lat"),
+        F.col(lon_col).alias("lon"),
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("id", points.schema[id_col].dataType),
+            T.StructField("line_id", T.StringType()),
+            T.StructField("dist_m", T.DoubleType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            p = unit_vector_np(pdf["lat"].to_numpy(), pdf["lon"].to_numpy())
+            dmat = np.empty((len(pdf), len(local)), dtype=np.float64)
+            for j, (_, path) in enumerate(local):
+                dmat[:, j] = (
+                    arc_boundary_distance_np(p, path, closed=False)
+                    * earth_radius_m
+                )
+            best = dmat.argmin(axis=1)  # first minimum = smallest line_id
+            out = pd.DataFrame(
+                {
+                    "id": pdf["id"],
+                    "line_id": [local[j][0] for j in best],
+                    "dist_m": dmat[np.arange(len(pdf)), best],
+                }
+            )
+            if max_dist_m is not None:
+                out = out[out["dist_m"] <= max_dist_m]
+            if len(out):
+                yield out
+
+    return pts.mapInPandas(kernel, out_schema)
+
+
 def sphere_rasterize(
     tiles: DataFrame, delta_deg: float, *, m_table: list[int] | None = None
 ) -> DataFrame:

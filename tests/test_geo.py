@@ -1062,3 +1062,96 @@ def test_geo_zonal_stats_matches_twin(spark, world):
         assert list(got.index) == list(want.index), limit
         for c in ("n_points", "sum_v", "min_v", "max_v"):
             assert (got[c].to_numpy() == want[c].to_numpy()).all(), (limit, c)
+
+
+def test_arc_distance_open_polyline_kernel():
+    """closed=False skips the wrap edge: a point sitting on the would-be
+    closing edge is near the CLOSED ring but far from the OPEN chain."""
+    import math
+
+    from ffcl_spark.kernels.geo import arc_boundary_distance_np, unit_vector_np
+
+    chain = np.array([[0.0, 0.0], [0.0, 20.0], [20.0, 20.0]])
+    # midpoint of the (absent) closing edge from (20,20) back to (0,0)
+    probe = unit_vector_np(np.array([10.2]), np.array([9.8]))
+    d_closed = arc_boundary_distance_np(probe, chain, closed=True)[0]
+    d_open = arc_boundary_distance_np(probe, chain, closed=False)[0]
+    assert d_closed < math.radians(1.0)
+    assert d_open > math.radians(5.0)
+    # exact cross-track: equator segment, point due north of it
+    seg = np.array([[0.0, 0.0], [0.0, 10.0]])
+    p = unit_vector_np(np.array([3.0]), np.array([5.0]))
+    d = arc_boundary_distance_np(p, seg, closed=False)[0]
+    assert abs(d - math.radians(3.0)) < 1e-12
+    # endpoint resolution: beyond the segment's east end
+    p2 = unit_vector_np(np.array([0.0]), np.array([25.0]))
+    d2 = arc_boundary_distance_np(p2, seg, closed=False)[0]
+    assert abs(d2 - math.radians(15.0)) < 1e-12
+
+
+def test_geo_nearest_polyline_matches_sampling_twin(spark, world):
+    """Exact snap distance vs a dense slerp-sampled twin on worldwide
+    points against three routes (one crossing the antimeridian)."""
+    import math
+
+    from ffcl_spark.kernels.geo import haversine_np, unit_vector_np
+    from ffcl_spark.operators.geo import EARTH_RADIUS_M, geo_nearest_polyline
+
+    df, pdf = world
+    routes = {
+        "r-equator": [(0.0, -30.0), (0.0, 30.0), (15.0, 60.0)],
+        "r-pacific": [(10.0, 170.0), (5.0, -175.0), (-5.0, -165.0)],
+        "r-polar": [(80.0, 0.0), (85.0, 90.0), (80.0, 180.0)],
+    }
+    lines = spark.createDataFrame(
+        [
+            (lid, [{"lat": la, "lon": lo} for la, lo in path])
+            for lid, path in routes.items()
+        ],
+        "line_id string, path array<struct<lat double, lon double>>",
+    )
+    got = geo_nearest_polyline(df, lines).toPandas().set_index("id")
+    assert len(got) == len(pdf)
+
+    def slerp_samples(path, m=4000):
+        pts = []
+        v = unit_vector_np(
+            np.array([p[0] for p in path]), np.array([p[1] for p in path])
+        )
+        for a, b in zip(v[:-1], v[1:]):
+            ang = math.atan2(np.linalg.norm(np.cross(a, b)), float(a @ b))
+            ts = np.linspace(0.0, 1.0, m)
+            sa = np.sin((1 - ts) * ang)[:, None] * a
+            sb = np.sin(ts * ang)[:, None] * b
+            s = (sa + sb) / max(math.sin(ang), 1e-300)
+            s /= np.linalg.norm(s, axis=1)[:, None]
+            pts.append(s)
+        return np.vstack(pts)
+
+    samp = {lid: slerp_samples(path) for lid, path in routes.items()}
+    p = unit_vector_np(pdf.lat.to_numpy(), pdf.lon.to_numpy())
+    # dense-sample bound: exact ≤ sampled min, gap ≤ half sample spacing
+    for lid, s in samp.items():
+        # angular distances point → samples of this route
+        dots = np.clip(p @ s.T, -1.0, 1.0)
+        d_samp = np.arccos(dots).min(axis=1) * EARTH_RADIUS_M
+        sel = got.line_id == lid
+        if not sel.any():
+            continue
+        ids = got.index[sel]
+        mask = pdf.id.isin(ids).to_numpy()
+        exact = got.dist_m[sel].to_numpy()
+        assert (exact <= d_samp[mask] + 1e-6).all(), lid
+        assert (d_samp[mask] - exact < 30_000.0).all(), lid  # sampling gap
+    # the winning route really is the minimum across routes
+    all_d = np.stack(
+        [np.arccos(np.clip(p @ s.T, -1, 1)).min(axis=1) for s in samp.values()]
+    )
+    best_route = np.array(list(samp.keys()))[all_d.argmin(axis=0)]
+    agree = (got.loc[pdf.id].line_id.to_numpy() == best_route).mean()
+    assert agree > 0.99  # sampled argmin can flip only on near-ties
+
+    # max_dist_m drops far points
+    capped = geo_nearest_polyline(df, lines, max_dist_m=500_000.0).toPandas()
+    assert len(capped) < len(pdf)
+    assert (capped.dist_m <= 500_000.0).all()
