@@ -1064,7 +1064,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("n_points").cast("long").alias("dist_floor_m"),
             F.col("max_v").cast("int").alias("rank"),
         )
-        return out.unionByName(zon)
+        # snap variant (r5): nearest-polyline snapping — every point
+        # assigned its nearest great-circle ROUTE (open vertex chain;
+        # the fixture includes a Pacific antimeridian crosser and a
+        # polar chain) with the exact segment distance, ties by
+        # line_id, floored to metres. The oracle recomputes the
+        # per-segment perpendicular-foot / endpoint geometry in SQL
+        # from the same vertex literals — the `nearest` oracle's
+        # machinery over OPEN chains (no wrap edge, no containment
+        # term). Margins audited at sf0.01: see the snap CTE comment.
+        snap = GEO.geo_nearest_polyline(pts, GEO.sphere_routes(spark)).select(
+            F.lit("snap").alias("variant"),
+            F.col("line_id").alias("q_id"),
+            F.col("id").alias("r_id"),
+            F.floor("dist_m").cast("long").alias("dist_floor_m"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+        return out.unionByName(zon).unionByName(snap)
 
     def q_dedup_groups(spark, sf):
         # near-dup GROUP closure over the verified MinHash pairs (r4):
@@ -2681,6 +2697,29 @@ FROM scored WHERE jaccard >= {JACCARD_T}
 
         return _arc_edge_values(sphere_tile_rings())
 
+    def _route_edge_values() -> str:
+        # every segment of the fixture ROUTES as literals — OPEN
+        # chains: consecutive vertex pairs only, no wrap edge
+        import numpy as np
+
+        from ffcl_spark.kernels.geo import unit_vector_np
+        from ffcl_spark.operators.geo import sphere_route_paths
+
+        rows = []
+        for lid, path in sphere_route_paths():
+            v = unit_vector_np(
+                np.array([la for la, _ in path]), np.array([lo for _, lo in path])
+            )
+            for a, b in zip(v[:-1], v[1:]):
+                n = np.cross(a, b)
+                n = n / np.linalg.norm(n)
+                vals = ", ".join(
+                    f"CAST({x!r} AS DOUBLE)"
+                    for x in (a[0], a[1], a[2], b[0], b[1], b[2], n[0], n[1], n[2])
+                )
+                rows.append(f"('{lid}', {vals})")
+        return ",\n  ".join(rows)
+
     # per-edge boundary distance, recomputed in SQL: perpendicular
     # foot g = p − (p·n̂)n̂ lies on the arc iff both orientation signs
     # agree (scale-invariant, so g needs no normalization); then the
@@ -2740,6 +2779,38 @@ hav AS (SELECT q.id AS q_id, r.id AS r_id,
     _nearest_ctes = _nearest_sql.replace("{EDGES}", _nearest_edge_values()).replace(
         "{PIPEDGES}", _pip_edge_values()
     )
+
+    # snap CTEs: the nearest-tile geometry over OPEN route chains (no
+    # containment term — a polyline has no interior). Reuses gp from
+    # the nearest CTEs. Margins audited at sf0.01 (scripts-free audit
+    # run 2026-08-19): min best/second-route gap and min emitted-
+    # distance-to-floor-boundary both orders above cross-engine trig
+    # noise (~1e-9 m); values recorded in COVERAGE.md.
+    _snap_sql = f"""
+se AS (SELECT g.id, e.line_id, {_edge_dt} AS dt, {_edge_g},
+              e.ax, e.ay, e.az, e.bx, e.by, e.bz, e.nx, e.ny, e.nz,
+              g.px, g.py, g.pz
+       FROM gp g CROSS JOIN (VALUES
+  {_route_edge_values()}) e(line_id, ax, ay, az, bx, by, bz, nx, ny, nz)),
+sed AS (SELECT id, line_id,
+  CASE WHEN (gx*gx + gy*gy + gz*gz) > 1e-24
+        AND ((ay*gz - az*gy)*nx + (az*gx - ax*gz)*ny + (ax*gy - ay*gx)*nz) >= 0
+        AND ((gy*bz - gz*by)*nx + (gz*bx - gx*bz)*ny + (gx*by - gy*bx)*nz) >= 0
+       THEN asin(least(1.0, abs(dt)))
+       ELSE least(
+         atan2(sqrt(pow(py*az - pz*ay, 2) + pow(pz*ax - px*az, 2)
+                    + pow(px*ay - py*ax, 2)), px*ax + py*ay + pz*az),
+         atan2(sqrt(pow(py*bz - pz*by, 2) + pow(pz*bx - px*bz, 2)
+                    + pow(px*by - py*bx, 2)), px*bx + py*by + pz*bz))
+  END AS ang
+  FROM se),
+smin AS (SELECT id, line_id, min(ang) * 6371008.8 AS sdist
+         FROM sed GROUP BY 1, 2),
+snapped AS (SELECT id, line_id, sdist,
+                   row_number() OVER (PARTITION BY id ORDER BY sdist, line_id)
+                     AS rk
+            FROM smin)
+"""
 
     # overlay CTEs: every (edge of A) × (edge of B) × (±) candidate
     # great-circle intersection t = ±(n̂1×n̂2), accepted when t lies
@@ -2806,7 +2877,7 @@ ovpairs AS (
   UNION SELECT ta, tb FROM ovinb)
 """
     o["geo_search"] = f"""
-WITH {_PTS_DOCS}, {_geo_hav}, {_nearest_ctes}, {_overlay_ctes},
+WITH {_PTS_DOCS}, {_geo_hav}, {_nearest_ctes}, {_snap_sql}, {_overlay_ctes},
 plans(pl) AS (VALUES ('sphere'), ('embed'))
 SELECT 'radius_' || pl AS variant, q_id, r_id,
        CAST(floor(dist) AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
@@ -2855,6 +2926,11 @@ SELECT 'zonal' AS variant, i.tile_id AS q_id,
        CAST(MAX(g.d % 1000) AS INTEGER) AS rank
 FROM gins i JOIN geo g ON g.id = i.id
 GROUP BY i.tile_id
+UNION ALL
+SELECT 'snap' AS variant, line_id AS q_id, id AS r_id,
+       CAST(floor(sdist) AS BIGINT) AS dist_floor_m,
+       CAST(NULL AS INTEGER) AS rank
+FROM snapped WHERE rk = 1
 """
 
     # group closure over the same verified pairs: recursive min-label

@@ -703,6 +703,32 @@ def sphere_tile_rings(n_tiles: int = 12) -> list[tuple[str, list[tuple[float, fl
     return out
 
 
+def sphere_route_paths() -> list[tuple[str, list[tuple[float, float]]]]:
+    """Deterministic worldwide polyline fixture: open great-circle
+    vertex chains including the adversarial placements — a Pacific
+    route crossing the antimeridian and a polar chain. Pure literals:
+    the driver gate's oracle re-derives each segment's endpoint
+    vectors and edge normal from the same vertices."""
+    return [
+        ("route-0", [(0.0, -30.0), (0.0, 30.0), (15.0, 60.0), (25.0, 85.0)]),
+        ("route-1", [(10.0, 170.0), (5.0, -175.0), (-5.0, -165.0)]),
+        ("route-2", [(80.0, 0.0), (85.0, 90.0), (80.0, 180.0)]),
+        ("route-3", [(-45.0, -60.0), (-55.0, 0.0), (-45.0, 60.0)]),
+    ]
+
+
+def sphere_routes(spark) -> DataFrame:
+    """The :func:`sphere_route_paths` fixture as a (line_id, path)
+    DataFrame for :func:`geo_nearest_polyline`."""
+    return spark.createDataFrame(
+        [
+            (lid, [{"lat": la, "lon": lo} for la, lo in path])
+            for lid, path in sphere_route_paths()
+        ],
+        "line_id string, path array<struct<lat double, lon double>>",
+    )
+
+
 def sphere_tiles(spark, n_tiles: int = 12) -> DataFrame:
     """The :func:`sphere_tile_rings` fixture as a DataFrame
     (tile_id, ring: array<struct<lat, lon>>)."""
