@@ -1124,6 +1124,8 @@ def geo_nearest_polyline(
     lines: DataFrame | None,
     *,
     max_dist_m: float | None = None,
+    plan: str = "closure",
+    delta_deg: float | None = None,
     id_col: str = "id",
     lat_col: str = "lat",
     lon_col: str = "lon",
@@ -1139,15 +1141,37 @@ def geo_nearest_polyline(
     (``kernels.geo.arc_boundary_distance_np(closed=False)``), so
     antimeridian-crossing and polar routes are not special cases.
 
-    MAP-ONLY plan, mirroring :func:`geo_nearest_tile`: line vertex
-    arrays ride the task closure (bounded line-table contract), one
-    Arrow pass over the points, no join, no shuffle — at 1000
-    executors throughput is linear in points × total segments."""
+    ``plan="closure"`` (default): MAP-ONLY, mirroring
+    :func:`geo_nearest_tile` — line vertex arrays ride the task
+    closure (bounded line-table contract), one Arrow pass over the
+    points, no join, no shuffle.
+
+    ``plan="cover"`` (requires ``max_dist_m``): the million-route
+    scale path — each route's ``max_dist_m`` neighborhood is
+    rasterized DISTRIBUTED to spherical cells (slerp-subdivided
+    samples, padded caps — conservative superset), broadcast-joined
+    against the point cells, and only the candidate (point, route)
+    pairs pay the exact kernel; the per-point argmin is one
+    ``min_by``-style struct aggregation. Every point whose true
+    nearest route is within the cap has that route among its
+    candidates (cover-superset invariant), so the plans are
+    result-identical (pinned)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
     from ffcl_spark.kernels.geo import arc_boundary_distance_np, unit_vector_np
+
+    if plan == "cover":
+        if max_dist_m is None:
+            raise ValueError("plan='cover' requires max_dist_m (the candidate cap)")
+        return _nearest_polyline_cover(
+            points, lines, max_dist_m,
+            delta_deg=delta_deg, id_col=id_col, lat_col=lat_col,
+            lon_col=lon_col, earth_radius_m=earth_radius_m,
+        )
+    if plan != "closure":
+        raise ValueError(f"unknown plan {plan!r}")
 
     local = line_locals if line_locals is not None else polyline_locals(lines)
 
@@ -1189,6 +1213,154 @@ def geo_nearest_polyline(
                 yield out
 
     return pts.mapInPandas(kernel, out_schema)
+
+
+def _nearest_polyline_cover(
+    points: DataFrame,
+    lines: DataFrame,
+    max_dist_m: float,
+    *,
+    delta_deg: float | None,
+    id_col: str,
+    lat_col: str,
+    lon_col: str,
+    earth_radius_m: float,
+) -> DataFrame:
+    """Cover-plan body of :func:`geo_nearest_polyline` (``plan="cover"``).
+
+    Route rasterization (distributed Arrow kernel — a million-route
+    table never funnels through the driver): each segment is
+    slerp-subdivided into sub-arcs of length ≤ one cell height; each
+    sample contributes its spherical-cap cell cover padded by
+    ``max_dist + step/2``. Any point within ``max_dist`` of the route
+    is within ``max_dist + step/2`` of SOME sample, so it lands in a
+    covered cell — the conservative-superset contract every candidate
+    generator in the engine carries. Exact per-candidate verification
+    uses the same open-chain kernel as the closure plan, so the two
+    plans are bitwise result-identical; the per-point argmin is a
+    struct-min aggregation (dist, then line_id — the deterministic tie
+    order)."""
+    import math as _math
+
+    import numpy as np
+    import pandas as pd
+
+    from ffcl_spark.kernels.geo import arc_boundary_distance_np, unit_vector_np
+
+    r_deg = _math.degrees(max_dist_m / earth_radius_m)
+    if delta_deg is None:
+        delta_deg = min(max(r_deg, 0.5), 30.0)
+    m_table = S.band_m_table(delta_deg)
+    step_rad = _math.radians(delta_deg)
+    pad_deg = (
+        r_deg * (1 + 1e-9)
+        + _math.degrees(step_rad) / 2.0
+        + 1e-9
+    )
+
+    cov_schema = f"line_id string, path {GEO_RING_TYPE.replace(': ', ' ')}, cell long"
+
+    def cover_kernel(batches):
+        for pdf in batches:
+            outs = []
+            for _, row in pdf.iterrows():
+                path = np.array(
+                    [[v["lat"], v["lon"]] for v in row["path"]], dtype=np.float64
+                )
+                v = unit_vector_np(path[:, 0], path[:, 1])
+                cells: set[int] = set()
+                for a, b in zip(v[:-1], v[1:]):
+                    ang = _math.atan2(
+                        float(np.linalg.norm(np.cross(a, b))), float(a @ b)
+                    )
+                    m = max(2, _math.ceil(ang / step_rad) + 1)
+                    ts = np.linspace(0.0, 1.0, m)
+                    if ang < 1e-12:
+                        s = np.broadcast_to(a, (m, 3)).copy()
+                    else:
+                        s = (
+                            np.sin((1 - ts) * ang)[:, None] * a
+                            + np.sin(ts * ang)[:, None] * b
+                        ) / _math.sin(ang)
+                        s /= np.linalg.norm(s, axis=1)[:, None]
+                    lats = np.degrees(np.arcsin(np.clip(s[:, 2], -1.0, 1.0)))
+                    lons = np.degrees(np.arctan2(s[:, 1], s[:, 0]))
+                    for la, lo in zip(lats, lons):
+                        cells |= S.cover_cells_py(
+                            float(la), float(lo), pad_deg, delta_deg, m_table
+                        )
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "line_id": row["line_id"],
+                            "path": [row["path"]] * len(cells),
+                            "cell": np.fromiter(cells, dtype=np.int64),
+                        }
+                    )
+                )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    line_cov = lines.select("line_id", "path").mapInPandas(
+        cover_kernel, cov_schema
+    )
+
+    pts = points.select(
+        F.col(id_col).alias("id"),
+        F.col(lat_col).alias("lat"),
+        F.col(lon_col).alias("lon"),
+        S.sphere_cell_table(
+            F.col(lat_col), F.col(lon_col), delta_deg, m_table
+        ).alias("cell"),
+    )
+    cand = pts.join(F.broadcast(line_cov), "cell").select(
+        "id", "lat", "lon", "line_id", "path"
+    )
+
+    from pyspark.sql import types as T
+
+    ver_schema = T.StructType(
+        [
+            T.StructField("id", points.schema[id_col].dataType),
+            T.StructField("line_id", T.StringType()),
+            T.StructField("dist_m", T.DoubleType()),
+        ]
+    )
+
+    def verify_kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            outs = []
+            for line_id, grp in pdf.groupby("line_id", sort=False):
+                path = np.array(
+                    [[v["lat"], v["lon"]] for v in grp["path"].iloc[0]],
+                    dtype=np.float64,
+                )
+                p = unit_vector_np(grp["lat"].to_numpy(), grp["lon"].to_numpy())
+                d = arc_boundary_distance_np(p, path, closed=False) * earth_radius_m
+                keep = d <= max_dist_m
+                if keep.any():
+                    outs.append(
+                        pd.DataFrame(
+                            {
+                                "id": grp["id"].to_numpy()[keep],
+                                "line_id": line_id,
+                                "dist_m": d[keep],
+                            }
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    verified = cand.mapInPandas(verify_kernel, ver_schema)
+    best = F.min(F.struct(F.col("dist_m"), F.col("line_id"))).alias("b")
+    return (
+        verified.groupBy("id")
+        .agg(best)
+        .select("id", F.col("b.line_id").alias("line_id"),
+                F.col("b.dist_m").alias("dist_m"))
+    )
 
 
 def sphere_rasterize(

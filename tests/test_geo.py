@@ -1155,3 +1155,35 @@ def test_geo_nearest_polyline_matches_sampling_twin(spark, world):
     capped = geo_nearest_polyline(df, lines, max_dist_m=500_000.0).toPandas()
     assert len(capped) < len(pdf)
     assert (capped.dist_m <= 500_000.0).all()
+
+
+def test_geo_nearest_polyline_cover_plan_matches_closure(spark, world):
+    """The million-route cover plan (distributed rasterization +
+    broadcast candidates + exact verify) is bitwise result-identical
+    to the closure plan under the same cap."""
+    from ffcl_spark.operators.geo import geo_nearest_polyline, sphere_routes
+
+    df, pdf = world
+    lines = sphere_routes(spark)
+    for cap in (500_000.0, 3_000_000.0):
+        a = (
+            geo_nearest_polyline(df, lines, max_dist_m=cap)
+            .toPandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        b = (
+            geo_nearest_polyline(df, lines, max_dist_m=cap, plan="cover")
+            .toPandas()
+            .sort_values("id")
+            .reset_index(drop=True)
+        )
+        assert len(a) == len(b) and len(a) > 5, cap
+        assert a.id.equals(b.id) and a.line_id.equals(b.line_id), cap
+        assert (a.dist_m.to_numpy() == b.dist_m.to_numpy()).all(), cap
+    # cover plan refuses the uncapped form (nearest-anything needs
+    # the closure plan or an expanding search)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        geo_nearest_polyline(df, lines, plan="cover")
