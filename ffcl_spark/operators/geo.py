@@ -1100,6 +1100,52 @@ def geo_nearest_tile(
     return pts.mapInPandas(kernel, out_schema)
 
 
+def sphere_cell_rollup(
+    points: DataFrame,
+    deltas: tuple[float, ...] = (2.0, 8.0, 30.0),
+    *,
+    ts_col: str | None = None,
+    bucket: str = "hour",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Multi-resolution (and optionally spatiotemporal) occupancy
+    rollup on the sphere: per grid LEVEL (one per ``deltas`` band
+    height), per spherical cell — and per ``bucket`` time window when
+    ``ts_col`` is given — the point count and tight lat/lon bbox. The
+    geodesic member of the hypertable-rollup family
+    (``sources/points.cell_rollup`` is the planar quad-tree form).
+
+    Latitude-band grids do NOT nest across band heights (each level's
+    per-band longitude split ``m(b)`` is independent), so coarse
+    levels cannot re-aggregate fine partials the way the planar
+    quad-tree does; instead ONE scan materializes every level's cell
+    key as an array and explodes it — map-side expansion is
+    ``len(deltas)`` (small), then one partial aggregation whose
+    shuffle is bounded by occupied (level, cell[, window]) keys. Count
+    and min/max are order-free exact at any parallelism."""
+    keys = [
+        S.sphere_cell_table(
+            F.col(lat_col), F.col(lon_col), d, S.band_m_table(d)
+        )
+        for d in deltas
+    ]
+    base = points.select(
+        F.col(lat_col).alias("lat"),
+        F.col(lon_col).alias("lon"),
+        F.posexplode(F.array(*keys)).alias("level", "cell"),
+        *([F.date_trunc(bucket, F.col(ts_col)).alias("window")] if ts_col else []),
+    )
+    group = ["level", "cell"] + (["window"] if ts_col else [])
+    return base.groupBy(*group).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.min("lat").alias("lat_min"),
+        F.max("lat").alias("lat_max"),
+        F.min("lon").alias("lon_min"),
+        F.max("lon").alias("lon_max"),
+    )
+
+
 def polyline_locals(lines: DataFrame) -> list[tuple]:
     """Collect a (bounded) polyline table — (line_id, path:
     array<struct<lat, lon>>) — into the per-line closure payload

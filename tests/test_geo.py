@@ -1187,3 +1187,67 @@ def test_geo_nearest_polyline_cover_plan_matches_closure(spark, world):
 
     with _pytest.raises(ValueError):
         geo_nearest_polyline(df, lines, plan="cover")
+
+
+def test_sphere_cell_rollup_matches_twin(spark, world):
+    """Multi-level spherical occupancy rollup (+ a spatiotemporal
+    variant) vs a NumPy/pandas twin built on the shared band_m_table."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ffcl_spark.functions.sphere import band_m_table, n_bands
+    from ffcl_spark.operators.geo import sphere_cell_rollup
+
+    df, pdf = world
+    deltas = (2.0, 8.0, 30.0)
+
+    def twin_cells(d):
+        m_table = band_m_table(d)
+        nb = n_bands(d)
+        band = np.clip(
+            np.floor((pdf.lat.to_numpy() + 90.0) / d), 0, nb - 1
+        ).astype(np.int64)
+        m = np.array([m_table[b] for b in band], dtype=np.int64)
+        j = np.clip(
+            np.floor((pdf.lon.to_numpy() + 180.0) * m / 360.0), 0, m - 1
+        ).astype(np.int64)
+        return band * (1 << 32) + j
+
+    got = sphere_cell_rollup(df, deltas).toPandas()
+    for level, d in enumerate(deltas):
+        cells = twin_cells(d)
+        t = (
+            pd.DataFrame(
+                {"cell": cells, "lat": pdf.lat, "lon": pdf.lon}
+            )
+            .groupby("cell")
+            .agg(
+                n_points=("lat", "size"),
+                lat_min=("lat", "min"), lat_max=("lat", "max"),
+                lon_min=("lon", "min"), lon_max=("lon", "max"),
+            )
+            .sort_index()
+        )
+        g = got[got.level == level].set_index("cell").sort_index()
+        assert list(g.index) == list(t.index), d
+        assert (g.n_points.to_numpy() == t.n_points.to_numpy()).all(), d
+        for c in ("lat_min", "lat_max", "lon_min", "lon_max"):
+            assert (g[c].to_numpy() == t[c].to_numpy()).all(), (d, c)
+    # total occupancy per level == n
+    assert (got.groupby("level").n_points.sum() == len(pdf)).all()
+
+    # spatiotemporal: synthetic hourly timestamps from the id
+    ts = df.withColumn(
+        "ts",
+        F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+        + F.make_interval(hours=(F.col("id") % 5).cast("int")),
+    )
+    st = sphere_cell_rollup(ts, (30.0,), ts_col="ts").toPandas()
+    cells30 = twin_cells(30.0)
+    tw = (
+        pd.DataFrame({"cell": cells30, "h": (pdf.id % 5).astype(int)})
+        .groupby(["cell", "h"])
+        .size()
+    )
+    assert len(st) == len(tw)
+    assert st.n_points.sum() == len(pdf)
