@@ -69,6 +69,10 @@ GEO_QMOD = 5
 # clusters + 157 border + 93 noise, and the closest pair distance to
 # the radius cut is 55.5 m — flooring-safe for both engines' doubles
 GEO_DB_RADIUS_M = 800_000.0
+# sphere_cell_rollup gate bands (coarse→ pole caps exercised, fine →
+# many occupied cells); the oracle re-derives each level's band→m map
+# as an inline VALUES relation
+GEO_ROLLUP_DELTAS = (2.0, 8.0, 30.0)
 K_EDGES = 5
 # BM25 probe queries (gate q_bm25_rank): fixed strings over the
 # documents vocabulary, inlined as VALUES in the DuckDB oracle
@@ -206,13 +210,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_cell_rollup(spark, sf):
         # per-cell count + tight bbox at EVERY grid level from one
-        # data scan (hypertable rollup: coarse levels re-aggregate the
-        # finest level's partials up the quad tree — sum of sums, min
-        # of mins). The finest level IS the former cell_stats gate;
-        # the oracle recomputes every level directly from the points.
+        # data scan (hypertable rollup): `quad` = planar quad-tree
+        # (coarse levels re-aggregate the finest level's partials —
+        # sum of sums, min of mins; the finest level IS the former
+        # cell_stats gate), `sphere` = the geodesic member over the
+        # worldwide doc mapping (latitude-band grids don't nest across
+        # band heights, so one scan explodes every level's cell key —
+        # x_/y_ carry lat/lon bounds there). The oracle recomputes
+        # every level of BOTH grids directly from the points; the
+        # spherical band→m(b) map is an inline VALUES relation joined
+        # in SQL (an independent formulation of the Python
+        # band_m_table closure).
+        from ffcl_spark.operators.geo import sphere_cell_rollup
         from ffcl_spark.sources.points import cell_rollup
 
-        return cell_rollup(_doc_points(spark, sf), CFG)
+        pts = _doc_points(spark, sf)
+        quad = cell_rollup(pts, CFG).select(
+            F.lit("quad").alias("plan"),
+            "res",
+            "cell",
+            "n",
+            "x_min",
+            "x_max",
+            "y_min",
+            "y_max",
+        )
+        geo = pts.select(
+            (F.col("x") * 3).alias("lat"), (F.col("y") * 6).alias("lon")
+        )
+        sph = sphere_cell_rollup(geo, GEO_ROLLUP_DELTAS).select(
+            F.lit("sphere").alias("plan"),
+            F.col("level").cast("int").alias("res"),
+            "cell",
+            F.col("n_points").alias("n"),
+            F.col("lat_min").alias("x_min"),
+            F.col("lat_max").alias("x_max"),
+            F.col("lon_min").alias("y_min"),
+            F.col("lon_max").alias("y_max"),
+        )
+        return quad.unionByName(sph)
 
     def q_index_tree(spark, sf):
         # hierarchical index snapshot — the kd-tree-serialization
@@ -1819,10 +1855,37 @@ def oracle_sql() -> dict[str, str]:
         ixe = f"greatest(0, least({grid - 1}, CAST(floor((x - (-30.0)) / {cs}) AS BIGINT)))"
         iye = f"greatest(0, least({grid - 1}, CAST(floor((y - (-30.0)) / {cs}) AS BIGINT)))"
         roll_parts.append(f"""
-SELECT CAST({r} AS INTEGER) AS res, cell, count(*) AS n,
+SELECT 'quad' AS plan, CAST({r} AS INTEGER) AS res, cell, count(*) AS n,
   min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
 FROM (SELECT x, y, {base} + {ixe} * 67108864 + {iye} AS cell FROM pts) GROUP BY cell""")
-    o["cell_rollup"] = f"WITH {_PTS_DOCS}" + "\nUNION ALL\n".join(roll_parts)
+    # sphere variant: each level's band→m(b) map re-derived as an
+    # inline VALUES relation (independent of functions/sphere.py);
+    # cell = band·2^32 + clamp(floor((lon+180)·m/360)) exactly as the
+    # JVM expression computes it — identical IEEE doubles both sides
+    from ffcl_spark.functions.sphere import band_m_table as _bmt
+
+    mt_rows = []
+    for lvl, dd in enumerate(GEO_ROLLUP_DELTAS):
+        for band, m in enumerate(_bmt(dd)):
+            mt_rows.append(f"({lvl},{band},{m})")
+    mtab_cte = "mtab(lvl, band, m) AS (VALUES " + ",".join(mt_rows) + ")"
+    for lvl, dd in enumerate(GEO_ROLLUP_DELTAS):
+        nb = len(_bmt(dd))
+        roll_parts.append(f"""
+SELECT 'sphere' AS plan, CAST({lvl} AS INTEGER) AS res,
+  g.band * 4294967296 + least(CAST(m AS BIGINT) - 1, greatest(CAST(0 AS BIGINT),
+    CAST(floor((lon + 180.0) * CAST(m AS DOUBLE) / 360.0) AS BIGINT))) AS cell,
+  count(*) AS n, min(lat) AS x_min, max(lat) AS x_max,
+  min(lon) AS y_min, max(lon) AS y_max
+FROM (SELECT lat, lon,
+        least({nb - 1}, greatest(0, CAST(floor((lat + 90.0) / {dd}) AS BIGINT))) AS band
+      FROM geo) g
+JOIN mtab ON mtab.lvl = {lvl} AND mtab.band = g.band
+GROUP BY cell""")
+    o["cell_rollup"] = (
+        f"WITH {_PTS_DOCS}, {_geo_cte}, {mtab_cte}"
+        + "\nUNION ALL\n".join(roll_parts)
+    )
 
     tree_parts = []
     for d in range(RES + 1):
