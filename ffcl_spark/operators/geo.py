@@ -661,6 +661,112 @@ def geo_closest_pair(
     return carry(out, knn)
 
 
+def geo_kmeans(
+    df: DataFrame,
+    k: int,
+    *,
+    n_init: int = 1,
+    max_iters: int = 20,
+    tol_m: float = 1.0,
+    seed: int = 7,
+    sample_rows: int = 50_000,
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+):
+    """Spherical k-means under the great-circle metric — the centroid
+    member of the geodesic clustering family (Lloyd semantics per the
+    reference ``Lloyd.hpp:91-166`` + kmeans++ seeding
+    ``KMeansPlusPlus.hpp:40-65``, transported to the sphere).
+
+    Mechanics: points embed to 3-D unit vectors; centroids live ON the
+    sphere (each update renormalizes the per-cluster mean — the
+    spherical-k-means closed form, which minimizes summed great-circle
+    distance direction-wise). Assignment by the shared chord-space
+    argmin expression is EXACT for the geodesic metric because chord ↔
+    arc is strictly monotone and every centroid is unit-norm, so
+    argmin chord == argmin great-circle. An empty cluster keeps its
+    previous centroid (``Lloyd.hpp:114-118``); a zero-mean cluster
+    (members cancel exactly) does too, since the mean has no
+    direction.
+
+    Spark shape per iteration: the assignment is a pure JVM column
+    expression over k literal centroids, the update is ONE
+    posexplode(3) + partial-agg shuffle, and the driver touches k·3
+    rows — nothing N-dependent. ``n_init`` restarts keep the min-loss
+    run; early stop when every centroid moves < ``tol_m`` metres along
+    the sphere.
+
+    Returns ``(centroids, loss_m, labels)``: centroids as a (k, 2)
+    lat/lon-degree array, total great-circle deviation in metres, and
+    an (id, label) DataFrame."""
+    import numpy as np
+
+    from ffcl_spark.operators.kmeans import _INITS, _assign_expr_nd
+
+    pts = geo_points(df, id_col, lat_col, lon_col)
+    n = pts.count()
+    m = max(1, math.ceil(n / sample_rows))
+    basis = pts
+    if m > 1:
+        basis = pts.where(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(m)) == 0
+        )
+    pdf = basis.select("id", "features").toPandas().sort_values("id")
+    sample = np.array(pdf["features"].tolist()[:sample_rows], dtype=np.float64)
+    init_fn = _INITS["pp"]
+
+    def _one_run(cents0: np.ndarray):
+        cents = cents0.copy()
+        for _ in range(max_iters):
+            best = _assign_expr_nd(cents, "features")
+            agg = (
+                pts.select(
+                    best["cid"].alias("label"),
+                    F.posexplode(F.col("features")).alias("pos", "val"),
+                )
+                .groupBy("label", "pos")
+                .agg(F.avg("val").alias("m"))
+                .collect()
+            )
+            means = cents.copy()  # empty cluster keeps previous centroid
+            for row in agg:
+                means[row["label"], row["pos"]] = row["m"]
+            norms = np.sqrt(np.sum(means * means, axis=1))
+            new_cents = cents.copy()
+            ok = norms > 0
+            new_cents[ok] = means[ok] / norms[ok, None]
+            # centroid travel in great-circle metres (chord → arc)
+            chord = np.sqrt(np.sum((new_cents - cents) ** 2, axis=1))
+            move = 2.0 * EARTH_RADIUS_M * np.arcsin(
+                np.minimum(1.0, chord / 2.0)
+            )
+            cents = new_cents
+            if float(move.max(initial=0.0)) < tol_m:
+                break
+        best = _assign_expr_nd(cents, "features")
+        arc = arc_of_chord_m(F.sqrt(best["d2"]))
+        loss = pts.select(arc.alias("d")).agg(F.sum("d")).collect()[0][0]
+        labels = pts.select("id", _assign_expr_nd(cents, "features")["cid"].alias("label"))
+        return cents, float(loss), labels
+
+    best_run = None
+    for trial in range(n_init):
+        cents0 = init_fn(sample, k, seed + trial)
+        run = _one_run(cents0)
+        if best_run is None or run[1] < best_run[1]:
+            best_run = run
+    cents, loss, labels = best_run
+    latlon = np.stack(
+        [
+            np.degrees(np.arcsin(np.clip(cents[:, 2], -1.0, 1.0))),
+            np.degrees(np.arctan2(cents[:, 1], cents[:, 0])),
+        ],
+        axis=1,
+    )
+    return latlon, loss, labels
+
+
 # ------------------------------------------------------------ geodesic PIP
 
 GEO_RING_TYPE = (

@@ -1251,3 +1251,96 @@ def test_sphere_cell_rollup_matches_twin(spark, world):
     )
     assert len(st) == len(tw)
     assert st.n_points.sum() == len(pdf)
+
+
+def test_geo_kmeans_matches_spherical_lloyd_twin(spark):
+    """Spherical k-means vs a local NumPy spherical-Lloyd twin run on
+    the SAME engine-computed embedding (same kmeans++ seed path, same
+    assignment tie rule, mean-then-renormalize update) — labels exact
+    and centroids bitwise-close on a well-separated fixture."""
+    from ffcl_spark.operators.geo import geo_kmeans, geo_points
+    from ffcl_spark.operators.kmeans import kmeanspp_init
+
+    rng = np.random.default_rng(3)
+    centers = [(89.9, 0.0), (10.0, 179.95), (-45.0, 60.0)]
+    rows = []
+    i = 0
+    for clat, clon in centers:
+        for _ in range(40):
+            lat = float(np.clip(clat + rng.normal(0, 0.05), -90, 90))
+            lon = ((clon + rng.normal(0, 0.05) + 180.0) % 360.0) - 180.0
+            rows.append((i, lat, float(lon)))
+            i += 1
+    pdf = pd.DataFrame(rows, columns=["id", "lat", "lon"])
+    df = spark.createDataFrame(pdf)
+
+    cents_ll, loss, labels = geo_kmeans(df, 3, seed=5, max_iters=10)
+    got = labels.toPandas().sort_values("id").label.to_numpy()
+
+    # twin on the engine's own embedding (avoids libm-vs-JVM trig ulps)
+    feats = (
+        geo_points(df).toPandas().sort_values("id")["features"].tolist()
+    )
+    X = np.array(feats, dtype=np.float64)
+    C = kmeanspp_init(X, 3, 5)
+    for _ in range(10):
+        d2 = ((X[:, None, :] - C[None]) ** 2).sum(-1)
+        lab = d2.argmin(1)
+        newC = C.copy()
+        for c in range(3):
+            mem = X[lab == c]
+            if len(mem):
+                m = mem.mean(0)
+                n = np.sqrt((m * m).sum())
+                if n > 0:
+                    newC[c] = m / n
+        move = np.sqrt(((newC - C) ** 2).sum(1)).max()
+        C = newC
+        if 2 * EARTH_RADIUS_M * np.arcsin(min(1.0, move / 2)) < 1.0:
+            break
+    lab = ((X[:, None, :] - C[None]) ** 2).sum(-1).argmin(1)
+
+    assert (got == lab).all()
+    # centroids on the sphere, at the twin's positions
+    want_ll = np.stack(
+        [
+            np.degrees(np.arcsin(np.clip(C[:, 2], -1, 1))),
+            np.degrees(np.arctan2(C[:, 1], C[:, 0])),
+        ],
+        axis=1,
+    )
+    assert np.allclose(cents_ll, want_ll, atol=1e-9)
+    # loss: sum of great-circle distances to assigned centroid
+    d = 2 * EARTH_RADIUS_M * np.arcsin(
+        np.minimum(1.0, np.sqrt(((X - C[lab]) ** 2).sum(1)) / 2)
+    )
+    assert abs(loss - d.sum()) < 1e-4 * max(1.0, d.sum())
+    # every fixture cluster recovered: one centroid within 20 km of
+    # each true center
+    for clat, clon in centers:
+        dd = haversine_np(
+            np.full(3, clat), np.full(3, clon), want_ll[:, 0], want_ll[:, 1]
+        )
+        assert dd.min() < 20_000
+
+
+def test_geo_kmeans_world_invariants(spark, world):
+    """Sanity on the adversarial world fixture: unit-sphere centroids,
+    labels cover [0, k), non-increasing loss vs k=1, n_init keeps the
+    better run."""
+    from ffcl_spark.operators.geo import geo_kmeans
+
+    df, pdf = world
+    cents5, loss5, labels5 = geo_kmeans(df, 5, seed=9, max_iters=6)
+    lp = labels5.toPandas()
+    assert len(lp) == len(pdf)
+    assert set(lp.label.unique()) <= set(range(5))
+    assert np.isfinite(loss5) and loss5 > 0
+    assert np.abs(cents5[:, 0]).max() <= 90.0
+    assert np.abs(cents5[:, 1]).max() <= 180.0
+
+    _, loss1, _ = geo_kmeans(df, 1, seed=9, max_iters=6)
+    assert loss5 < loss1
+
+    _, loss_multi, _ = geo_kmeans(df, 5, seed=9, max_iters=6, n_init=3)
+    assert loss_multi <= loss5 + 1e-6
