@@ -1344,3 +1344,128 @@ def test_geo_kmeans_world_invariants(spark, world):
 
     _, loss_multi, _ = geo_kmeans(df, 5, seed=9, max_iters=6, n_init=3)
     assert loss_multi <= loss5 + 1e-6
+
+
+def test_geodesy_destination_matches_numpy_twin(spark):
+    """Column destination vs kernels.geo.destination_point_np over a
+    start/bearing/arc grid including pole starts and antimeridian
+    wrap — agreement to 1e-9 degrees."""
+    from pyspark.sql import functions as F
+
+    from ffcl_spark.functions.geodesy import destination
+    from ffcl_spark.kernels.geo import destination_point_np
+
+    starts = [(0.0, 0.0), (45.0, 100.0), (-60.0, -170.0), (89.95, 30.0), (10.0, 179.9)]
+    bearings = np.array([0.0, 37.0, 90.0, 180.0, 271.5, 359.0])
+    arcs = np.array([0.001, 0.5, 5.0, 45.0, 120.0, 179.0])
+    rows, want = [], []
+    i = 0
+    for la, lo in starts:
+        for b in bearings:
+            for a in arcs:
+                rows.append((i, la, lo, float(b), float(a)))
+                wl, wo = destination_point_np(la, lo, np.array([b]), np.array([a]))
+                want.append((wl[0], wo[0]))
+                i += 1
+    df = spark.createDataFrame(rows, "id long, lat double, lon double, b double, a double")
+    got = (
+        df.select("id", destination(F.col("lat"), F.col("lon"), F.col("b"), F.col("a")).alias("d"))
+        .select("id", "d.lat", "d.lon")
+        .toPandas()
+        .sort_values("id")
+    )
+    w = np.array(want)
+    assert np.abs(got.lat.to_numpy() - w[:, 0]).max() < 1e-9
+    # lon wrap: compare on the circle
+    dl = np.abs(got.lon.to_numpy() - w[:, 1])
+    assert np.minimum(dl, 360.0 - dl).max() < 1e-9
+
+
+def test_geodesy_bearing_and_interpolate(spark):
+    """initial_bearing cardinal directions + round trip through
+    destination; gc_interpolate endpoints, midpoint equidistance, and
+    additivity along the arc."""
+    from pyspark.sql import functions as F
+
+    from ffcl_spark.functions.geodesy import (
+        destination,
+        gc_interpolate,
+        gc_midpoint,
+        initial_bearing,
+    )
+
+    one = spark.range(1)
+    card = one.select(
+        initial_bearing(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(10.0)).alias("e"),
+        initial_bearing(F.lit(0.0), F.lit(0.0), F.lit(10.0), F.lit(0.0)).alias("n"),
+        initial_bearing(F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(-10.0)).alias("w"),
+        initial_bearing(F.lit(0.0), F.lit(0.0), F.lit(-10.0), F.lit(0.0)).alias("s"),
+    ).first()
+    assert abs(card.e - 90.0) < 1e-9
+    assert abs(card.n - 0.0) < 1e-9
+    assert abs(card.w - 270.0) < 1e-9
+    assert abs(card.s - 180.0) < 1e-9
+
+    # round trip: bearing from start to destination(b) == b
+    rows = [(i, 20.0, 50.0, float(b)) for i, b in enumerate([10.0, 95.0, 200.0, 340.0])]
+    df = spark.createDataFrame(rows, "id long, lat double, lon double, b double")
+    rt = (
+        df.select(
+            "id",
+            "b",
+            destination(F.col("lat"), F.col("lon"), F.col("b"), F.lit(3.0)).alias("d"),
+        )
+        .select(
+            "b",
+            initial_bearing(F.lit(20.0), F.lit(50.0), F.col("d.lat"), F.col("d.lon")).alias("bb"),
+        )
+        .toPandas()
+    )
+    assert np.abs(rt.b - rt.bb).max() < 1e-7
+
+    pairs = [
+        (0, 10.0, 179.5, -5.0, -178.0),   # antimeridian arc
+        (1, 50.0, -30.0, 52.0, 28.0),
+        (2, -80.0, 10.0, -70.0, -120.0),  # near-pole
+    ]
+    pdf = spark.createDataFrame(
+        pairs, "id long, lat1 double, lon1 double, lat2 double, lon2 double"
+    )
+    cols = [F.col(c) for c in ("lat1", "lon1", "lat2", "lon2")]
+    ip = (
+        pdf.select(
+            "id", *[c.alias(str(i)) for i, c in enumerate(cols)],
+            gc_interpolate(*cols, F.lit(0.0)).alias("p0"),
+            gc_interpolate(*cols, F.lit(1.0)).alias("p1"),
+            gc_midpoint(*cols).alias("mid"),
+            gc_interpolate(*cols, F.lit(0.25)).alias("q"),
+        )
+        .toPandas()
+        .sort_values("id")
+    )
+    for _, r in ip.iterrows():
+        assert abs(r.p0["lat"] - r["0"]) < 1e-9
+        dl = abs(r.p0["lon"] - r["1"]) % 360.0
+        assert min(dl, 360.0 - dl) < 1e-9
+        assert abs(r.p1["lat"] - r["2"]) < 1e-9
+        dl = abs(r.p1["lon"] - r["3"]) % 360.0
+        assert min(dl, 360.0 - dl) < 1e-9
+        full = haversine_np(
+            np.array([r["0"]]), np.array([r["1"]]), np.array([r["2"]]), np.array([r["3"]])
+        )[0]
+        d1 = haversine_np(
+            np.array([r["0"]]), np.array([r["1"]]),
+            np.array([r.mid["lat"]]), np.array([r.mid["lon"]]),
+        )[0]
+        d2 = haversine_np(
+            np.array([r.mid["lat"]]), np.array([r.mid["lon"]]),
+            np.array([r["2"]]), np.array([r["3"]]),
+        )[0]
+        assert abs(d1 - d2) < 1e-6 * full + 1e-6
+        assert abs((d1 + d2) - full) < 1e-9 * full + 1e-6
+        # quarter point sits at 1/4 of the arc
+        dq = haversine_np(
+            np.array([r["0"]]), np.array([r["1"]]),
+            np.array([r.q["lat"]]), np.array([r.q["lon"]]),
+        )[0]
+        assert abs(dq - 0.25 * full) < 1e-6 * full + 1e-6
