@@ -198,3 +198,93 @@ def cover_cells(lat: Column, lon: Column, r_deg: float, delta_deg: float) -> Col
         )
 
     return F.flatten(F.transform(F.sequence(b_lo, b_hi), _band_cells))
+
+
+# --------------------------------------------------- cell API (H3/S2-style)
+
+
+def cell_bounds(cell: Column, delta_deg: float) -> Column:
+    """Packed cell id → ``struct<lat_lo, lat_hi, lon_lo, lon_hi>``
+    (degrees; the cell's exact lat/lon rectangle — latitude-band cells
+    ARE lat/lon rectangles, the grid's defining property). Column twin
+    of the arithmetic inside :func:`sphere_cell`; the ``h3_cell_to_
+    boundary`` analogue."""
+    band = F.floor(cell / F.lit(_BAND_SHIFT))
+    j = cell - band * F.lit(_BAND_SHIFT)
+    m = _m_of_band(band, delta_deg).cast("double")
+    lat_lo = band.cast("double") * F.lit(delta_deg) - F.lit(90.0)
+    return F.struct(
+        lat_lo.alias("lat_lo"),
+        F.least(F.lit(90.0), lat_lo + F.lit(delta_deg)).alias("lat_hi"),
+        (j.cast("double") * F.lit(360.0) / m - F.lit(180.0)).alias("lon_lo"),
+        ((j.cast("double") + 1.0) * F.lit(360.0) / m - F.lit(180.0)).alias(
+            "lon_hi"
+        ),
+    )
+
+
+def cell_center(cell: Column, delta_deg: float) -> Column:
+    """Packed cell id → ``struct<lat, lon>`` rectangle midpoint
+    (degrees). ``sphere_cell(center) == cell`` for every cell — the
+    round-trip the tests pin per level."""
+    b = cell_bounds(cell, delta_deg)
+    return F.struct(
+        (F.least(b["lat_hi"], F.lit(90.0)) / 2 + b["lat_lo"] / 2).alias("lat"),
+        ((b["lon_lo"] + b["lon_hi"]) / 2).alias("lon"),
+    )
+
+
+def cell_area_m2(
+    cell: Column, delta_deg: float, earth_radius_m: float = 6_371_008.8
+) -> Column:
+    """EXACT spherical area of a cell in m² — Archimedes' hat-box:
+    a latitude zone slice of angular width Δλ between latitudes φ1, φ2
+    has area R²·Δλ·(sin φ2 − sin φ1), a closed form with no polygon
+    approximation (the ``h3_cell_area`` analogue; sums to 4πR² per
+    level, which the tests pin)."""
+    b = cell_bounds(cell, delta_deg)
+    band = F.floor(cell / F.lit(_BAND_SHIFT))
+    m = _m_of_band(band, delta_deg).cast("double")
+    dlam = F.lit(2.0 * math.pi) / m
+    return (
+        F.lit(earth_radius_m * earth_radius_m)
+        * dlam
+        * (F.sin(F.radians(b["lat_hi"])) - F.sin(F.radians(b["lat_lo"])))
+    )
+
+
+def cell_neighbors(cell: Column, delta_deg: float) -> Column:
+    """array<bigint> of the cells edge- or corner-adjacent to ``cell``
+    (its ring-1 neighborhood, self excluded) — the ``h3_grid_ring``
+    analogue. Bands above/below have their OWN longitude split m(b),
+    so a neighbor band contributes every cell whose CLOSED longitude
+    interval [jj/m, (jj+1)/m] intersects the source's closed
+    [j/m_src, (j+1)/m_src] — corner touches included, decided by the
+    cross-multiplied integer inequalities (jj+1)·m_src ≥ j·m and
+    jj·m_src ≤ (j+1)·m (the products stay ≤ a few 10⁵ for any sane δ,
+    exact in doubles), so band topology can never split on a float.
+    Pole bands wrap to a single cap cell; duplicates collapse through
+    array_distinct."""
+    nb = n_bands(delta_deg)
+    band = F.floor(cell / F.lit(_BAND_SHIFT))
+    j = cell - band * F.lit(_BAND_SHIFT)
+    m_src = _m_of_band(band, delta_deg)
+
+    def _band_cells(bb: Column) -> Column:
+        m = _m_of_band(bb, delta_deg)
+        # smallest jj with (jj+1)·m_src ≥ j·m is ceil(j·m/m_src) − 1;
+        # largest jj with jj·m_src ≤ (j+1)·m is floor((j+1)·m/m_src)
+        j_lo = F.floor((j * m + m_src - 1) / m_src) - 1
+        j_hi = F.floor(((j + 1) * m) / m_src)
+        j_hi = F.least(j_hi, j_lo + m - 1)
+        return F.transform(
+            F.sequence(j_lo, j_hi),
+            lambda jj: bb * F.lit(_BAND_SHIFT) + F.pmod(jj, m),
+        )
+
+    bands = F.sequence(
+        F.greatest(F.lit(0).cast("long"), band - 1),
+        F.least(F.lit(nb - 1).cast("long"), band + 1),
+    )
+    ring = F.array_distinct(F.flatten(F.transform(bands, _band_cells)))
+    return F.array_remove(ring, cell)
