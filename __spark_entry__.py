@@ -1116,7 +1116,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.floor("dist_m").cast("long").alias("dist_floor_m"),
             F.lit(None).cast("int").alias("rank"),
         )
-        return out.unionByName(zon).unionByName(snap)
+        # cross variant (r5): polyline ↔ tile crossing join — which
+        # fixture routes meet which spherical tiles (interior passage
+        # or boundary touch). The engine runs the real chain kernel
+        # (transversal arc sign tests + gnomonic containment witness);
+        # the oracle re-decides every (chain arc × tile edge × ±t)
+        # candidate from edge/normal literals plus the first-vertex
+        # half-space containment — the overlay oracle's machinery over
+        # OPEN chains. Margins audited: min |n̂1×n̂2| 3.9e-2 (no
+        # near-collinear pair, so the same-great-circle branch is
+        # unreachable on this fixture), min within-arc decision dot
+        # 1.9e-4, min containment half-space dot 2.9e-3.
+        cross = GEO.geo_line_tile_join(GEO.sphere_routes(spark), tiles).select(
+            F.lit("cross").alias("variant"),
+            F.col("line_id").alias("q_id"),
+            F.col("tile_id").alias("r_id"),
+            F.lit(None).cast("long").alias("dist_floor_m"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+        return (
+            out.unionByName(zon).unionByName(snap).unionByName(cross)
+        )
 
     def q_dedup_groups(spark, sf):
         # near-dup GROUP closure over the verified MinHash pairs (r4):
@@ -2939,8 +2959,63 @@ ovpairs AS (
   UNION SELECT ta, tb FROM ovina
   UNION SELECT ta, tb FROM ovinb)
 """
+
+    # cross CTEs: polyline ↔ tile crossing — the overlay transversal
+    # machinery with the route chains as the B side (open chains:
+    # consecutive-pair edges only, no wrap edge, already what
+    # _route_edge_values emits) plus the FIRST-chain-vertex convex
+    # half-space containment (a connected chain with no boundary
+    # crossing is entirely inside or entirely outside). Tile edges
+    # reuse the ovea CTE. The kernel's same-great-circle branch is
+    # omitted: min |n̂1×n̂2| = 3.9e-2 across every (chain arc, tile
+    # edge) pair of this fixture — nothing near-collinear. Decision
+    # margins: min within-arc dot 1.9e-4, min half-space dot 2.9e-3.
+    def _route_vertex0_values() -> str:
+        import numpy as np
+
+        from ffcl_spark.kernels.geo import unit_vector_np
+        from ffcl_spark.operators.geo import sphere_route_paths
+
+        rows = []
+        for lid, path in sphere_route_paths():
+            la, lo = path[0]
+            v = unit_vector_np(np.array([la]), np.array([lo]))[0]
+            rows.append(
+                f"('{lid}', CAST({v[0]!r} AS DOUBLE), "
+                f"CAST({v[1]!r} AS DOUBLE), CAST({v[2]!r} AS DOUBLE))"
+            )
+        return ",\n  ".join(rows)
+
+    _cross_ctes = f"""
+lce AS (SELECT * FROM (VALUES
+  {_route_edge_values()}) t(lid, b1x, b1y, b1z, b2x, b2y, b2z, n2x, n2y, n2z)),
+ltraw AS (
+  SELECT ta, lid,
+         sg * (n1y*n2z - n1z*n2y) AS tx,
+         sg * (n1z*n2x - n1x*n2z) AS ty,
+         sg * (n1x*n2y - n1y*n2x) AS tz,
+         a1x, a1y, a1z, a2x, a2y, a2z, n1x, n1y, n1z,
+         b1x, b1y, b1z, b2x, b2y, b2z, n2x, n2y, n2z
+  FROM ovea CROSS JOIN lce CROSS JOIN (VALUES (1.0), (-1.0)) s(sg)),
+lttn AS (SELECT *, sqrt(tx*tx + ty*ty + tz*tz) AS tn FROM ltraw),
+ltcross AS (
+  SELECT DISTINCT lid, ta FROM lttn
+  WHERE tn > 1e-12
+    AND {_ov_within("a1", "a2", "n1")}
+    AND {_ov_within("b1", "b2", "n2")}),
+ltin AS (
+  SELECT r0.lid, h.tile_id AS ta
+  FROM (VALUES
+  {_route_vertex0_values()}) r0(lid, px, py, pz)
+  CROSS JOIN (VALUES
+  {_pip_edge_values()}) h(tile_id, nx, ny, nz)
+  GROUP BY 1, 2 HAVING min(h.nx*r0.px + h.ny*r0.py + h.nz*r0.pz) >= 0),
+ltpairs AS (
+  SELECT lid, ta FROM ltcross
+  UNION SELECT lid, ta FROM ltin)
+"""
     o["geo_search"] = f"""
-WITH {_PTS_DOCS}, {_geo_hav}, {_nearest_ctes}, {_snap_sql}, {_overlay_ctes},
+WITH {_PTS_DOCS}, {_geo_hav}, {_nearest_ctes}, {_snap_sql}, {_overlay_ctes}, {_cross_ctes},
 plans(pl) AS (VALUES ('sphere'), ('embed'))
 SELECT 'radius_' || pl AS variant, q_id, r_id,
        CAST(floor(dist) AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
@@ -2976,6 +3051,10 @@ UNION ALL
 SELECT 'overlay' AS variant, ta AS q_id, tb AS r_id,
        CAST(NULL AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
 FROM ovpairs
+UNION ALL
+SELECT 'cross' AS variant, lid AS q_id, ta AS r_id,
+       CAST(NULL AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
+FROM ltpairs
 UNION ALL
 SELECT 'probe' AS variant, q_id, r_id,
        CAST(floor(dist) AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank

@@ -208,20 +208,25 @@ def _within_arc_grid(P, A1, A2, n1):
     return (c1 >= -OVERLAY_EPS) & (c2 >= -OVERLAY_EPS)
 
 
-def sphere_arcs_cross(va: np.ndarray, vb: np.ndarray) -> bool:
-    """True iff some edge arc of ring A meets some edge arc of ring B
-    (proper crossing, T-touch, endpoint touch, or same-great-circle
-    overlap) — the spherical twin of ``kernels.overlay.segments_cross``.
-    Inputs are rings of unit vectors [m, 3] / [k, 3]; edges are minor
-    great-circle arcs (the tile cap contract).
+def sphere_arcs_cross(
+    va: np.ndarray, vb: np.ndarray, *, closed_a: bool = True,
+    closed_b: bool = True,
+) -> bool:
+    """True iff some edge arc of A meets some edge arc of B (proper
+    crossing, T-touch, endpoint touch, or same-great-circle overlap) —
+    the spherical twin of ``kernels.overlay.segments_cross``. Inputs
+    are vertex sequences of unit vectors [m, 3] / [k, 3]; edges are
+    minor great-circle arcs (the tile cap contract). ``closed_*``
+    selects ring edges (wrap arc included) vs OPEN chain edges
+    (consecutive pairs only — the polyline form).
 
     Transversal case: the two great circles meet at ±t with
     t = n̂1×n̂2; the arcs share a point iff one of ±t lies within both
     arcs (orientation sign tests). Degenerate case (same great circle,
     |t| ≈ 0): the arcs overlap iff an endpoint of one lies within the
     other arc."""
-    A1, A2 = va, np.roll(va, -1, axis=0)
-    B1, B2 = vb, np.roll(vb, -1, axis=0)
+    A1, A2 = (va, np.roll(va, -1, axis=0)) if closed_a else (va[:-1], va[1:])
+    B1, B2 = (vb, np.roll(vb, -1, axis=0)) if closed_b else (vb[:-1], vb[1:])
     n1 = np.cross(A1, A2)
     n1 = n1 / np.linalg.norm(n1, axis=1, keepdims=True)
     n2 = np.cross(B1, B2)
@@ -272,6 +277,25 @@ def sphere_polys_intersect(ring_a: np.ndarray, ring_b: np.ndarray) -> bool:
     if spherical_pip_np(ring_b[:1, 0], ring_b[:1, 1], ring_a)[0]:
         return True
     return bool(spherical_pip_np(ring_a[:1, 0], ring_a[:1, 1], ring_b)[0])
+
+
+def sphere_chain_poly_intersect(
+    chain_latlon: np.ndarray, ring_latlon: np.ndarray
+) -> bool:
+    """Open great-circle vertex chain (route, coastline) meets a
+    spherical polygon — interior or boundary: some chain arc crosses
+    some ring arc, or the chain's first vertex lies inside the ring.
+    The first-vertex witness suffices because a connected chain with
+    no boundary crossing lies entirely inside or entirely outside
+    (same argument as :func:`sphere_polys_intersect`); a chain that
+    dips into the tile from outside necessarily crosses an edge."""
+    chain = np.asarray(chain_latlon, dtype=np.float64)
+    ring = np.asarray(ring_latlon, dtype=np.float64)
+    vc = unit_vector_np(chain[:, 0], chain[:, 1])
+    vr = unit_vector_np(ring[:, 0], ring[:, 1])
+    if len(vc) >= 2 and sphere_arcs_cross(vc, vr, closed_a=False):
+        return True
+    return bool(spherical_pip_np(chain[:1, 0], chain[:1, 1], ring)[0])
 
 
 def sphere_ring_measures(ring_latlon: np.ndarray) -> tuple[float, float]:

@@ -1624,6 +1624,108 @@ def sphere_overlay_join(
     )
 
 
+def line_tile_locals(tiles: DataFrame) -> list[tuple]:
+    """Collect a (bounded) tile table into :func:`geo_line_tile_join`'s
+    closure payload: (tile_id, vertex ring [m, 2], cap center unit
+    vector, cap radius rad), sorted by tile_id. Static-tile callers
+    compute this once and pass ``tile_locals=`` (the hoisting
+    discipline shared with :func:`nearest_tile_locals`)."""
+    import numpy as np
+
+    from ffcl_spark.kernels.geo import unit_vector_np
+
+    rows = sorted(
+        tiles.select("tile_id", "ring").collect(), key=lambda r: r["tile_id"]
+    )
+    local = []
+    for row in rows:
+        ring = np.array(
+            [[v["lat"], v["lon"]] for v in row["ring"]], dtype=np.float64
+        )
+        v = unit_vector_np(ring[:, 0], ring[:, 1])
+        c = v.mean(axis=0)
+        c = c / np.linalg.norm(c)
+        cap = float(np.arccos(np.clip(v @ c, -1.0, 1.0)).max())
+        local.append((row["tile_id"], ring, c, cap))
+    return local
+
+
+def geo_line_tile_join(
+    lines: DataFrame,
+    tiles: DataFrame | None,
+    *,
+    tile_locals: list[tuple] | None = None,
+) -> DataFrame:
+    """Polyline ↔ tile crossing join: (line_id, tile_id) for every
+    route whose open great-circle vertex chain meets the tile —
+    interior passage or boundary touch (the routes-crossing-zones
+    join completing the engine's spherical join matrix: point↔tile =
+    :func:`geo_pip_join`, tile↔tile = :func:`sphere_overlay_join`,
+    point↔line = :func:`geo_nearest_polyline`, line↔tile = here).
+
+    Exactness: per candidate pair the decision is
+    ``kernels.geo.sphere_chain_poly_intersect`` — transversal
+    great-circle arc sign tests + the gnomonic containment witness,
+    no small-angle or planar approximation; antimeridian-crossing and
+    polar routes are not special cases.
+
+    MAP-ONLY plan mirroring :func:`geo_nearest_tile`: tiles ride the
+    task closure (bounded tile-table contract), lines scale out — one
+    Arrow pass, no join, no shuffle. Per batch the bounding-cap
+    prune (chain cap vs tile cap, caps ≤ a hemisphere are
+    geodesically convex so a cap covering the vertices covers every
+    minor arc between them) rejects far pairs before the exact
+    kernel; the prune is conservative, never dropping a touching
+    pair."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ffcl_spark.kernels.geo import (
+        sphere_chain_poly_intersect,
+        unit_vector_np,
+    )
+
+    local = tile_locals if tile_locals is not None else line_tile_locals(tiles)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("line_id", lines.schema["line_id"].dataType),
+            T.StructField("tile_id", T.StringType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep_l, keep_t = [], []
+            for row in pdf.itertuples(index=False):
+                chain = np.array(
+                    [[v["lat"], v["lon"]] for v in row.path], dtype=np.float64
+                )
+                vc = unit_vector_np(chain[:, 0], chain[:, 1])
+                cc = vc.mean(axis=0)
+                nrm = float(np.linalg.norm(cc))
+                if nrm > 0:
+                    cc = cc / nrm
+                    cr = float(np.arccos(np.clip(vc @ cc, -1.0, 1.0)).max())
+                else:  # antipodal degenerate chain: no usable cap
+                    cr = float(np.pi)
+                for tid, ring, tc, tr in local:
+                    if nrm > 0:
+                        gap = float(np.arccos(np.clip(cc @ tc, -1.0, 1.0)))
+                        if gap > cr + tr + 1e-9:
+                            continue
+                    if sphere_chain_poly_intersect(chain, ring):
+                        keep_l.append(row.line_id)
+                        keep_t.append(tid)
+            if keep_l:
+                yield pd.DataFrame({"line_id": keep_l, "tile_id": keep_t})
+
+    return lines.select("line_id", "path").mapInPandas(kernel, out_schema)
+
+
 def sphere_vectorize(
     cells: DataFrame,
     delta_deg: float,

@@ -1563,3 +1563,87 @@ def test_sphere_cell_neighbors_match_brute_adjacency(spark):
         for c, s in gmap.items():
             for o in s:
                 assert c in gmap[o]
+
+
+def test_chain_poly_kernel_matches_overlay_on_closed_chains():
+    """Feeding a closed ring as an open chain (first vertex appended)
+    must reproduce the gate-proven polygon-overlay decision for every
+    base×shifted tile pair — the chain kernel's independent parity
+    anchor (no containment-only divergence exists here: same-scale
+    tiles can't nest)."""
+    from ffcl_spark.kernels.geo import (
+        sphere_chain_poly_intersect,
+        sphere_polys_intersect,
+    )
+    from ffcl_spark.operators.geo import (
+        sphere_tile_rings,
+        sphere_tile_rings_shifted,
+    )
+
+    base = sphere_tile_rings()
+    shifted = sphere_tile_rings_shifted()
+    hits = 0
+    for ta, ra in base:
+        ra = np.array(ra)
+        for tb, rb in shifted:
+            rb = np.array(rb)
+            chain = np.vstack([ra, ra[:1]])  # ring walked as a chain
+            want = sphere_polys_intersect(ra, rb)
+            got = sphere_chain_poly_intersect(chain, rb)
+            assert got == want, (ta, tb)
+            hits += int(want)
+    assert hits >= 12  # every tile overlaps its own shifted twin
+
+
+def test_geo_line_tile_join_matches_brute_kernel(spark):
+    """Operator output == brute per-pair kernel over ALL route×tile
+    pairs (proves the bounding-cap prune never drops a touching
+    pair), and the known fixture certainties hold: the equator route
+    pierces the equator tile, the Pacific route hits the antimeridian
+    straddler, and a fully-interior chain is caught by the
+    containment witness."""
+    from ffcl_spark.kernels.geo import sphere_chain_poly_intersect
+    from ffcl_spark.operators.geo import (
+        geo_line_tile_join,
+        sphere_route_paths,
+        sphere_routes,
+        sphere_tile_rings,
+        sphere_tiles,
+    )
+
+    routes = sphere_routes(spark)
+    tiles = sphere_tiles(spark)
+    got = {
+        (r.line_id, r.tile_id)
+        for r in geo_line_tile_join(routes, tiles).collect()
+    }
+    want = set()
+    for lid, path in sphere_route_paths():
+        for tid, ring in sphere_tile_rings():
+            if sphere_chain_poly_intersect(np.array(path), np.array(ring)):
+                want.add((lid, tid))
+    assert got == want
+    assert ("route-0", "gtile-3") in got      # equator pass-through
+    assert ("route-1", "gtile-1") in got      # antimeridian straddler
+    assert ("route-3", "gtile-2") not in got  # southern route, far tile
+
+    # containment witness: a two-vertex chain strictly inside gtile-5
+    # (center (-30, 150), cap 8°) crosses no edge but must hit
+    import pandas as pd
+
+    inner = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "line_id": ["inner-0"],
+                "path": [
+                    [
+                        {"lat": -30.5, "lon": 149.5},
+                        {"lat": -29.5, "lon": 150.5},
+                    ]
+                ],
+            }
+        ),
+        "line_id string, path array<struct<lat: double, lon: double>>",
+    )
+    hits = geo_line_tile_join(inner, tiles).collect()
+    assert {(r.line_id, r.tile_id) for r in hits} == {("inner-0", "gtile-5")}
