@@ -1134,8 +1134,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("long").alias("dist_floor_m"),
             F.lit(None).cast("int").alias("rank"),
         )
+        # routes variant (r5): polyline ↔ polyline crossing join — the
+        # last cell of the spherical join matrix. Engine = the open×open
+        # chain kernel (transversal ±(n̂1×n̂2) sign tests; chains have no
+        # interior, so no containment term exists). Oracle = the same
+        # decisions recomputed in SQL from segment/normal literals of
+        # BOTH route families. The kernel's same-great-circle branch is
+        # omitted there: min |n̂1×n̂2| = 0.248 across every (A-arc,
+        # B-arc) pair of this fixture — nothing near-collinear; min
+        # within-arc decision dot 6.0e-3, ≥ 10^6 × cross-engine trig
+        # slop.
+        routes = GEO.geo_line_line_join(
+            GEO.sphere_routes(spark), GEO.sphere_routes_b(spark)
+        ).select(
+            F.lit("routes").alias("variant"),
+            F.col("line_id").alias("q_id"),
+            F.col("other_id").alias("r_id"),
+            F.lit(None).cast("long").alias("dist_floor_m"),
+            F.lit(None).cast("int").alias("rank"),
+        )
         return (
-            out.unionByName(zon).unionByName(snap).unionByName(cross)
+            out.unionByName(zon)
+            .unionByName(snap)
+            .unionByName(cross)
+            .unionByName(routes)
         )
 
     def q_dedup_groups(spark, sf):
@@ -2780,7 +2802,7 @@ FROM scored WHERE jaccard >= {JACCARD_T}
 
         return _arc_edge_values(sphere_tile_rings())
 
-    def _route_edge_values() -> str:
+    def _route_edge_values(paths=None) -> str:
         # every segment of the fixture ROUTES as literals — OPEN
         # chains: consecutive vertex pairs only, no wrap edge
         import numpy as np
@@ -2789,7 +2811,7 @@ FROM scored WHERE jaccard >= {JACCARD_T}
         from ffcl_spark.operators.geo import sphere_route_paths
 
         rows = []
-        for lid, path in sphere_route_paths():
+        for lid, path in paths if paths is not None else sphere_route_paths():
             v = unit_vector_np(
                 np.array([la for la, _ in path]), np.array([lo for _, lo in path])
             )
@@ -3014,8 +3036,41 @@ ltpairs AS (
   SELECT lid, ta FROM ltcross
   UNION SELECT lid, ta FROM ltin)
 """
+
+    # routes CTEs: polyline ↔ polyline crossing — the transversal
+    # machinery with OPEN chains on BOTH sides (lce = the A family,
+    # llb = the B family) and NO containment term: a chain has no
+    # interior, so the arc-pair acceptance is the complete decision —
+    # the SQL twin of kernels.geo.sphere_chains_cross. Margins audited
+    # on this fixture (NumPy audit, 2026-08-20): min |n̂1×n̂2| = 0.248
+    # over every (A-arc, B-arc) pair — the same-great-circle branch is
+    # unreachable; min within-arc decision dot 6.0e-3.
+    from ffcl_spark.operators.geo import sphere_route_paths_b as _b_routes
+
+    _ll_ctes = f"""
+llb AS (SELECT * FROM (VALUES
+  {_route_edge_values(_b_routes())}) t(bid, c1x, c1y, c1z, c2x, c2y, c2z, m2x, m2y, m2z)),
+llraw AS (
+  SELECT e.lid, b.bid,
+         sg * (e.n2y*b.m2z - e.n2z*b.m2y) AS tx,
+         sg * (e.n2z*b.m2x - e.n2x*b.m2z) AS ty,
+         sg * (e.n2x*b.m2y - e.n2y*b.m2x) AS tz,
+         e.b1x AS a1x, e.b1y AS a1y, e.b1z AS a1z,
+         e.b2x AS a2x, e.b2y AS a2y, e.b2z AS a2z,
+         e.n2x AS n1x, e.n2y AS n1y, e.n2z AS n1z,
+         b.c1x AS b1x, b.c1y AS b1y, b.c1z AS b1z,
+         b.c2x AS b2x, b.c2y AS b2y, b.c2z AS b2z,
+         b.m2x AS n2x, b.m2y AS n2y, b.m2z AS n2z
+  FROM lce e CROSS JOIN llb b CROSS JOIN (VALUES (1.0), (-1.0)) s(sg)),
+lltn AS (SELECT *, sqrt(tx*tx + ty*ty + tz*tz) AS tn FROM llraw),
+llpairs AS (
+  SELECT DISTINCT lid, bid FROM lltn
+  WHERE tn > 1e-12
+    AND {_ov_within("a1", "a2", "n1")}
+    AND {_ov_within("b1", "b2", "n2")})
+"""
     o["geo_search"] = f"""
-WITH {_PTS_DOCS}, {_geo_hav}, {_nearest_ctes}, {_snap_sql}, {_overlay_ctes}, {_cross_ctes},
+WITH {_PTS_DOCS}, {_geo_hav}, {_nearest_ctes}, {_snap_sql}, {_overlay_ctes}, {_cross_ctes}, {_ll_ctes},
 plans(pl) AS (VALUES ('sphere'), ('embed'))
 SELECT 'radius_' || pl AS variant, q_id, r_id,
        CAST(floor(dist) AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
@@ -3073,6 +3128,10 @@ SELECT 'snap' AS variant, line_id AS q_id, id AS r_id,
        CAST(floor(sdist) AS BIGINT) AS dist_floor_m,
        CAST(NULL AS INTEGER) AS rank
 FROM snapped WHERE rk = 1
+UNION ALL
+SELECT 'routes' AS variant, lid AS q_id, bid AS r_id,
+       CAST(NULL AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
+FROM llpairs
 """
 
     # group closure over the same verified pairs: recursive min-label

@@ -298,6 +298,24 @@ def sphere_chain_poly_intersect(
     return bool(spherical_pip_np(chain[:1, 0], chain[:1, 1], ring)[0])
 
 
+def sphere_chains_cross(
+    chain_a_latlon: np.ndarray, chain_b_latlon: np.ndarray
+) -> bool:
+    """Two open great-circle vertex chains (routes) share at least one
+    point — transversal crossing, T-touch, endpoint touch, or a
+    same-great-circle overlap. Chains have no interior, so unlike the
+    ring forms there is no containment branch: the arc-pair test of
+    :func:`sphere_arcs_cross` (open on both sides) is the complete
+    decision."""
+    a = np.asarray(chain_a_latlon, dtype=np.float64)
+    b = np.asarray(chain_b_latlon, dtype=np.float64)
+    if len(a) < 2 or len(b) < 2:
+        return False
+    va = unit_vector_np(a[:, 0], a[:, 1])
+    vb = unit_vector_np(b[:, 0], b[:, 1])
+    return sphere_arcs_cross(va, vb, closed_a=False, closed_b=False)
+
+
 def sphere_ring_measures(ring_latlon: np.ndarray) -> tuple[float, float]:
     """(solid_angle, perimeter_rad) of a simple spherical polygon with
     minor great-circle arc edges — exact geometry, no small-angle or

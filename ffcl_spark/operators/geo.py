@@ -1814,3 +1814,146 @@ def sphere_tile_measures(
             )
 
     return tiles.select("tile_id", "ring").mapInPandas(kernel, out_schema)
+
+
+def sphere_route_paths_b() -> list[tuple[str, list[tuple[float, float]]]]:
+    """Deterministic second polyline family for the line ↔ line
+    crossing join: one chain cutting each of the first four fixture
+    routes (equatorial, antimeridian, polar, southern legs) plus a
+    far-from-everything negative. Margins audited against
+    :func:`sphere_route_paths` (see the gate's llpairs CTE comment)."""
+    return [
+        ("xroute-0", [(-10.0, 10.0), (15.0, 5.0)]),
+        ("xroute-1", [(-3.0, -170.0), (12.0, -179.0)]),
+        ("xroute-2", [(81.0, 60.0), (88.0, 120.0)]),
+        ("xroute-3", [(40.0, -100.0), (50.0, -80.0)]),
+        ("xroute-4", [(-60.0, -5.0), (-45.0, 5.0)]),
+    ]
+
+
+def sphere_routes_b(spark) -> DataFrame:
+    """The :func:`sphere_route_paths_b` fixture as a (line_id, path)
+    DataFrame."""
+    return spark.createDataFrame(
+        [
+            (lid, [{"lat": la, "lon": lo} for la, lo in path])
+            for lid, path in sphere_route_paths_b()
+        ],
+        "line_id string, path array<struct<lat double, lon double>>",
+    )
+
+
+def route_chain_locals(lines: DataFrame) -> list[tuple]:
+    """Collect a (bounded) route table into
+    :func:`geo_line_line_join`'s closure payload: (line_id, vertex
+    chain [m, 2], cap center unit vector, cap radius rad), sorted by
+    line_id — the open-chain sibling of :func:`line_tile_locals`;
+    static-route callers compute it once and pass ``line_locals=``."""
+    import numpy as np
+
+    from ffcl_spark.kernels.geo import unit_vector_np
+
+    rows = sorted(
+        lines.select("line_id", "path").collect(), key=lambda r: r["line_id"]
+    )
+    local = []
+    for row in rows:
+        chain = np.array(
+            [[v["lat"], v["lon"]] for v in row["path"]], dtype=np.float64
+        )
+        v = unit_vector_np(chain[:, 0], chain[:, 1])
+        c = v.mean(axis=0)
+        nrm = float(np.linalg.norm(c))
+        if nrm > 0:
+            c = c / nrm
+            cap = float(np.arccos(np.clip(v @ c, -1.0, 1.0)).max())
+        else:  # antipodal degenerate chain: no usable cap
+            cap = float(np.pi)
+        local.append((row["line_id"], chain, c, cap))
+    return local
+
+
+def geo_line_line_join(
+    lines_a: DataFrame,
+    lines_b: DataFrame | None = None,
+    *,
+    line_locals: list[tuple] | None = None,
+) -> DataFrame:
+    """Polyline ↔ polyline crossing join: (line_id, other_id) for
+    every pair of open great-circle vertex chains that share at least
+    one point — the route-intersection join completing the engine's
+    spherical join matrix (point↔point = radius/kNN, point↔tile =
+    :func:`geo_pip_join`, point↔line = :func:`geo_nearest_polyline`,
+    tile↔tile = :func:`sphere_overlay_join`, line↔tile =
+    :func:`geo_line_tile_join`, line↔line = here).
+
+    Exactness: per candidate pair the decision is
+    ``kernels.geo.sphere_chains_cross`` — transversal great-circle
+    sign tests plus the same-great-circle overlap branch; chains have
+    no interior, so no containment term exists. Antimeridian-crossing
+    and polar routes are not special cases (everything runs in unit-
+    vector space).
+
+    Self-join form (``lines_b=None``): pairs within ``lines_a`` with
+    ``line_id < other_id`` — touching-at-a-shared-vertex counts, a
+    route never pairs with itself.
+
+    MAP-ONLY plan mirroring :func:`geo_line_tile_join`: the bounded
+    side rides the task closure (the bounded route-table contract of
+    the nearest/snap family — for million×million route tables,
+    rasterize one side with the :func:`geo_nearest_polyline` cover
+    machinery instead), the scaling side streams through one Arrow
+    pass — no join, no shuffle. Per pair the bounding-cap prune
+    (minor arcs stay inside a cap covering the chain's vertices, caps
+    ≤ a hemisphere being geodesically convex) rejects far pairs
+    before the exact kernel; conservative, never drops a touching
+    pair."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ffcl_spark.kernels.geo import sphere_chains_cross, unit_vector_np
+
+    self_join = lines_b is None
+    if line_locals is None:
+        line_locals = route_chain_locals(lines_a if self_join else lines_b)
+    local = line_locals
+
+    out_schema = T.StructType(
+        [
+            T.StructField("line_id", lines_a.schema["line_id"].dataType),
+            T.StructField("other_id", T.StringType()),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            keep_a, keep_b = [], []
+            for row in pdf.itertuples(index=False):
+                chain = np.array(
+                    [[v["lat"], v["lon"]] for v in row.path], dtype=np.float64
+                )
+                vc = unit_vector_np(chain[:, 0], chain[:, 1])
+                cc = vc.mean(axis=0)
+                nrm = float(np.linalg.norm(cc))
+                if nrm > 0:
+                    cc = cc / nrm
+                    cr = float(np.arccos(np.clip(vc @ cc, -1.0, 1.0)).max())
+                else:
+                    cr = float(np.pi)
+                for oid, ochain, oc, orad in local:
+                    if self_join and not (row.line_id < oid):
+                        continue
+                    if nrm > 0:
+                        gap = float(np.arccos(np.clip(cc @ oc, -1.0, 1.0)))
+                        if gap > cr + orad + 1e-9:
+                            continue
+                    if sphere_chains_cross(chain, ochain):
+                        keep_a.append(row.line_id)
+                        keep_b.append(oid)
+            if keep_a:
+                yield pd.DataFrame({"line_id": keep_a, "other_id": keep_b})
+
+    return lines_a.select("line_id", "path").mapInPandas(kernel, out_schema)

@@ -1647,3 +1647,105 @@ def test_geo_line_tile_join_matches_brute_kernel(spark):
     )
     hits = geo_line_tile_join(inner, tiles).collect()
     assert {(r.line_id, r.tile_id) for r in hits} == {("inner-0", "gtile-5")}
+
+def test_geo_line_line_join_matches_brute_kernel(spark):
+    """Operator output == brute per-pair kernel over ALL A×B route
+    pairs (proves the bounding-cap prune never drops a touching
+    pair), and the four designed crossings hold: the equatorial,
+    antimeridian, polar, and southern legs are each cut by their
+    xroute; the far negative pairs with nothing."""
+    from ffcl_spark.kernels.geo import sphere_chains_cross
+    from ffcl_spark.operators.geo import (
+        geo_line_line_join,
+        sphere_route_paths,
+        sphere_route_paths_b,
+        sphere_routes,
+        sphere_routes_b,
+    )
+
+    got = {
+        (r.line_id, r.other_id)
+        for r in geo_line_line_join(
+            sphere_routes(spark), sphere_routes_b(spark)
+        ).collect()
+    }
+    want = set()
+    for aid, ap in sphere_route_paths():
+        for bid, bp in sphere_route_paths_b():
+            if sphere_chains_cross(np.array(ap), np.array(bp)):
+                want.add((aid, bid))
+    assert got == want
+    assert want == {
+        ("route-0", "xroute-0"),
+        ("route-1", "xroute-1"),
+        ("route-2", "xroute-2"),
+        ("route-3", "xroute-4"),
+    }
+    assert not any(b == "xroute-3" for _, b in got)  # the far negative
+
+
+def test_geo_line_line_self_join(spark):
+    """Self-join form: pairs within one table come out once with
+    line_id < other_id, no self pairs; parity vs the brute kernel
+    over the unioned A+B family (whose only crossings are the four
+    A×B cuts — neither family self-crosses)."""
+    from ffcl_spark.kernels.geo import sphere_chains_cross
+    from ffcl_spark.operators.geo import (
+        geo_line_line_join,
+        sphere_route_paths,
+        sphere_route_paths_b,
+        sphere_routes,
+        sphere_routes_b,
+    )
+
+    both = sphere_routes(spark).unionByName(sphere_routes_b(spark))
+    got = {
+        (r.line_id, r.other_id) for r in geo_line_line_join(both).collect()
+    }
+    allp = sphere_route_paths() + sphere_route_paths_b()
+    want = set()
+    for i, (aid, ap) in enumerate(allp):
+        for bid, bp in allp[i + 1 :]:
+            lo, hi = sorted((aid, bid))
+            if sphere_chains_cross(np.array(ap), np.array(bp)):
+                want.add((lo, hi))
+    assert got == want and len(want) == 4
+    assert all(a < b for a, b in got)
+
+
+def test_geo_line_line_touch_and_degenerate(spark):
+    """Endpoint touch counts (shared vertex => pair emitted); a
+    single-vertex chain has no edges and pairs with nothing."""
+    import pandas as pd
+
+    from ffcl_spark.operators.geo import geo_line_line_join
+
+    schema = "line_id string, path array<struct<lat: double, lon: double>>"
+    a = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "line_id": ["t-0", "t-1"],
+                "path": [
+                    [{"lat": 0.0, "lon": 0.0}, {"lat": 10.0, "lon": 10.0}],
+                    [{"lat": 50.0, "lon": 50.0}],  # degenerate: 1 vertex
+                ],
+            }
+        ),
+        schema,
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "line_id": ["u-0", "u-1"],
+                "path": [
+                    # shares t-0's far endpoint exactly
+                    [{"lat": 10.0, "lon": 10.0}, {"lat": 20.0, "lon": 0.0}],
+                    # near the degenerate vertex: still no pair
+                    [{"lat": 49.0, "lon": 50.0}, {"lat": 51.0, "lon": 50.0}],
+                ],
+            }
+        ),
+        schema,
+    )
+    got = {(r.line_id, r.other_id) for r in geo_line_line_join(a, b).collect()}
+    assert got == {("t-0", "u-0")}
