@@ -344,3 +344,41 @@ def sphere_ring_measures(ring_latlon: np.ndarray) -> tuple[float, float]:
         den = 1.0 + float(a @ b) + float(b @ c) + float(c @ a)
         omega += 2.0 * math.atan2(num, den)
     return abs(omega), per
+
+
+def sphere_simplify_indices_np(
+    chain_latlon: np.ndarray, tol_rad: float
+) -> np.ndarray:
+    """Douglas–Peucker vertex selection for an open great-circle
+    vertex chain, under the EXACT point-to-arc distance of
+    :func:`arc_boundary_distance_np` (perpendicular-foot cross-track
+    where the foot lies on the arc, else the smaller endpoint angle —
+    no planar or small-angle approximation). Returns the sorted
+    indices of the kept vertices; endpoints always survive.
+
+    Guarantee: every dropped vertex lies within ``tol_rad`` of the
+    chord arc it was finalized against, and that chord is an edge of
+    the simplified chain — so no original vertex is farther than
+    ``tol_rad`` from the result. Deterministic: the split vertex is
+    the FIRST index attaining the maximum deviation, so equal-deviation
+    ties cannot reorder the recursion across runs."""
+    chain = np.asarray(chain_latlon, dtype=np.float64)
+    n = len(chain)
+    if n <= 2:
+        return np.arange(n)
+    v = unit_vector_np(chain[:, 0], chain[:, 1])
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        d = arc_boundary_distance_np(v[i + 1 : j], chain[[i, j]], closed=False)
+        k = int(np.argmax(d))
+        if d[k] > tol_rad:
+            k += i + 1
+            keep[k] = True
+            stack.append((i, k))
+            stack.append((k, j))
+    return np.nonzero(keep)[0]

@@ -1957,3 +1957,78 @@ def geo_line_line_join(
                 yield pd.DataFrame({"line_id": keep_a, "other_id": keep_b})
 
     return lines_a.select("line_id", "path").mapInPandas(kernel, out_schema)
+
+
+def simplify_polylines(
+    lines: DataFrame,
+    tol_m: float,
+    *,
+    earth_radius_m: float = EARTH_RADIUS_M,
+) -> DataFrame:
+    """Douglas–Peucker polyline simplification under the exact
+    great-circle metric (the ST_Simplify of the geodesic family):
+    per route, drop every vertex lying within ``tol_m`` metres of the
+    chord arc of its containing kept-vertex pair — the vertex-budget
+    reducer for million-route tables feeding
+    :func:`geo_nearest_polyline`'s cover plan, :func:`geo_line_tile_join`,
+    or :func:`geo_line_line_join` (candidate-generation cost in all
+    three scales with vertex count, and the simplification error bound
+    composes additively with their caps/pads).
+
+    Semantics (``kernels.geo.sphere_simplify_indices_np``): endpoints
+    always survive; the split vertex is the first index attaining the
+    maximum deviation (deterministic under ties); every ORIGINAL
+    vertex ends within ``tol_m`` of the simplified chain — the
+    deviation test is the exact perpendicular-foot / endpoint
+    resolution, not a planar projection, so antimeridian-crossing and
+    polar routes are not special cases. Chains of ≤ 2 vertices pass
+    through unchanged.
+
+    MAP-ONLY plan: one Arrow pass over (line_id, path), no join, no
+    shuffle; output schema equals the input's (line_id, path), so the
+    result plugs into every line-consuming operator."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ffcl_spark.kernels.geo import sphere_simplify_indices_np
+
+    tol_rad = float(tol_m) / float(earth_radius_m)
+
+    out_schema = T.StructType(
+        [
+            T.StructField("line_id", lines.schema["line_id"].dataType),
+            T.StructField(
+                "path",
+                T.ArrayType(
+                    T.StructType(
+                        [
+                            T.StructField("lat", T.DoubleType()),
+                            T.StructField("lon", T.DoubleType()),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, paths = [], []
+            for row in pdf.itertuples(index=False):
+                chain = np.array(
+                    [[v["lat"], v["lon"]] for v in row.path], dtype=np.float64
+                )
+                idx = sphere_simplify_indices_np(chain, tol_rad)
+                ids.append(row.line_id)
+                paths.append(
+                    [
+                        {"lat": float(chain[i, 0]), "lon": float(chain[i, 1])}
+                        for i in idx
+                    ]
+                )
+            yield pd.DataFrame({"line_id": ids, "path": paths})
+
+    return lines.select("line_id", "path").mapInPandas(kernel, out_schema)

@@ -1749,3 +1749,104 @@ def test_geo_line_line_touch_and_degenerate(spark):
     )
     got = {(r.line_id, r.other_id) for r in geo_line_line_join(a, b).collect()}
     assert got == {("t-0", "u-0")}
+
+def _densify_route(path, per_edge=24, jitter_deg=0.01, seed=3):
+    """Slerp-densify an open chain, nudging interior samples a
+    deterministic sub-`jitter_deg` amount so they are near — but not
+    exactly on — the original arcs (latlon [n, 2] out)."""
+    from ffcl_spark.kernels.geo import unit_vector_np
+
+    rng = np.random.default_rng(seed)
+    v = unit_vector_np(
+        np.array([p[0] for p in path]), np.array([p[1] for p in path])
+    )
+    out = [v[0]]
+    for a, b in zip(v[:-1], v[1:]):
+        ang = math.atan2(np.linalg.norm(np.cross(a, b)), float(a @ b))
+        for t in np.linspace(0.0, 1.0, per_edge + 2)[1:-1]:
+            s = (math.sin((1 - t) * ang) * a + math.sin(t * ang) * b) / max(
+                math.sin(ang), 1e-300
+            )
+            s = s / np.linalg.norm(s)
+            s = s + rng.uniform(-1, 1, 3) * math.radians(jitter_deg)
+            out.append(s / np.linalg.norm(s))
+        out.append(b)
+    u = np.vstack(out)
+    lat = np.degrees(np.arcsin(np.clip(u[:, 2], -1, 1)))
+    lon = np.degrees(np.arctan2(u[:, 1], u[:, 0]))
+    return np.column_stack([lat, lon])
+
+
+def test_sphere_simplify_error_bound_and_twin(spark):
+    """Operator output == the NumPy DP kernel per route (twin parity),
+    every ORIGINAL vertex stays within tol of the simplified chain
+    (the DP guarantee under the exact arc distance), endpoints
+    survive, and the densified fixture actually compresses. Includes
+    the antimeridian crosser and the polar chain."""
+    from ffcl_spark.kernels.geo import (
+        arc_boundary_distance_np,
+        sphere_simplify_indices_np,
+        unit_vector_np,
+    )
+    from ffcl_spark.operators.geo import (
+        EARTH_RADIUS_M,
+        simplify_polylines,
+        sphere_route_paths,
+    )
+
+    tol_m = 2000.0
+    dense = {
+        lid: _densify_route(path, seed=7 + i)
+        for i, (lid, path) in enumerate(sphere_route_paths())
+    }
+    df = spark.createDataFrame(
+        [
+            (lid, [{"lat": float(la), "lon": float(lo)} for la, lo in ch])
+            for lid, ch in dense.items()
+        ],
+        "line_id string, path array<struct<lat double, lon double>>",
+    )
+    got = {
+        r.line_id: np.array([[v["lat"], v["lon"]] for v in r.path])
+        for r in simplify_polylines(df, tol_m).collect()
+    }
+    assert set(got) == set(dense)
+    for lid, chain in dense.items():
+        idx = sphere_simplify_indices_np(chain, tol_m / EARTH_RADIUS_M)
+        np.testing.assert_array_equal(got[lid], chain[idx])  # twin parity
+        assert idx[0] == 0 and idx[-1] == len(chain) - 1     # endpoints
+        assert 2 <= len(idx) < len(chain)                    # compressed
+        # DP guarantee: every original vertex within tol of the result
+        p = unit_vector_np(chain[:, 0], chain[:, 1])
+        d = arc_boundary_distance_np(p, got[lid], closed=False)
+        assert (d * EARTH_RADIUS_M <= tol_m + 1e-6).all()
+
+
+def test_sphere_simplify_tolerance_monotone_and_degenerate(spark):
+    """tol=0 keeps every off-arc vertex (only exact on-arc points can
+    drop); larger tolerances keep monotonically fewer vertices; ≤ 2
+    vertex chains pass through unchanged."""
+    from ffcl_spark.kernels.geo import sphere_simplify_indices_np
+    from ffcl_spark.operators.geo import (
+        EARTH_RADIUS_M,
+        simplify_polylines,
+        sphere_route_paths,
+    )
+
+    chain = _densify_route(sphere_route_paths()[0][1], jitter_deg=0.02)
+    sizes = [
+        len(sphere_simplify_indices_np(chain, t / EARTH_RADIUS_M))
+        for t in (0.0, 500.0, 5000.0, 50000.0)
+    ]
+    assert sizes[0] == len(chain)  # jittered: nothing exactly on-arc
+    assert sizes == sorted(sizes, reverse=True) and sizes[-1] >= 2
+
+    short = spark.createDataFrame(
+        [
+            ("one", [{"lat": 1.0, "lon": 2.0}]),
+            ("two", [{"lat": 0.0, "lon": 0.0}, {"lat": 5.0, "lon": 5.0}]),
+        ],
+        "line_id string, path array<struct<lat double, lon double>>",
+    )
+    got = {r.line_id: r.path for r in simplify_polylines(short, 1e6).collect()}
+    assert len(got["one"]) == 1 and len(got["two"]) == 2
