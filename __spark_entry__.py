@@ -1153,11 +1153,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.lit(None).cast("long").alias("dist_floor_m"),
             F.lit(None).cast("int").alias("rank"),
         )
+        # st variant (r5): spatiotemporal join — radius_sphere's pair
+        # set further cut by an inclusive ±48 h time band, with every
+        # point stamped at d hours since epoch (exact int64 micros, so
+        # the temporal predicate adds zero float risk: the spatial
+        # margins are the radius variant's, the dt compare is integer
+        # in both engines). rank carries the signed hour delta; the
+        # oracle recomputes it from the d columns directly.
+        stamped = pts.withColumn(
+            "ts", F.timestamp_micros(F.col("d") * F.lit(3_600_000_000))
+        )
+        st = GEO.geo_st_join(
+            stamped.where((F.col("offset") == 0) & (F.col("d") % GEO_QMOD == 0)),
+            stamped,
+            GEO_RADIUS_M,
+            lower_s=-48.0 * 3600,
+            upper_s=48.0 * 3600,
+        ).select(
+            F.lit("st").alias("variant"),
+            "q_id",
+            "r_id",
+            F.floor("dist_m").cast("long").alias("dist_floor_m"),
+            (F.col("dt_us") / F.lit(3_600_000_000)).cast("int").alias("rank"),
+        )
         return (
             out.unionByName(zon)
             .unionByName(snap)
             .unionByName(cross)
             .unionByName(routes)
+            .unionByName(st)
         )
 
     def q_dedup_groups(spark, sf):
@@ -3132,6 +3156,14 @@ UNION ALL
 SELECT 'routes' AS variant, lid AS q_id, bid AS r_id,
        CAST(NULL AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
 FROM llpairs
+UNION ALL
+SELECT 'st' AS variant, h.q_id, h.r_id,
+       CAST(floor(h.dist) AS BIGINT) AS dist_floor_m,
+       CAST(gr.d - gq2.d AS INTEGER) AS rank
+FROM hav h
+JOIN geo gq2 ON gq2.id = h.q_id
+JOIN geo gr ON gr.id = h.r_id
+WHERE h.dist < {GEO_RADIUS_M} AND gr.d - gq2.d BETWEEN -48 AND 48
 """
 
     # group closure over the same verified pairs: recursive min-label

@@ -2032,3 +2032,98 @@ def simplify_polylines(
             yield pd.DataFrame({"line_id": ids, "path": paths})
 
     return lines.select("line_id", "path").mapInPandas(kernel, out_schema)
+
+
+def geo_st_join(
+    queries: DataFrame,
+    refs: DataFrame,
+    radius_m: float,
+    *,
+    lower_s: float = 0.0,
+    upper_s: float = 0.0,
+    ts_col: str = "ts",
+    id_col: str = "id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    delta_deg: float | None = None,
+    earth_radius_m: float = EARTH_RADIUS_M,
+) -> DataFrame:
+    """Spatiotemporal join: all (q_id, r_id, dist_m, dt_us) with
+    great-circle ``dist_m < radius_m`` (strict — the spatial family's
+    contract) AND ``lower_s <= r_ts - q_ts <= upper_s`` (inclusive
+    band edges — the temporal family's contract; ``dt_us`` is the
+    signed microsecond delta). The proximity-in-space-AND-time join a
+    trajectory/contact pipeline needs, composed from the two
+    gate-proven grids: the latitude-band spherical cells of
+    :func:`sphere_radius_join` × the band-width time buckets of
+    ``temporal.band_join``.
+
+    ONE shuffle on the composite (cell, bucket) key: refs land in
+    exactly one cell and one bucket; queries explode over the exact
+    spherical-cap cover (≈9 cells at matched band height) × the ≤ 2
+    buckets their time band overlaps — candidates are bounded by true
+    density in space-time, both exact predicates run in codegen, and
+    nothing is N-dependent on the driver. Time bucketing dilutes
+    spatial hot cells by the band fraction, so the composite key
+    needs no extra salting below city-scale-per-band skew.
+
+    ``ts_col`` is TIMESTAMP (or NTZ — exact under the engine's pinned
+    UTC session timezone); the dt arithmetic is exact int64 micros."""
+    if upper_s < lower_s:
+        raise ValueError("upper_s must be >= lower_s")
+    width_us = max(int(round((upper_s - lower_s) * 1_000_000)), 1)
+    lo_us = int(round(lower_s * 1_000_000))
+    hi_us = int(round(upper_s * 1_000_000))
+    r_deg = math.degrees(radius_m / earth_radius_m) * (1 + 1e-9) + 1e-9
+    if delta_deg is None:
+        delta_deg = min(max(r_deg, 0.05), 30.0)
+
+    r_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    r = refs.select(
+        F.col(id_col).alias("r_id"),
+        F.col(lat_col).alias("r_lat"),
+        F.col(lon_col).alias("r_lon"),
+        r_us.alias("__rus"),
+    ).withColumn(
+        "cell", S.sphere_cell(F.col("r_lat"), F.col("r_lon"), delta_deg)
+    ).withColumn("__bucket", F.floor(F.col("__rus") / F.lit(width_us)))
+
+    q_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    q = (
+        queries.select(
+            F.col(id_col).alias("q_id"),
+            F.col(lat_col).alias("q_lat"),
+            F.col(lon_col).alias("q_lon"),
+            q_us.alias("__lus"),
+        )
+        .withColumn(
+            "cell",
+            F.explode(
+                S.cover_cells(F.col("q_lat"), F.col("q_lon"), r_deg, delta_deg)
+            ),
+        )
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("__lus") + F.lit(lo_us)) / F.lit(width_us)),
+                    F.floor((F.col("__lus") + F.lit(hi_us)) / F.lit(width_us)),
+                )
+            ),
+        )
+    )
+    dist = haversine_m(
+        F.col("q_lat"), F.col("q_lon"), F.col("r_lat"), F.col("r_lon"),
+        earth_radius_m,
+    )
+    return (
+        q.join(r, ["cell", "__bucket"])
+        .withColumn("dist_m", dist)
+        .withColumn("dt_us", F.col("__rus") - F.col("__lus"))
+        .where(
+            (F.col("dist_m") < F.lit(radius_m))
+            & (F.col("dt_us") >= F.lit(lo_us))
+            & (F.col("dt_us") <= F.lit(hi_us))
+        )
+        .select("q_id", "r_id", "dist_m", "dt_us")
+    )

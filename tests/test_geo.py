@@ -1850,3 +1850,79 @@ def test_sphere_simplify_tolerance_monotone_and_degenerate(spark):
     )
     got = {r.line_id: r.path for r in simplify_polylines(short, 1e6).collect()}
     assert len(got["one"]) == 1 and len(got["two"]) == 2
+
+def test_geo_st_join_brute_parity(spark, world):
+    """Spatiotemporal join == NumPy haversine × integer time-band
+    brute over the world fixture (pole cap + antimeridian straddle
+    included): pair set, distances, and signed dt_us all exact."""
+    from ffcl_spark.operators.geo import geo_st_join
+
+    df, pdf = world
+    radius = 900_000.0
+    # deterministic timestamps: point i at i*11 minutes since epoch
+    ts_us = (pdf.id.to_numpy() * 11 * 60 * 1_000_000).astype(np.int64)
+    F_ = pytest.importorskip("pyspark.sql.functions")
+    with_ts = df.withColumn(
+        "ts", F_.timestamp_micros(F_.col("id") * (11 * 60 * 1_000_000))
+    )
+    qs = with_ts.where("id % 7 = 0")
+    lo_s, hi_s = -3000 * 60.0, 1200 * 60.0  # asymmetric band
+    got = (
+        geo_st_join(qs, with_ts, radius, lower_s=lo_s, upper_s=hi_s)
+        .toPandas()
+        .sort_values(["q_id", "r_id"])
+        .reset_index(drop=True)
+    )
+    qpdf = pdf[pdf.id % 7 == 0].reset_index(drop=True)
+    d = haversine_np(
+        qpdf.lat.values[:, None], qpdf.lon.values[:, None],
+        pdf.lat.values[None, :], pdf.lon.values[None, :],
+    )
+    qus = ts_us[pdf.id % 7 == 0]
+    dt = ts_us[None, :] - qus[:, None]
+    mask = (
+        (d < radius)
+        & (dt >= int(lo_s * 1e6))
+        & (dt <= int(hi_s * 1e6))
+    )
+    want = sorted(
+        (int(qpdf.id[i]), int(pdf.id[j]), int(dt[i, j]))
+        for i in range(mask.shape[0])
+        for j in np.nonzero(mask[i])[0]
+    )
+    assert [
+        (r.q_id, r.r_id, r.dt_us) for r in got.itertuples()
+    ] == want
+    for r in got.itertuples():
+        i = int(np.nonzero(qpdf.id.values == r.q_id)[0][0])
+        assert r.dist_m == pytest.approx(d[i, int(r.r_id)], rel=1e-9)
+    # the band actually cuts: unbounded-time pair count is strictly larger
+    assert mask.sum() < (d < radius).sum()
+
+
+def test_geo_st_join_wide_band_equals_radius_join(spark, world):
+    """With a band wider than the fixture's whole time extent the ST
+    join degrades to exactly the radius join's pair set."""
+    from ffcl_spark.operators.geo import geo_st_join
+
+    df, pdf = world
+    from pyspark.sql import functions as F_
+
+    with_ts = df.withColumn(
+        "ts", F_.timestamp_micros(F_.col("id") * 60_000_000)
+    )
+    qs = with_ts.where("id % 13 = 0")
+    wide = 10 * len(pdf) * 60.0
+    got = {
+        (r.q_id, r.r_id)
+        for r in geo_st_join(
+            qs, with_ts, 700_000.0, lower_s=-wide, upper_s=wide
+        ).collect()
+    }
+    want = {
+        (r.q_id, r.r_id)
+        for r in geo_radius_join(
+            qs.drop("ts"), df, 700_000.0
+        ).collect()
+    }
+    assert got == want and len(got) > 0
