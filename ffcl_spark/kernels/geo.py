@@ -382,3 +382,36 @@ def sphere_simplify_indices_np(
             stack.append((i, k))
             stack.append((k, j))
     return np.nonzero(keep)[0]
+
+
+def viterbi_match_np(emis: np.ndarray, switch_cost: float) -> np.ndarray:
+    """Minimum-cost state sequence for a simplified map-matching HMM:
+    ``emis`` [t, j] is the emission cost of route j at ping t, the
+    transition cost is a flat ``switch_cost`` whenever the route
+    changes between consecutive pings (0 otherwise). Returns the
+    argmin route index per ping.
+
+    Classic Viterbi with the O(t·L) flat-transition recurrence
+    cost[t, j] = emis[t, j] + min(cost[t-1, j], min_i cost[t-1, i] +
+    switch_cost). Deterministic under ties everywhere: argmin takes
+    the FIRST minimizing index, stay beats switch at equal cost, and
+    the final state is the first global minimizer — so equal-cost
+    sequences resolve to the lexicographically-first route order at
+    any parallelism."""
+    emis = np.asarray(emis, dtype=np.float64)
+    t, L = emis.shape
+    cost = emis[0].copy()
+    back = np.zeros((t, L), dtype=np.int64)
+    for s in range(1, t):
+        best_i = int(np.argmin(cost))
+        jump = cost[best_i] + switch_cost
+        stay = cost
+        # stay wins ties (<=); otherwise inherit the global best + switch
+        take_stay = stay <= jump
+        back[s] = np.where(take_stay, np.arange(L), best_i)
+        cost = emis[s] + np.where(take_stay, stay, jump)
+    out = np.empty(t, dtype=np.int64)
+    out[-1] = int(np.argmin(cost))
+    for s in range(t - 1, 0, -1):
+        out[s - 1] = back[s, out[s]]
+    return out

@@ -2127,3 +2127,100 @@ def geo_st_join(
         )
         .select("q_id", "r_id", "dist_m", "dt_us")
     )
+
+
+def geo_map_match(
+    pings: DataFrame,
+    lines: DataFrame | None,
+    *,
+    switch_cost_m: float = 200.0,
+    entity_col: str = "entity_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    earth_radius_m: float = EARTH_RADIUS_M,
+    line_locals: list[tuple] | None = None,
+) -> DataFrame:
+    """Map matching: assign every ping of every trajectory to a route
+    so that the WHOLE sequence is most plausible — the sequence-aware
+    upgrade of :func:`geo_nearest_polyline` (which snaps each ping
+    independently and flickers between parallel routes under GPS
+    noise). Output: (entity, ts, lat, lon, line_id, dist_m) with
+    dist_m the exact great-circle snap distance to the matched route.
+
+    Model (simplified Newson–Krumm HMM, costs in metres): emission
+    cost of route j at ping t = exact snap distance; transition cost
+    = ``switch_cost_m`` whenever consecutive pings change route, 0
+    otherwise — "switching routes must buy at least this many metres
+    of snap improvement". ``switch_cost_m=0`` degrades exactly to the
+    independent nearest-route snap. Viterbi solves the global argmin
+    per entity (``kernels.geo.viterbi_match_np``), deterministic
+    under cost ties (stay beats switch, first route in line_id order
+    wins), pings in (ts, lat, lon) order — the trajectory_stats
+    determinism contract.
+
+    Plan: routes ride the task closure (bounded route-table contract
+    of the snap family; ``line_locals=`` hoists the collect for
+    streaming/iterative callers); pings shuffle ONCE on the entity
+    key into ``applyInPandas``, where the per-entity [t, L] distance
+    matrix comes from the exact arc kernel and the Viterbi recurrence
+    is O(t·L) NumPy — nothing N-dependent on the driver, wall clock
+    scales with max trajectory length × route count per task."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ffcl_spark.kernels.geo import (
+        arc_boundary_distance_np,
+        unit_vector_np,
+        viterbi_match_np,
+    )
+
+    if switch_cost_m < 0:
+        raise ValueError("switch_cost_m must be >= 0")
+    local = line_locals if line_locals is not None else polyline_locals(lines)
+    if not local:
+        raise ValueError("empty route table")
+    ids = [lid for lid, _ in local]
+    chains = [chain for _, chain in local]
+
+    out_schema = T.StructType(
+        [
+            T.StructField("entity_id", pings.schema[entity_col].dataType),
+            T.StructField("ts", pings.schema[ts_col].dataType),
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("line_id", T.StringType()),
+            T.StructField("dist_m", T.DoubleType()),
+        ]
+    )
+
+    sel = pings.select(
+        F.col(entity_col).alias("entity_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(lat_col).cast("double").alias("lat"),
+        F.col(lon_col).cast("double").alias("lon"),
+    )
+
+    def match(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "lat", "lon"], kind="mergesort")
+        p = unit_vector_np(pdf["lat"].to_numpy(), pdf["lon"].to_numpy())
+        emis = np.column_stack(
+            [
+                arc_boundary_distance_np(p, ch, closed=False) * earth_radius_m
+                for ch in chains
+            ]
+        )
+        idx = viterbi_match_np(emis, switch_cost_m)
+        return pd.DataFrame(
+            {
+                "entity_id": pdf["entity_id"].to_numpy(),
+                "ts": pdf["ts"].to_numpy(),
+                "lat": pdf["lat"].to_numpy(),
+                "lon": pdf["lon"].to_numpy(),
+                "line_id": [ids[i] for i in idx],
+                "dist_m": emis[np.arange(len(idx)), idx],
+            }
+        )
+
+    return sel.groupBy("entity_id").applyInPandas(match, out_schema)

@@ -1926,3 +1926,139 @@ def test_geo_st_join_wide_band_equals_radius_join(spark, world):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+def test_geo_map_match_brute_sequence_oracle(spark):
+    """Viterbi output == exhaustive enumeration of ALL route
+    sequences (the true global argmin, L^t sequences) on small
+    trajectories over the 4-route fixture — generic float distances
+    make cost ties measure-zero, so the argmin is unique and the
+    comparison is exact."""
+    import itertools
+
+    from ffcl_spark.kernels.geo import (
+        arc_boundary_distance_np,
+        unit_vector_np,
+    )
+    from ffcl_spark.operators.geo import (
+        EARTH_RADIUS_M,
+        geo_map_match,
+        sphere_route_paths,
+        sphere_routes,
+    )
+
+    rng = np.random.default_rng(21)
+    rows = []
+    paths = dict(sphere_route_paths())
+    # three entities wandering near different routes, 6 pings each
+    for e, base in enumerate(["route-0", "route-1", "route-3"]):
+        ch = np.array(paths[base])
+        for t in range(6):
+            f = t / 5.0
+            la = ch[0, 0] * (1 - f) + ch[-1, 0] * f + rng.uniform(-1.5, 1.5)
+            lo = ch[0, 1] * (1 - f) + ch[-1, 1] * f + rng.uniform(-1.5, 1.5)
+            rows.append((f"e{e}", t * 60, float(la), float(lo)))
+    df = spark.createDataFrame(
+        rows, "entity_id string, ts long, lat double, lon double"
+    )
+    switch = 150_000.0  # 150 km — forces real smoothing at this noise
+    got = {
+        (r.entity_id, r.ts): r.line_id
+        for r in geo_map_match(
+            df, sphere_routes(spark), switch_cost_m=switch
+        ).collect()
+    }
+
+    chains = [np.array(p) for _, p in sorted(paths.items())]
+    names = [lid for lid, _ in sorted(paths.items())]
+    for e in ["e0", "e1", "e2"]:
+        mine = sorted([r for r in rows if r[0] == e], key=lambda r: r[1])
+        p = unit_vector_np(
+            np.array([r[2] for r in mine]), np.array([r[3] for r in mine])
+        )
+        emis = np.column_stack(
+            [
+                arc_boundary_distance_np(p, ch, closed=False) * EARTH_RADIUS_M
+                for ch in chains
+            ]
+        )
+        best, best_cost = None, np.inf
+        for seq in itertools.product(range(len(chains)), repeat=len(mine)):
+            c = sum(emis[t, j] for t, j in enumerate(seq)) + switch * sum(
+                a != b for a, b in zip(seq[:-1], seq[1:])
+            )
+            if c < best_cost - 1e-9:
+                best, best_cost = seq, c
+        want = [names[j] for j in best]
+        assert [got[(e, r[1])] for r in mine] == want, e
+
+
+def test_geo_map_match_smoothing_and_zero_switch(spark):
+    """switch_cost_m=0 reproduces the independent nearest-route snap
+    exactly; a high switch cost holds a noisy mid-trajectory ping on
+    its route even when a parallel route is momentarily closer."""
+    from ffcl_spark.operators.geo import (
+        geo_map_match,
+        geo_nearest_polyline,
+        sphere_routes,
+    )
+
+    # route-0 runs (0,-30)->(0,30); route-3 passes (-45..-55, -60..60).
+    # Entity follows route-0; ping 2 is nudged 3 deg south (still far
+    # from route-3, but used to check flicker under a synthetic twin).
+    rows = [("w", t * 10, 0.4 if t != 2 else -5.0, -25.0 + 10.0 * t)
+            for t in range(6)]
+    df = spark.createDataFrame(
+        rows, "entity_id string, ts long, lat double, lon double"
+    )
+    routes = sphere_routes(spark)
+    from pyspark.sql import functions as F
+
+    zero = geo_map_match(df, routes, switch_cost_m=0.0)
+    snap = geo_nearest_polyline(
+        df.withColumn("id", F.concat_ws("#", "entity_id", "ts")),
+        routes,
+    )
+    zmap = {(r.entity_id, r.ts): (r.line_id, r.dist_m) for r in zero.collect()}
+    smap = {tuple(r.id.split("#")): (r.line_id, r.dist_m) for r in snap.collect()}
+    assert {(e, int(t)): v for (e, t), v in smap.items()} == zmap
+
+    # two parallel synthetic routes 0.2 deg apart; ping 2 drifts onto B
+    two = spark.createDataFrame(
+        [
+            ("A", [{"lat": 0.0, "lon": float(x)} for x in range(-3, 4)]),
+            ("B", [{"lat": 0.2, "lon": float(x)} for x in range(-3, 4)]),
+        ],
+        "line_id string, path array<struct<lat double, lon double>>",
+    )
+    traj = spark.createDataFrame(
+        [("p", t, 0.02 if t != 2 else 0.15, -2.0 + t) for t in range(5)],
+        "entity_id string, ts long, lat double, lon double",
+    )
+    loose = {r.ts: r.line_id for r in
+             geo_map_match(traj, two, switch_cost_m=0.0).collect()}
+    tight = {r.ts: r.line_id for r in
+             geo_map_match(traj, two, switch_cost_m=50_000.0).collect()}
+    assert loose[2] == "B" and all(loose[t] == "A" for t in loose if t != 2)
+    assert all(tight[t] == "A" for t in tight)  # smoothed
+
+
+def test_geo_map_match_partitioning_invariance(spark):
+    """Result is identical at any input partitioning (one shuffle on
+    the entity key defines the order; ties pinned by (ts, lat, lon))."""
+    from ffcl_spark.operators.geo import geo_map_match, sphere_routes
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (f"e{i % 7}", int(t), float(rng.uniform(-80, 80)),
+         float(rng.uniform(-179, 179)))
+        for i, t in enumerate(rng.integers(0, 1000, 140))
+    ]
+    df = spark.createDataFrame(
+        rows, "entity_id string, ts long, lat double, lon double"
+    )
+    routes = sphere_routes(spark)
+    a = sorted(map(tuple, geo_map_match(
+        df.repartition(1), routes).collect()))
+    b = sorted(map(tuple, geo_map_match(
+        df.repartition(16), routes).collect()))
+    assert a == b
