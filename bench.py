@@ -186,6 +186,34 @@ def main() -> None:
             lambda: geo_radius_join(geo_pts, geo_pts, 100_000.0).count()
         )
         extras["geo_radius_rows_per_sec"] = geo_pairs / timings["geo_radius"]
+    # opt-in: Viterbi map matching — every point treated as a ping of
+    # one of ~n/200 entities (ts from the point id, deterministic),
+    # matched against the 4-route fixture; one shuffle on the entity
+    # key, per-entity exact arc distances + O(t·L) Viterbi in Arrow
+    if STAGES != "all" and _enabled("map_match"):
+        from ffcl_spark.operators.geo import (
+            geo_map_match,
+            polyline_locals,
+            sphere_routes,
+        )
+
+        pings = pts.select(
+            F.col("id").alias("pt"),
+            (F.col("x") * 3).alias("lat"),
+            (F.col("y") * 6).alias("lon"),
+        ).select(
+            F.pmod(F.xxhash64("pt"), F.lit(max(n_pts // 200, 1))).alias(
+                "entity_id"
+            ),
+            F.xxhash64("pt", F.lit(1)).alias("ts"),
+            "lat",
+            "lon",
+        )
+        rl = polyline_locals(sphere_routes(spark))
+        timings["map_match"], mm_rows = _timed(
+            lambda: geo_map_match(pings, None, line_locals=rl).count()
+        )
+        extras["map_match_pings_per_sec"] = mm_rows / timings["map_match"]
 
     # spatial intermediates are no longer needed — drop cached blocks so
     # the text/embedding stages measure themselves, not GC pressure
