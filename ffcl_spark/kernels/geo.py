@@ -415,3 +415,38 @@ def viterbi_match_np(emis: np.ndarray, switch_cost: float) -> np.ndarray:
     for s in range(t - 1, 0, -1):
         out[s - 1] = back[s, out[s]]
     return out
+
+
+def discrete_frechet_rad(
+    chain_a_latlon: np.ndarray, chain_b_latlon: np.ndarray
+) -> float:
+    """Discrete Fréchet distance (radians of arc) between two open
+    great-circle vertex chains — the classic coupled-walk min-max DP
+    (Eiter–Mannila) over the EXACT pairwise great-circle angles
+    (atan2(|p×q|, p·q), robust near 0 and π). The dog-leash metric of
+    trajectory similarity: both walkers start at the first vertices,
+    end at the last, may only advance, and the value is the smallest
+    leash covering some such walk.
+
+    O(m·n) time, O(n) rolling row; deterministic (pure float64 — no
+    order freedom in the recurrence)."""
+    a = np.asarray(chain_a_latlon, dtype=np.float64)
+    b = np.asarray(chain_b_latlon, dtype=np.float64)
+    va = unit_vector_np(a[:, 0], a[:, 1])
+    vb = unit_vector_np(b[:, 0], b[:, 1])
+    dots = va @ vb.T
+    crosses = np.linalg.norm(
+        np.cross(va[:, None, :], vb[None, :, :]), axis=2
+    )
+    d = np.arctan2(crosses, dots)  # [m, n] exact angles
+    m, n = d.shape
+    row = np.empty(n, dtype=np.float64)
+    row[0] = d[0, 0]
+    for j in range(1, n):
+        row[j] = max(row[j - 1], d[0, j])
+    for i in range(1, m):
+        prev = row.copy()
+        row[0] = max(prev[0], d[i, 0])
+        for j in range(1, n):
+            row[j] = max(min(prev[j], prev[j - 1], row[j - 1]), d[i, j])
+    return float(row[-1])

@@ -2224,3 +2224,109 @@ def geo_map_match(
         )
 
     return sel.groupBy("entity_id").applyInPandas(match, out_schema)
+
+
+def trajectory_frechet_join(
+    trajs: DataFrame,
+    refs: DataFrame | None = None,
+    *,
+    max_dist_m: float | None = None,
+    earth_radius_m: float = EARTH_RADIUS_M,
+    line_locals: list[tuple] | None = None,
+) -> DataFrame:
+    """Trajectory-similarity join: (line_id, other_id, frechet_m) =
+    the discrete Fréchet (dog-leash) distance between every pair of
+    open great-circle vertex chains — trajectory ↔ trajectory, the
+    similarity face of the line family (:func:`geo_map_match` matches
+    pings to routes; this matches routes to routes — duplicate-route
+    detection, trip clustering, trajectory retrieval).
+
+    Exactness: ``kernels.geo.discrete_frechet_rad`` — the
+    Eiter–Mannila coupled-walk min-max DP over exact pairwise
+    great-circle angles; pure float64 with no order freedom, so the
+    value is bitwise partitioning-invariant. Antimeridian/polar
+    chains are not special cases.
+
+    ``max_dist_m``: emit only pairs with Fréchet ≤ cap. Pruning is by
+    a true LOWER bound before the O(m·n) DP: the leash must cover the
+    coupled first pair and the coupled last pair, and the chains'
+    bounding caps must approach within the cap (gap − r_a − r_b) —
+    both conservative, so no qualifying pair is dropped.
+
+    Self-join form (``refs=None``): each unordered pair once,
+    ``line_id < other_id``. MAP-ONLY plan of the line-join family:
+    the bounded side rides the task closure (``line_locals=`` hoists
+    the collect), the scaling side is one Arrow pass — no join, no
+    shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ffcl_spark.kernels.geo import (
+        discrete_frechet_rad,
+        unit_vector_np,
+    )
+
+    self_join = refs is None
+    if line_locals is None:
+        line_locals = route_chain_locals(trajs if self_join else refs)
+    local = line_locals
+    cap_rad = (
+        None if max_dist_m is None else float(max_dist_m) / earth_radius_m
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("line_id", trajs.schema["line_id"].dataType),
+            T.StructField("other_id", T.StringType()),
+            T.StructField("frechet_m", T.DoubleType()),
+        ]
+    )
+
+    def ang(u, w) -> float:
+        return float(
+            np.arctan2(np.linalg.norm(np.cross(u, w)), float(u @ w))
+        )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ida, idb, vals = [], [], []
+            for row in pdf.itertuples(index=False):
+                chain = np.array(
+                    [[v["lat"], v["lon"]] for v in row.path], dtype=np.float64
+                )
+                vc = unit_vector_np(chain[:, 0], chain[:, 1])
+                cc = vc.mean(axis=0)
+                nrm = float(np.linalg.norm(cc))
+                cc = cc / nrm if nrm > 0 else cc
+                cr = (
+                    float(np.arccos(np.clip(vc @ cc, -1.0, 1.0)).max())
+                    if nrm > 0
+                    else float(np.pi)
+                )
+                for oid, ochain, oc, orad in local:
+                    if self_join and not (row.line_id < oid):
+                        continue
+                    if cap_rad is not None:
+                        ov = unit_vector_np(ochain[:, 0], ochain[:, 1])
+                        # endpoint couplings are forced; cap gap is a
+                        # second lower bound — both conservative
+                        lb = max(ang(vc[0], ov[0]), ang(vc[-1], ov[-1]))
+                        if nrm > 0:
+                            lb = max(lb, ang(cc, oc) - cr - orad)
+                        if lb > cap_rad + 1e-12:
+                            continue
+                    fr = discrete_frechet_rad(chain, ochain)
+                    if cap_rad is not None and fr > cap_rad:
+                        continue
+                    ida.append(row.line_id)
+                    idb.append(oid)
+                    vals.append(fr * earth_radius_m)
+            if ida:
+                yield pd.DataFrame(
+                    {"line_id": ida, "other_id": idb, "frechet_m": vals}
+                )
+
+    return trajs.select("line_id", "path").mapInPandas(kernel, out_schema)

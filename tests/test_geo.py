@@ -2062,3 +2062,112 @@ def test_geo_map_match_partitioning_invariance(spark):
     b = sorted(map(tuple, geo_map_match(
         df.repartition(16), routes).collect()))
     assert a == b
+
+def test_discrete_frechet_recursive_twin_and_invariants():
+    """Rolling-row DP == an independent recursive-memo formulation on
+    random chains; identity is 0; symmetric; a shifted parallel
+    equatorial chain gives EXACTLY the latitude offset (lat separation
+    lower-bounds every pairwise distance, the diagonal coupling
+    attains it)."""
+    import functools
+
+    from ffcl_spark.kernels.geo import discrete_frechet_rad, unit_vector_np
+
+    def frechet_recursive(a, b):
+        va = unit_vector_np(a[:, 0], a[:, 1])
+        vb = unit_vector_np(b[:, 0], b[:, 1])
+        d = np.arctan2(
+            np.linalg.norm(np.cross(va[:, None, :], vb[None, :, :]), axis=2),
+            va @ vb.T,
+        )
+
+        @functools.lru_cache(maxsize=None)
+        def c(i, j):
+            if i == 0 and j == 0:
+                return d[0, 0]
+            opts = []
+            if i > 0:
+                opts.append(c(i - 1, j))
+            if j > 0:
+                opts.append(c(i, j - 1))
+            if i > 0 and j > 0:
+                opts.append(c(i - 1, j - 1))
+            return max(min(opts), d[i, j])
+
+        return c(len(a) - 1, len(b) - 1)
+
+    rng = np.random.default_rng(17)
+    for _ in range(20):
+        m, n = rng.integers(2, 12, 2)
+        a = np.column_stack(
+            [rng.uniform(-80, 80, m), rng.uniform(-179, 179, m)]
+        )
+        b = np.column_stack(
+            [rng.uniform(-80, 80, n), rng.uniform(-179, 179, n)]
+        )
+        got = discrete_frechet_rad(a, b)
+        assert got == pytest.approx(frechet_recursive(a, b), abs=0)
+        assert got == pytest.approx(discrete_frechet_rad(b, a), abs=0)
+    eq = np.array([[0.0, x] for x in range(-3, 4)], float)
+    sh = eq.copy()
+    sh[:, 0] = 0.5
+    assert discrete_frechet_rad(eq, eq) == 0.0
+    assert discrete_frechet_rad(eq, sh) == pytest.approx(
+        math.radians(0.5), rel=1e-15
+    )
+
+
+def test_trajectory_frechet_join_brute_and_cap(spark):
+    """Operator == per-pair kernel brute over routes × shifted routes
+    (proves the cap prune's lower bounds never drop a qualifying
+    pair); self-join form; max_dist_m == post-filter of the uncapped
+    result."""
+    import numpy as np
+
+    from ffcl_spark.kernels.geo import discrete_frechet_rad
+    from ffcl_spark.operators.geo import (
+        EARTH_RADIUS_M,
+        sphere_route_paths,
+        sphere_route_paths_b,
+        sphere_routes,
+        sphere_routes_b,
+        trajectory_frechet_join,
+    )
+
+    a_paths, b_paths = sphere_route_paths(), sphere_route_paths_b()
+    got = {
+        (r.line_id, r.other_id): r.frechet_m
+        for r in trajectory_frechet_join(
+            sphere_routes(spark), sphere_routes_b(spark)
+        ).collect()
+    }
+    want = {
+        (aid, bid): discrete_frechet_rad(np.array(ap), np.array(bp))
+        * EARTH_RADIUS_M
+        for aid, ap in a_paths
+        for bid, bp in b_paths
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+    cap = 3_000_000.0  # 3000 km
+    capped = {
+        (r.line_id, r.other_id): r.frechet_m
+        for r in trajectory_frechet_join(
+            sphere_routes(spark), sphere_routes_b(spark), max_dist_m=cap
+        ).collect()
+    }
+    assert capped == {k: v for k, v in got.items() if v <= cap}
+    assert 0 < len(capped) < len(got)  # the cap actually cuts
+
+    selfp = {
+        (r.line_id, r.other_id)
+        for r in trajectory_frechet_join(sphere_routes(spark)).collect()
+    }
+    assert selfp == {
+        (x, y)
+        for x, _ in a_paths
+        for y, _ in a_paths
+        if x < y
+    }
