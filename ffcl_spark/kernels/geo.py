@@ -450,3 +450,80 @@ def discrete_frechet_rad(
         for j in range(1, n):
             row[j] = max(min(prev[j], prev[j - 1], row[j - 1]), d[i, j])
     return float(row[-1])
+
+
+def planar_hull_indices_np(xy: np.ndarray) -> np.ndarray:
+    """Andrew monotone-chain convex hull: indices of the hull CORNER
+    vertices of ``xy`` [n, 2] in counter-clockwise order (collinear
+    boundary points dropped, duplicates collapse). Deterministic: the
+    lexicographic (x, y) sort pins the walk, and the returned cycle
+    starts at the lexicographically-smallest vertex."""
+    xy = np.asarray(xy, dtype=np.float64)
+    n = len(xy)
+    if n == 0:
+        return np.arange(0)
+    order = np.lexsort((xy[:, 1], xy[:, 0]))
+    # collapse exact duplicates (keep the first in sort order)
+    uniq = [order[0]]
+    for i in order[1:]:
+        if not (xy[i] == xy[uniq[-1]]).all():
+            uniq.append(int(i))
+    if len(uniq) <= 2:
+        return np.array(uniq, dtype=np.int64)
+
+    def cross(o, a, b):
+        return (xy[a][0] - xy[o][0]) * (xy[b][1] - xy[o][1]) - (
+            xy[a][1] - xy[o][1]
+        ) * (xy[b][0] - xy[o][0])
+
+    lo: list[int] = []
+    for i in uniq:
+        while len(lo) >= 2 and cross(lo[-2], lo[-1], i) <= 0:
+            lo.pop()
+        lo.append(i)
+    hi: list[int] = []
+    for i in reversed(uniq):
+        while len(hi) >= 2 and cross(hi[-2], hi[-1], i) <= 0:
+            hi.pop()
+        hi.append(i)
+    return np.array(lo[:-1] + hi[:-1], dtype=np.int64)
+
+
+def sphere_hull_indices_np(
+    pts_latlon: np.ndarray, center: np.ndarray | None = None
+) -> np.ndarray:
+    """Spherical convex hull: indices of the extreme points of a
+    (lat, lon) set, CCW as seen from outside the sphere — the minimal
+    geodesically convex region containing the set, well-defined while
+    the points fit in an OPEN hemisphere (raises otherwise).
+
+    Exactness: a point is on the spherical hull iff its unit vector is
+    an extreme ray of the convex cone the set generates — a
+    frame-independent property. The gnomonic projection about any
+    ``center`` with every point strictly in front (t = v·ĉ > 0) cuts
+    that cone with a plane, turning extreme rays into planar hull
+    vertices EXACTLY (great circles → straight lines), so the planar
+    monotone chain decides the spherical hull with no small-angle
+    approximation. Passing one shared ``center`` makes per-partition
+    results mergeable: hull(hull(P₁) ∪ … ∪ hull(Pₖ)) == hull(P)."""
+    pts = np.asarray(pts_latlon, dtype=np.float64)
+    v = unit_vector_np(pts[:, 0], pts[:, 1])
+    if center is None:
+        c = v.mean(axis=0)
+        nc = np.linalg.norm(c)
+        if nc < 1e-12:
+            raise ValueError("degenerate point set (vectors cancel)")
+        center = c / nc
+    t = v @ center
+    if np.any(t <= 1e-9):
+        raise ValueError("point set spans a hemisphere or more")
+    a = (
+        np.array([0.0, 0.0, 1.0])
+        if abs(center[2]) < 0.9
+        else np.array([1.0, 0.0, 0.0])
+    )
+    e1 = a - np.dot(a, center) * center
+    e1 = e1 / np.linalg.norm(e1)
+    e2 = np.cross(center, e1)
+    xy = np.stack([(v @ e1) / t, (v @ e2) / t], axis=1)
+    return planar_hull_indices_np(xy)

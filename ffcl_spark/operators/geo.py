@@ -2330,3 +2330,141 @@ def trajectory_frechet_join(
                 )
 
     return trajs.select("line_id", "path").mapInPandas(kernel, out_schema)
+
+
+def geo_convex_hull(
+    points: DataFrame,
+    *,
+    group_col: str | None = None,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+) -> DataFrame:
+    """Spherical convex hull of a point set (coverage footprint of a
+    corpus, a cluster, a trajectory): (``group_col``?, ring, n_points,
+    n_hull) where ring is the CCW hull polygon — directly consumable
+    by :func:`sphere_tile_measures` (hull area/perimeter),
+    :func:`geo_pip_join`, and the overlay family.
+
+    Exactness (``kernels.geo.sphere_hull_indices_np``): hull membership
+    = extreme-ray test of the generated convex cone, decided by the
+    planar monotone chain in a gnomonic frame — exact while each hull's
+    points fit in an open hemisphere (documented contract; raises
+    otherwise).
+
+    Plans: with ``group_col`` — one shuffle groups each key into an
+    Arrow task (per-cluster hulls; bounded-group contract). Without —
+    a GLOBAL hull via exact two-stage reduction: one scan computes
+    per-partition hulls in a SHARED frame (the summed unit vector from
+    one tiny agg — sharing the frame is what makes partial hulls
+    mergeable), only hull candidates leave the executors (extreme
+    points of a partition ⊇ global extremes in it), and the final
+    monotone chain runs over that small union. Nothing N-dependent
+    moves: candidate count is Σ per-partition hull sizes (typically
+    O(log) each), not n."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ffcl_spark.kernels.geo import sphere_hull_indices_np
+
+    ring_t = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("lat", T.DoubleType()),
+                T.StructField("lon", T.DoubleType()),
+            ]
+        )
+    )
+
+    def hull_pdf(pdf: pd.DataFrame, center=None):
+        pts = np.column_stack(
+            [pdf["lat"].to_numpy(np.float64), pdf["lon"].to_numpy(np.float64)]
+        )
+        idx = sphere_hull_indices_np(pts, center)
+        return pts, idx
+
+    if group_col is not None:
+        out_schema = T.StructType(
+            [
+                T.StructField("group", points.schema[group_col].dataType),
+                T.StructField("ring", ring_t),
+                T.StructField("n_points", T.LongType()),
+                T.StructField("n_hull", T.IntegerType()),
+            ]
+        )
+
+        def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+            pts, idx = hull_pdf(pdf)
+            return pd.DataFrame(
+                {
+                    "group": [pdf["group"].iloc[0]],
+                    "ring": [
+                        [
+                            {"lat": float(pts[i, 0]), "lon": float(pts[i, 1])}
+                            for i in idx
+                        ]
+                    ],
+                    "n_points": [len(pdf)],
+                    "n_hull": [len(idx)],
+                }
+            )
+
+        sel = points.select(
+            F.col(group_col).alias("group"),
+            F.col(lat_col).cast("double").alias("lat"),
+            F.col(lon_col).cast("double").alias("lon"),
+        )
+        return sel.groupBy("group").applyInPandas(per_group, out_schema)
+
+    sel = points.select(
+        F.col(lat_col).cast("double").alias("lat"),
+        F.col(lon_col).cast("double").alias("lon"),
+    )
+    # stage 0: the shared gnomonic frame — one 3-double aggregate of
+    # the unit vectors (the normalized sum is the mean direction)
+    rlat, rlon = F.radians("lat"), F.radians("lon")
+    s = sel.agg(
+        F.sum(F.cos(rlat) * F.cos(rlon)).alias("sx"),
+        F.sum(F.cos(rlat) * F.sin(rlon)).alias("sy"),
+        F.sum(F.sin(rlat)).alias("sz"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    c = np.array([s["sx"], s["sy"], s["sz"]], dtype=np.float64)
+    nc = float(np.linalg.norm(c))
+    if s["n"] == 0 or nc < 1e-12:
+        raise ValueError("empty or degenerate point set")
+    center = c / nc
+    n_total = int(s["n"])
+
+    cand_schema = T.StructType(
+        [
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("lon", T.DoubleType()),
+        ]
+    )
+
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pts, idx = hull_pdf(pdf, center)
+            yield pd.DataFrame(
+                {"lat": pts[idx, 0], "lon": pts[idx, 1]}
+            )
+
+    cand = sel.mapInPandas(partial, cand_schema).toPandas()
+    pts = cand.to_numpy(np.float64)
+    idx = sphere_hull_indices_np(pts, center)
+    out_schema = T.StructType(
+        [
+            T.StructField("ring", ring_t),
+            T.StructField("n_points", T.LongType()),
+            T.StructField("n_hull", T.IntegerType()),
+        ]
+    )
+    ring = [
+        {"lat": float(pts[i, 0]), "lon": float(pts[i, 1])} for i in idx
+    ]
+    return points.sparkSession.createDataFrame(
+        [(ring, n_total, len(idx))], out_schema
+    )

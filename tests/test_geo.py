@@ -2171,3 +2171,92 @@ def test_trajectory_frechet_join_brute_and_cap(spark):
         for y, _ in a_paths
         if x < y
     }
+
+def test_geo_convex_hull_global_and_grouped(spark):
+    """Global two-stage hull == the single-frame NumPy hull of all
+    points (proving per-partition reduction in the shared frame is
+    exact), every input point lies inside-or-on the hull, the result
+    is partitioning-invariant, and the grouped form returns one exact
+    hull per key; hull ring feeds sphere_ring_measures (positive
+    area bounded by its cap)."""
+    from ffcl_spark.kernels.geo import (
+        sphere_hull_indices_np,
+        spherical_pip_np,
+        sphere_ring_measures,
+    )
+    from ffcl_spark.operators.geo import geo_convex_hull
+
+    rng = np.random.default_rng(31)
+    # two clusters, both within hemispheres
+    a = np.column_stack(
+        [20 + rng.uniform(-10, 10, 400), 50 + rng.uniform(-14, 14, 400)]
+    )
+    b = np.column_stack(
+        [-40 + rng.uniform(-6, 6, 300), -120 + rng.uniform(-9, 9, 300)]
+    )
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * len(a) + ["b"] * len(b),
+            "lat": np.concatenate([a[:, 0], b[:, 0]]),
+            "lon": np.concatenate([a[:, 1], b[:, 1]]),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    # grouped: one exact hull per key
+    got = {
+        r.group: np.array([[v["lat"], v["lon"]] for v in r.ring])
+        for r in geo_convex_hull(df, group_col="g").collect()
+    }
+    for key, pts in (("a", a), ("b", b)):
+        idx = sphere_hull_indices_np(pts)
+        np.testing.assert_array_equal(got[key], pts[idx])
+        assert spherical_pip_np(pts[:, 0], pts[:, 1], got[key]).all()
+        area_sr, _ = sphere_ring_measures(got[key])
+        assert area_sr > 0
+
+    # global over ONE hemisphere-compatible cluster: two-stage == local
+    dfa = spark.createDataFrame(pdf[pdf.g == "a"][["lat", "lon"]])
+    row1 = geo_convex_hull(dfa.repartition(1)).collect()[0]
+    row16 = geo_convex_hull(dfa.repartition(16)).collect()[0]
+    assert row1.ring == row16.ring  # partitioning invariance
+    assert row1.n_points == len(a) and row1.n_hull == len(row1.ring)
+    # matches the one-shot kernel in the same frame
+    from ffcl_spark.kernels.geo import unit_vector_np
+
+    v = unit_vector_np(a[:, 0], a[:, 1])
+    c = v.sum(axis=0)
+    c = c / np.linalg.norm(c)
+    idx = sphere_hull_indices_np(a, c)
+    want = [
+        {"lat": float(a[i, 0]), "lon": float(a[i, 1])} for i in idx
+    ]
+    assert [r.asDict() for r in row1.ring] == want
+
+
+def test_geo_convex_hull_exact_small_and_hemisphere_guard(spark):
+    """Interior points never surface: the hull of octant corners plus
+    strictly interior points is exactly the 3 corners; a set spanning
+    a hemisphere raises."""
+    from ffcl_spark.operators.geo import geo_convex_hull
+
+    rows = [
+        (0.0, 0.0),
+        (0.0, 89.0),
+        (89.0, 45.0),  # near-octant corners
+        (30.0, 45.0),
+        (20.0, 30.0),
+        (45.0, 45.0),  # interior
+    ]
+    df = spark.createDataFrame(rows, "lat double, lon double")
+    ring = geo_convex_hull(df).collect()[0].ring
+    assert {(v["lat"], v["lon"]) for v in ring} == set(rows[:3])
+
+    wide = spark.createDataFrame(
+        [(0.0, 0.0), (0.0, 175.0), (0.0, -175.0), (80.0, 0.0)],
+        "lat double, lon double",
+    )
+    with pytest.raises(Exception, match="hemisphere|degenerate"):
+        geo_convex_hull(wide).collect()
