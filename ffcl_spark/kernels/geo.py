@@ -452,6 +452,31 @@ def discrete_frechet_rad(
     return float(row[-1])
 
 
+def hausdorff_rad(
+    chain_a_latlon: np.ndarray, chain_b_latlon: np.ndarray
+) -> tuple[float, float]:
+    """Directed discrete Hausdorff distances (radians of arc) between
+    two vertex chains: ``(h_ab, h_ba)`` where ``h_ab = max_i min_j
+    angle(a_i, b_j)`` over the EXACT pairwise great-circle angles
+    (atan2(|p×q|, p·q), robust near 0 and π) — the set-similarity
+    sibling of :func:`discrete_frechet_rad` (no ordering constraint:
+    Hausdorff compares the vertex SETS, Fréchet the walks; H ≤ F
+    always). The symmetric Hausdorff distance is ``max(h_ab, h_ba)``.
+
+    O(m·n); deterministic (max/min reductions over a fixed float64
+    matrix — no order freedom)."""
+    a = np.asarray(chain_a_latlon, dtype=np.float64)
+    b = np.asarray(chain_b_latlon, dtype=np.float64)
+    va = unit_vector_np(a[:, 0], a[:, 1])
+    vb = unit_vector_np(b[:, 0], b[:, 1])
+    dots = va @ vb.T
+    crosses = np.linalg.norm(
+        np.cross(va[:, None, :], vb[None, :, :]), axis=2
+    )
+    d = np.arctan2(crosses, dots)  # [m, n] exact angles
+    return float(d.min(axis=1).max()), float(d.min(axis=0).max())
+
+
 def planar_hull_indices_np(xy: np.ndarray) -> np.ndarray:
     """Andrew monotone-chain convex hull: indices of the hull CORNER
     vertices of ``xy`` [n, 2] in counter-clockwise order (collinear

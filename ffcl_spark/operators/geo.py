@@ -2332,6 +2332,115 @@ def trajectory_frechet_join(
     return trajs.select("line_id", "path").mapInPandas(kernel, out_schema)
 
 
+def trajectory_hausdorff_join(
+    trajs: DataFrame,
+    refs: DataFrame | None = None,
+    *,
+    max_dist_m: float | None = None,
+    earth_radius_m: float = EARTH_RADIUS_M,
+    line_locals: list[tuple] | None = None,
+) -> DataFrame:
+    """Trajectory-similarity join under the discrete Hausdorff metric:
+    (line_id, other_id, hausdorff_m, h_ab_m, h_ba_m) for every chain
+    pair — the symmetric Hausdorff distance plus both DIRECTED
+    components (``h_ab`` = how far A strays from B; the asymmetry is
+    the sub-route signal: a leg contained in a longer route has small
+    h_ab and large h_ba, which Fréchet's endpoint coupling hides).
+
+    Exactness: ``kernels.geo.hausdorff_rad`` — max-min over the exact
+    pairwise great-circle angle matrix; pure float64 reductions with
+    no order freedom, so values are bitwise partitioning-invariant.
+    The vertex SETS are compared (discrete Hausdorff); densify chains
+    first if the continuous metric is wanted — same contract as the
+    simplification/Fréchet family. Antimeridian/polar chains are not
+    special cases.
+
+    ``max_dist_m`` emits only pairs with symmetric Hausdorff ≤ cap;
+    pruning uses the bounding-cap gap (every pairwise angle ≥
+    cap-to-cap gap ⇒ H ≥ gap — conservative, no qualifying pair
+    dropped). Self-join form (``refs=None``): each unordered pair
+    once, ``line_id < other_id``, with h_ab/h_ba oriented by the id
+    order. MAP-ONLY plan of the line-join family: bounded side in the
+    task closure (``line_locals=`` hoists the collect), scaling side
+    one Arrow pass — no join, no shuffle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ffcl_spark.kernels.geo import hausdorff_rad, unit_vector_np
+
+    self_join = refs is None
+    if line_locals is None:
+        line_locals = route_chain_locals(trajs if self_join else refs)
+    local = line_locals
+    cap_rad = (
+        None if max_dist_m is None else float(max_dist_m) / earth_radius_m
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("line_id", trajs.schema["line_id"].dataType),
+            T.StructField("other_id", T.StringType()),
+            T.StructField("hausdorff_m", T.DoubleType()),
+            T.StructField("h_ab_m", T.DoubleType()),
+            T.StructField("h_ba_m", T.DoubleType()),
+        ]
+    )
+
+    def ang(u, w) -> float:
+        return float(
+            np.arctan2(np.linalg.norm(np.cross(u, w)), float(u @ w))
+        )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ida, idb, hs, habs, hbas = [], [], [], [], []
+            for row in pdf.itertuples(index=False):
+                chain = np.array(
+                    [[v["lat"], v["lon"]] for v in row.path], dtype=np.float64
+                )
+                vc = unit_vector_np(chain[:, 0], chain[:, 1])
+                cc = vc.mean(axis=0)
+                nrm = float(np.linalg.norm(cc))
+                cc = cc / nrm if nrm > 0 else cc
+                cr = (
+                    float(np.arccos(np.clip(vc @ cc, -1.0, 1.0)).max())
+                    if nrm > 0
+                    else float(np.pi)
+                )
+                for oid, ochain, oc, orad in local:
+                    if self_join and not (row.line_id < oid):
+                        continue
+                    if cap_rad is not None and nrm > 0:
+                        # cap gap lower-bounds EVERY pairwise angle,
+                        # hence both directed maxima — conservative
+                        if ang(cc, oc) - cr - orad > cap_rad + 1e-12:
+                            continue
+                    h_ab, h_ba = hausdorff_rad(chain, ochain)
+                    h = max(h_ab, h_ba)
+                    if cap_rad is not None and h > cap_rad:
+                        continue
+                    ida.append(row.line_id)
+                    idb.append(oid)
+                    hs.append(h * earth_radius_m)
+                    habs.append(h_ab * earth_radius_m)
+                    hbas.append(h_ba * earth_radius_m)
+            if ida:
+                yield pd.DataFrame(
+                    {
+                        "line_id": ida,
+                        "other_id": idb,
+                        "hausdorff_m": hs,
+                        "h_ab_m": habs,
+                        "h_ba_m": hbas,
+                    }
+                )
+
+    return trajs.select("line_id", "path").mapInPandas(kernel, out_schema)
+
+
 def geo_convex_hull(
     points: DataFrame,
     *,

@@ -2172,6 +2172,121 @@ def test_trajectory_frechet_join_brute_and_cap(spark):
         if x < y
     }
 
+
+def test_hausdorff_kernel_invariants():
+    """Kernel vs an independent double-loop brute (haversine angles),
+    swap symmetry of the directed pair, H <= Frechet on every fixture
+    pair, an exact analytic parallel-chain value, and the sub-route
+    asymmetry signal (leg inside a longer route: h_ab ~ 0, h_ba big)."""
+    import numpy as np
+
+    from ffcl_spark.kernels.geo import (
+        discrete_frechet_rad,
+        hausdorff_rad,
+        unit_vector_np,
+    )
+    from ffcl_spark.operators.geo import (
+        sphere_route_paths,
+        sphere_route_paths_b,
+    )
+
+    def brute(a, b):
+        va = unit_vector_np(np.array(a)[:, 0], np.array(a)[:, 1])
+        vb = unit_vector_np(np.array(b)[:, 0], np.array(b)[:, 1])
+        h_ab = max(
+            min(
+                float(np.arctan2(np.linalg.norm(np.cross(u, w)), u @ w))
+                for w in vb
+            )
+            for u in va
+        )
+        h_ba = max(
+            min(
+                float(np.arctan2(np.linalg.norm(np.cross(u, w)), u @ w))
+                for u in va
+            )
+            for w in vb
+        )
+        return h_ab, h_ba
+
+    for _, ap in sphere_route_paths():
+        for _, bp in sphere_route_paths_b():
+            a, b = np.array(ap, float), np.array(bp, float)
+            got = hausdorff_rad(a, b)
+            assert got == pytest.approx(brute(ap, bp), abs=0)
+            assert hausdorff_rad(b, a) == (got[1], got[0])  # swap = flip
+            assert max(got) <= discrete_frechet_rad(a, b) + 1e-15
+
+    # parallel 10°-long chains 5° apart on meridians: every vertex's
+    # nearest counterpart sits on its own meridian, exactly 5° away
+    eq = np.array([[0.0, 0.0], [0.0, 10.0]])
+    sh = np.array([[5.0, 0.0], [5.0, 10.0]])
+    h_ab, h_ba = hausdorff_rad(eq, sh)
+    assert max(h_ab, h_ba) == pytest.approx(np.radians(5.0), rel=1e-12)
+
+    # leg contained in a longer route: directed asymmetry
+    leg = np.array([[0.0, 0.0], [0.0, 10.0]])
+    route = np.array([[0.0, 0.0], [0.0, 10.0], [0.0, 60.0]])
+    h_ab, h_ba = hausdorff_rad(leg, route)
+    assert h_ab == 0.0
+    assert h_ba == pytest.approx(np.radians(50.0), rel=1e-12)
+
+
+def test_trajectory_hausdorff_join_brute_and_cap(spark):
+    """Operator == per-pair kernel brute over routes × second family
+    (proves the cap-gap prune never drops a qualifying pair);
+    self-join form; max_dist_m == post-filter of the uncapped run."""
+    import numpy as np
+
+    from ffcl_spark.kernels.geo import hausdorff_rad
+    from ffcl_spark.operators.geo import (
+        EARTH_RADIUS_M,
+        sphere_route_paths,
+        sphere_route_paths_b,
+        sphere_routes,
+        sphere_routes_b,
+        trajectory_hausdorff_join,
+    )
+
+    a_paths, b_paths = sphere_route_paths(), sphere_route_paths_b()
+    got = {
+        (r.line_id, r.other_id): (r.hausdorff_m, r.h_ab_m, r.h_ba_m)
+        for r in trajectory_hausdorff_join(
+            sphere_routes(spark), sphere_routes_b(spark)
+        ).collect()
+    }
+    want = {}
+    for aid, ap in a_paths:
+        for bid, bp in b_paths:
+            h_ab, h_ba = hausdorff_rad(np.array(ap), np.array(bp))
+            want[(aid, bid)] = (
+                max(h_ab, h_ba) * EARTH_RADIUS_M,
+                h_ab * EARTH_RADIUS_M,
+                h_ba * EARTH_RADIUS_M,
+            )
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+    cap = 3_000_000.0  # 3000 km
+    capped = {
+        (r.line_id, r.other_id)
+        for r in trajectory_hausdorff_join(
+            sphere_routes(spark), sphere_routes_b(spark), max_dist_m=cap
+        ).collect()
+    }
+    assert capped == {k for k, v in got.items() if v[0] <= cap}
+    assert 0 < len(capped) < len(got)  # the cap actually cuts
+
+    selfp = {
+        (r.line_id, r.other_id)
+        for r in trajectory_hausdorff_join(sphere_routes(spark)).collect()
+    }
+    assert selfp == {
+        (x, y) for x, _ in a_paths for y, _ in a_paths if x < y
+    }
+
+
 def test_geo_convex_hull_global_and_grouped(spark):
     """Global two-stage hull == the single-frame NumPy hull of all
     points (proving per-partition reduction in the shared frame is
