@@ -1176,12 +1176,96 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.floor("dist_m").cast("long").alias("dist_floor_m"),
             (F.col("dt_us") / F.lit(3_600_000_000)).cast("int").alias("rank"),
         )
+        # hausdorff + frechet variants (r5 closing): trajectory
+        # similarity between the two fixture route families under both
+        # metrics. The engine runs the real map-only chain kernels
+        # (exact pairwise great-circle angle matrices; Hausdorff =
+        # max-min reductions, Fréchet = the Eiter–Mannila coupled-walk
+        # DP). The oracle recomputes the angles in SQL from per-vertex
+        # unit-vector literals and then solves each metric by a
+        # STRUCTURALLY DIFFERENT algorithm: Hausdorff as two grouped
+        # max-of-min aggregates, Fréchet by the closed-form monotone
+        # path decomposition valid for 2-vertex reference chains
+        # (min over the column-switch index of max(prefix-max,
+        # suffix-max) — routes_b chains all have exactly 2 vertices,
+        # asserted at oracle build). Values floored to metres; rank
+        # carries the DIRECTED h(A→B) floor for hausdorff (≤ π·R ≈
+        # 2.0e7 m — fits int32). Margins audited at fixture scale
+        # (sf-independent): see the hdang CTE comment.
+        hd = GEO.trajectory_hausdorff_join(
+            GEO.sphere_routes(spark), GEO.sphere_routes_b(spark)
+        ).select(
+            F.lit("hausdorff").alias("variant"),
+            F.col("line_id").alias("q_id"),
+            F.col("other_id").alias("r_id"),
+            F.floor("hausdorff_m").cast("long").alias("dist_floor_m"),
+            F.floor("h_ab_m").cast("int").alias("rank"),
+        )
+        fr = GEO.trajectory_frechet_join(
+            GEO.sphere_routes(spark), GEO.sphere_routes_b(spark)
+        ).select(
+            F.lit("frechet").alias("variant"),
+            F.col("line_id").alias("q_id"),
+            F.col("other_id").alias("r_id"),
+            F.floor("frechet_m").cast("long").alias("dist_floor_m"),
+            F.lit(None).cast("int").alias("rank"),
+        )
+        # hull variant (r5 closing): the spherical convex hull of a
+        # deterministic corpus sample (offset-0 points in the ±40°/±80°
+        # box — inside an open hemisphere, the kernel's contract),
+        # emitted as UNDIRECTED hull edges (least_id, greatest_id) so
+        # ring orientation cancels. Coords dedupe to min(id) on BOTH
+        # sides before the hull so the ring→id map is unique. The
+        # engine runs the real two-stage reduction (shared gnomonic
+        # frame + monotone chain); the oracle decides each edge by the
+        # O(n³) extreme-edge characterization — (a,b) is a hull edge
+        # iff every other sample point lies STRICTLY on one side of
+        # the great circle through a and b (det sign test) — a
+        # different algorithm entirely. Margins audited at sf0.01: see
+        # the hdet CTE comment.
+        hs_pts = (
+            pts.where(
+                (F.col("offset") == 0)
+                & F.col("lat").between(-40.0, 40.0)
+                & F.col("lon").between(-80.0, 80.0)
+            )
+            .groupBy("lat", "lon")
+            .agg(F.min("id").alias("id"))
+        )
+        hull1 = GEO.geo_convex_hull(hs_pts)
+        ringv = hull1.select(
+            F.posexplode("ring").alias("pos", "v"), F.col("n_hull")
+        ).select(
+            "pos",
+            "n_hull",
+            F.col("v.lat").alias("lat"),
+            F.col("v.lon").alias("lon"),
+        )
+        rid = ringv.join(hs_pts, ["lat", "lon"]).select("pos", "n_hull", "id")
+        hull = (
+            rid.alias("a")
+            .join(
+                rid.alias("b"),
+                F.col("b.pos")
+                == (F.col("a.pos") + 1) % F.col("a.n_hull"),
+            )
+            .select(
+                F.lit("hull").alias("variant"),
+                F.least("a.id", "b.id").alias("q_id"),
+                F.greatest("a.id", "b.id").alias("r_id"),
+                F.lit(None).cast("long").alias("dist_floor_m"),
+                F.lit(None).cast("int").alias("rank"),
+            )
+        )
         return (
             out.unionByName(zon)
             .unionByName(snap)
             .unionByName(cross)
             .unionByName(routes)
             .unionByName(st)
+            .unionByName(hd)
+            .unionByName(fr)
+            .unionByName(hull)
         )
 
     def q_dedup_groups(spark, sf):
@@ -3093,8 +3177,112 @@ llpairs AS (
     AND {_ov_within("a1", "a2", "n1")}
     AND {_ov_within("b1", "b2", "n2")})
 """
+
+    def _route_vertex_values(paths) -> str:
+        # every VERTEX of a route family as unit-vector literals — the
+        # trajectory-metric oracles recompute all pairwise great-circle
+        # angles in SQL from these and then solve each metric by a
+        # different algorithm than the engine's kernels
+        import numpy as np
+
+        from ffcl_spark.kernels.geo import unit_vector_np
+
+        rows = []
+        for lid, path in paths:
+            v = unit_vector_np(
+                np.array([la for la, _ in path]), np.array([lo for _, lo in path])
+            )
+            for i, u in enumerate(v):
+                vals = ", ".join(
+                    f"CAST({x!r} AS DOUBLE)" for x in (u[0], u[1], u[2])
+                )
+                rows.append(f"('{lid}', {i + 1}, {vals})")
+        return ",\n  ".join(rows)
+
+    from ffcl_spark.operators.geo import sphere_route_paths as _a_routes
+
+    # the Fréchet oracle's closed form (monotone path decomposition)
+    # is valid exactly when the reference chains have 2 vertices
+    assert all(len(p) == 2 for _, p in _b_routes()), "frechet oracle needs 2-vertex b-chains"
+
+    # hausdorff/frechet: pairwise angles once; Hausdorff = max-of-min
+    # both ways; Fréchet = min over the column-switch index a of
+    # max(prefix-max of d(·,1) at a, suffix-max of d(·,2) at a or a+1)
+    # — every monotone coupling through a 2-column lattice visits
+    # (1..a, 1) then (a or a+1 .., 2), so the min over (a, diagonal?)
+    # IS the DP value, derived independently of the engine's rolling-
+    # row recurrence. Margin audit (fixture-constant, 2026-08-20):
+    # min distance of any emitted floored value to its floor boundary
+    # 2.02e-3 m (hausdorff and h_ab), 2.20e-2 m (frechet) — ≥ 5
+    # orders above cross-engine trig noise (~1e-8 m at 2e7 m).
+    _traj_ctes = f"""
+hda(alid, ai, aux, auy, auz) AS (VALUES
+  {_route_vertex_values(_a_routes())}),
+hdb(bid, bj, bwx, bwy, bwz) AS (VALUES
+  {_route_vertex_values(_b_routes())}),
+hdang AS (
+  SELECT alid, bid, ai, bj,
+         atan2(sqrt(pow(auy*bwz - auz*bwy, 2) + pow(auz*bwx - aux*bwz, 2)
+                    + pow(aux*bwy - auy*bwx, 2)),
+               aux*bwx + auy*bwy + auz*bwz) AS ang
+  FROM hda CROSS JOIN hdb),
+hdab AS (SELECT alid, bid, max(mn) AS h
+         FROM (SELECT alid, bid, ai, min(ang) AS mn FROM hdang GROUP BY 1, 2, 3)
+         GROUP BY 1, 2),
+hdba AS (SELECT alid, bid, max(mn) AS h
+         FROM (SELECT alid, bid, bj, min(ang) AS mn FROM hdang GROUP BY 1, 2, 3)
+         GROUP BY 1, 2),
+frd AS (SELECT alid, bid, ai,
+        max(CASE WHEN bj = 1 THEN ang END) AS d1,
+        max(CASE WHEN bj = 2 THEN ang END) AS d2
+        FROM hdang GROUP BY 1, 2, 3),
+frw AS (SELECT alid, bid,
+        max(d1) OVER (PARTITION BY alid, bid ORDER BY ai) AS pref,
+        max(d2) OVER (PARTITION BY alid, bid ORDER BY ai
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS suf,
+        max(d2) OVER (PARTITION BY alid, bid ORDER BY ai
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS sufn
+        FROM frd),
+frv AS (SELECT alid, bid,
+        min(least(greatest(pref, suf),
+                  CASE WHEN sufn IS NULL THEN 1e308
+                       ELSE greatest(pref, sufn) END)) AS f
+        FROM frw GROUP BY 1, 2)
+"""
+
+    # hull: the O(n³) extreme-edge characterization — (a,b) is an
+    # undirected hull edge iff every other sample point lies strictly
+    # on ONE side of the great circle through a and b (sign of the
+    # scalar triple product det[â b̂ p̂]). Strictness is safe: exact
+    # collinearity needs three samples on one great circle, and the
+    # margin audit at sf0.01 (2026-08-20; 101-point sample, 7 hull
+    # edges) puts the global min |det| over every (candidate edge,
+    # witness point) decision at 6.99e-3, which is also every accepted
+    # edge's worst point-side margin — 13 orders above the ~1e-16
+    # cross-engine arithmetic noise on unit-vector products.
+    _hull_ctes = """
+hsamp AS (
+  SELECT min(id) AS id, lat, lon FROM geo
+  WHERE off = 0 AND lat BETWEEN -40.0 AND 40.0 AND lon BETWEEN -80.0 AND 80.0
+  GROUP BY lat, lon),
+hvec AS (SELECT id, cos(radians(lat))*cos(radians(lon)) AS px,
+                cos(radians(lat))*sin(radians(lon)) AS py,
+                sin(radians(lat)) AS pz FROM hsamp),
+hdet AS (
+  SELECT a.id AS ia, b.id AS ib,
+         min((a.py*b.pz - a.pz*b.py)*p.px + (a.pz*b.px - a.px*b.pz)*p.py
+             + (a.px*b.py - a.py*b.px)*p.pz) AS mnd,
+         max((a.py*b.pz - a.pz*b.py)*p.px + (a.pz*b.px - a.px*b.pz)*p.py
+             + (a.px*b.py - a.py*b.px)*p.pz) AS mxd
+  FROM hvec a JOIN hvec b ON a.id < b.id
+  JOIN hvec p ON p.id <> a.id AND p.id <> b.id
+  GROUP BY 1, 2),
+hedge AS (SELECT ia, ib FROM hdet WHERE mnd > 0 OR mxd < 0)
+"""
     o["geo_search"] = f"""
 WITH {_PTS_DOCS}, {_geo_hav}, {_nearest_ctes}, {_snap_sql}, {_overlay_ctes}, {_cross_ctes}, {_ll_ctes},
+{_traj_ctes},
+{_hull_ctes},
 plans(pl) AS (VALUES ('sphere'), ('embed'))
 SELECT 'radius_' || pl AS variant, q_id, r_id,
        CAST(floor(dist) AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
@@ -3164,6 +3352,20 @@ FROM hav h
 JOIN geo gq2 ON gq2.id = h.q_id
 JOIN geo gr ON gr.id = h.r_id
 WHERE h.dist < {GEO_RADIUS_M} AND gr.d - gq2.d BETWEEN -48 AND 48
+UNION ALL
+SELECT 'hausdorff' AS variant, a.alid AS q_id, a.bid AS r_id,
+       CAST(floor(greatest(a.h, b.h) * 6371008.8) AS BIGINT) AS dist_floor_m,
+       CAST(floor(a.h * 6371008.8) AS INTEGER) AS rank
+FROM hdab a JOIN hdba b ON a.alid = b.alid AND a.bid = b.bid
+UNION ALL
+SELECT 'frechet' AS variant, alid AS q_id, bid AS r_id,
+       CAST(floor(f * 6371008.8) AS BIGINT) AS dist_floor_m,
+       CAST(NULL AS INTEGER) AS rank
+FROM frv
+UNION ALL
+SELECT 'hull' AS variant, ia AS q_id, ib AS r_id,
+       CAST(NULL AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
+FROM hedge
 """
 
     # group closure over the same verified pairs: recursive min-label
