@@ -922,7 +922,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sims.unionByName(edits)
 
     def q_ngram_jaccard(spark, sf):
-        return DD.ngram_jaccard_pairs(_documents(spark, sf), JACCARD_T)
+        # pairs variant: all-pairs n-gram Jaccard ≥ t (unchanged).
+        # contain variant (r5 closing): cross-corpus CONTAMINATION —
+        # docs with d % 7 == 0 act as the benchmark/eval set, the rest
+        # as the training corpus; per corpus doc the engine broadcasts
+        # the benchmark's distinct shingles and counts containment
+        # (n_hit/n_grams — the directional decontamination signal that
+        # symmetric Jaccard dilutes). Exactness: counts are integers,
+        # the ratio ONE IEEE division of them (bit-identical in
+        # DuckDB); the count pair rides id_b as 'n_hit/n_grams'.
+        docs = _documents(spark, sf)
+        d = F.col("doc_id").cast("long")
+        pairs = DD.ngram_jaccard_pairs(docs, JACCARD_T).select(
+            F.lit("pairs").alias("variant"),
+            F.col("id_a").cast("string").alias("id_a"),
+            F.col("id_b").cast("string").alias("id_b"),
+            "jaccard",
+        )
+        cont = DD.ngram_contamination(
+            docs.where(d % 7 != 0), docs.where(d % 7 == 0)
+        ).select(
+            F.lit("contain").alias("variant"),
+            F.col("id").cast("string").alias("id_a"),
+            F.concat_ws("/", F.col("n_hit"), F.col("n_grams")).alias("id_b"),
+            F.col("ratio").alias("jaccard"),
+        )
+        return pairs.unionByName(cont)
 
     def q_minhash_plans(spark, sf):
         # both MinHash stages in one variant-tagged gate (r5
@@ -2763,7 +2788,40 @@ SELECT doc_id,
 FROM m
 """
 
-    o["ngram_jaccard"] = _jaccard_sql()
+    # pairs arm = the original jaccard recomputation; contain arm
+    # re-derives the benchmark split and the containment counts from
+    # the same shingle CTE — integer counts, one IEEE division
+    o["ngram_jaccard"] = f"""
+WITH {_shingle_cte()},
+evals AS (SELECT doc_id AS id FROM documents
+          WHERE CAST(doc_id AS BIGINT) % 7 = 0),
+refsh AS (SELECT DISTINCT s.shingle FROM sh s JOIN evals e ON s.id = e.id),
+csh AS (SELECT s.id, s.shingle FROM sh s
+        WHERE s.id NOT IN (SELECT id FROM evals)),
+cont AS (
+  SELECT c.id, count(*) AS n_grams,
+         sum(CASE WHEN r.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM csh c LEFT JOIN refsh r ON c.shingle = r.shingle
+  GROUP BY c.id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY a.id, b.id),
+scored AS (
+  SELECT i.id_a, i.id_b,
+         CAST(i.inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - i.inter AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes sa ON sa.id = i.id_a
+  JOIN sizes sb ON sb.id = i.id_b)
+SELECT 'pairs' AS variant, CAST(id_a AS VARCHAR) AS id_a,
+       CAST(id_b AS VARCHAR) AS id_b, jaccard FROM scored
+WHERE jaccard >= {JACCARD_T}
+UNION ALL
+SELECT 'contain' AS variant, CAST(id AS VARCHAR) AS id_a,
+       CAST(n_hit AS VARCHAR) || '/' || CAST(n_grams AS VARCHAR) AS id_b,
+       CAST(n_hit AS DOUBLE) / CAST(n_grams AS DOUBLE) AS jaccard
+FROM cont
+"""
 
     # substring-level dedup: windows recomputed from scratch — the
     # 60-bit hash is the same md5-prefix rule both engines evaluate on

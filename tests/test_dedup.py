@@ -237,3 +237,50 @@ def test_contamination_spans_cross_table(spark):
         corpus, probes.where("doc_id < 0"), n=4
     ).toPandas()
     assert len(none) == 0
+
+
+def test_ngram_contamination_pure_python_twin(spark):
+    """Operator == a pure-Python shingle-set twin on the fixture:
+    exact n_grams / n_hit / ratio per corpus doc, directional
+    semantics (full containment of a short benchmark item in a longer
+    doc scores 1.0 where Jaccard would be small), short docs absent,
+    and broadcast on/off plans identical."""
+    corpus = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "a long training document quoting the quick brown fox "
+            "jumps over the lazy dog verbatim inside more text"),
+        (2, "completely different content about spark shuffles"),
+        (3, "too short"),  # < n tokens → no shingles → absent
+    ]
+    bench = [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "spark shuffles"),  # < n tokens → contributes nothing
+    ]
+    cdf = spark.createDataFrame(corpus, "doc_id long, text string")
+    rdf = spark.createDataFrame(bench, "doc_id long, text string")
+
+    def sh(text, n=3):
+        t = [w for w in text.split(" ") if w]
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    ref = set().union(*(sh(t) for _, t in bench)) if bench else set()
+    want = {}
+    for did, t in corpus:
+        s = sh(t)
+        if s:
+            hit = len(s & ref)
+            want[did] = (len(s), hit, hit / len(s))
+
+    for bc in (True, False):
+        got = {
+            r.id: (r.n_grams, r.n_hit, r.ratio)
+            for r in DD.ngram_contamination(
+                cdf, rdf, broadcast_refs=bc
+            ).collect()
+        }
+        assert got == want
+    assert 3 not in got  # short doc absent
+    assert got[0][2] == 1.0  # doc 0 fully contained in the benchmark
+    # directional: doc 1 contains the whole benchmark item yet is much
+    # longer — containment catches what symmetric Jaccard dilutes
+    assert got[1][1] == len(sh(bench[0][1]))
