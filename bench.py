@@ -227,6 +227,22 @@ def main() -> None:
             clear_cache_with=spark,
         )
 
+    # opt-in: cross-corpus contamination — every 7th doc acts as the
+    # benchmark set; its distinct shingles broadcast, the corpus side
+    # is one scan + an O(#docs) agg (the decontamination pass shape)
+    if STAGES != "all" and _enabled("contamination"):
+        documents = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        d = F.col("doc_id").cast("long")
+        timings["contamination"], cont_rows = _timed(
+            lambda: DD.ngram_contamination(
+                documents.where(d % 7 != 0), documents.where(d % 7 == 0)
+            ).count(),
+            clear_cache_with=spark,
+        )
+        extras["contamination_docs_per_sec"] = (
+            cont_rows / timings["contamination"]
+        )
+
     # --- q6: embedding similarity — SCALE paths are the headline
     # (IVF-bucketed top-k, SRP-LSH near-dup); the brute crossJoin is
     # opt-in as the oracle baseline, not the engine measurement ---
