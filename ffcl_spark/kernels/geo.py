@@ -477,6 +477,52 @@ def hausdorff_rad(
     return float(d.min(axis=1).max()), float(d.min(axis=0).max())
 
 
+def stay_points_np(
+    latlon: np.ndarray, ts: np.ndarray, radius_rad: float, min_dur: float
+) -> list[tuple[int, int]]:
+    """Stay-point episodes of one time-ordered ping sequence (the
+    Li/Zheng GeoLife rule): anchor at ping i, find the FIRST later
+    ping whose great-circle angle from the anchor reaches
+    ``radius_rad`` (strict ``<`` stays inside — the engine's
+    point-in-ball convention); if the pings before it dwell for at
+    least ``min_dur``, emit the maximal window ``[i, j-1]`` and
+    restart at j, else advance the anchor by one. A trailing window
+    that never exits the ball emits iff its duration qualifies.
+
+    Returns [(i_start, i_end)] inclusive index pairs. Deterministic:
+    callers pre-sort pings (ts, lat, lon); the scan has no float
+    order freedom (exact angles, one comparison per ping). The anchor
+    loop is O(#anchors) Python with vectorized angle rows — the
+    Viterbi kernel's cost shape."""
+    v = unit_vector_np(latlon[:, 0], latlon[:, 1])
+    n = len(v)
+    out: list[tuple[int, int]] = []
+    i = 0
+    while i < n:
+        dots = v[i + 1 :] @ v[i]
+        crosses = np.linalg.norm(np.cross(v[i], v[i + 1 :]), axis=1)
+        ang = np.arctan2(crosses, dots)
+        exits = np.nonzero(ang >= radius_rad)[0]
+        if not len(exits):
+            # trailing window: no later anchor can dwell longer than
+            # this one (every suffix window only shrinks in time), so
+            # emit-or-not and stop — keeps the all-in-one-ball case
+            # O(n) instead of O(n²)
+            if n - i >= 2 and float(ts[n - 1] - ts[i]) >= min_dur:
+                out.append((i, n - 1))
+            break
+        j = i + 1 + int(exits[0])
+        if j == i + 1:
+            i += 1
+            continue
+        if float(ts[j - 1] - ts[i]) >= min_dur:
+            out.append((i, j - 1))
+            i = j
+        else:
+            i += 1
+    return out
+
+
 def planar_hull_indices_np(xy: np.ndarray) -> np.ndarray:
     """Andrew monotone-chain convex hull: indices of the hull CORNER
     vertices of ``xy`` [n, 2] in counter-clockwise order (collinear

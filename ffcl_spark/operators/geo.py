@@ -2226,6 +2226,103 @@ def geo_map_match(
     return sel.groupBy("entity_id").applyInPandas(match, out_schema)
 
 
+def geo_stay_points(
+    pings: DataFrame,
+    *,
+    radius_m: float,
+    min_duration_s: float,
+    entity_col: str = "entity_id",
+    ts_col: str = "ts",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    earth_radius_m: float = EARTH_RADIUS_M,
+) -> DataFrame:
+    """Stay-point detection — segment each entity's ping stream into
+    dwell episodes (the Li/Zheng GeoLife rule): a stay is a maximal
+    run of pings all within ``radius_m`` great-circle metres of its
+    anchor ping (strict ``<`` — the point-in-ball convention) that
+    lasts at least ``min_duration_s``. The trip-mining primitive that
+    turns raw pings into visits: home/work extraction, POI dwell
+    counting, trip segmentation for :func:`geo_map_match` (match the
+    between-stay legs, not the dwell noise).
+
+    Output: (entity_id, stay_id, lat, lon, t_start, t_end, n_pings)
+    — stay_id numbers episodes 0.. per entity in time order; lat/lon
+    is the spherical centroid of the episode's pings (normalized
+    mean unit vector — well-defined inside a small ball); t_start/
+    t_end are the anchor and last-inside ping's ``ts`` cast to
+    double seconds.
+
+    Deterministic: pings ordered (ts, lat, lon) — the
+    trajectory_stats contract — and the scan has no float order
+    freedom (exact angles via ``kernels.geo.stay_points_np``).
+
+    Plan: ONE shuffle on the entity key into ``applyInPandas``; the
+    per-entity scan is O(#anchors) vectorized angle rows (the
+    Viterbi cost shape), nothing N-dependent on the driver —
+    embarrassingly parallel across entities at any corpus size."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from ffcl_spark.kernels.geo import stay_points_np, unit_vector_np
+
+    if radius_m <= 0 or min_duration_s < 0:
+        raise ValueError("radius_m must be > 0 and min_duration_s >= 0")
+    radius_rad = float(radius_m) / earth_radius_m
+
+    out_schema = T.StructType(
+        [
+            T.StructField("entity_id", pings.schema[entity_col].dataType),
+            T.StructField("stay_id", T.IntegerType()),
+            T.StructField("lat", T.DoubleType()),
+            T.StructField("lon", T.DoubleType()),
+            T.StructField("t_start", T.DoubleType()),
+            T.StructField("t_end", T.DoubleType()),
+            T.StructField("n_pings", T.IntegerType()),
+        ]
+    )
+
+    sel = pings.select(
+        F.col(entity_col).alias("entity_id"),
+        F.col(ts_col).cast("double").alias("ts"),
+        F.col(lat_col).cast("double").alias("lat"),
+        F.col(lon_col).cast("double").alias("lon"),
+    )
+
+    def segment(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "lat", "lon"], kind="mergesort")
+        latlon = pdf[["lat", "lon"]].to_numpy(np.float64)
+        ts = pdf["ts"].to_numpy(np.float64)
+        spans = stay_points_np(latlon, ts, radius_rad, float(min_duration_s))
+        if not spans:
+            return pd.DataFrame(
+                {f.name: pd.Series(dtype="object") for f in out_schema}
+            )
+        v = unit_vector_np(latlon[:, 0], latlon[:, 1])
+        rows = []
+        for sid, (a, b) in enumerate(spans):
+            c = v[a : b + 1].mean(axis=0)
+            c = c / np.linalg.norm(c)
+            rows.append(
+                (
+                    pdf["entity_id"].iloc[0],
+                    sid,
+                    float(np.degrees(np.arcsin(min(1.0, max(-1.0, c[2]))))),
+                    float(np.degrees(np.arctan2(c[1], c[0]))),
+                    float(ts[a]),
+                    float(ts[b]),
+                    b - a + 1,
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[f.name for f in out_schema],
+        )
+
+    return sel.groupBy("entity_id").applyInPandas(segment, out_schema)
+
+
 def trajectory_frechet_join(
     trajs: DataFrame,
     refs: DataFrame | None = None,

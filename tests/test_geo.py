@@ -2375,3 +2375,93 @@ def test_geo_convex_hull_exact_small_and_hemisphere_guard(spark):
     )
     with pytest.raises(Exception, match="hemisphere|degenerate"):
         geo_convex_hull(wide).collect()
+
+
+def test_stay_points_twin_and_invariants(spark):
+    """Operator == an independent pure-Python haversine scan of the
+    same spec on a two-entity fixture (dwell / transit / dwell /
+    short trailing dwell); strict-< ball membership; min-duration
+    filter; trailing-stay emission; per-entity stay numbering;
+    partitioning invariance."""
+    import math
+
+    import numpy as np
+
+    from ffcl_spark.operators.geo import EARTH_RADIUS_M, geo_stay_points
+
+    def mk(entity, spec):
+        # spec: list of (t, lat, lon)
+        return [(entity, float(t), la, lo) for t, la, lo in spec]
+
+    jit = 0.0005  # ≈ 55 m — deep inside the 500 m ball
+    e1 = mk(
+        "e1",
+        # dwell A: 0..600 s around (10, 20)
+        [(i * 120, 10.0 + (jit if i % 2 else -jit), 20.0) for i in range(6)]
+        # transit: big hops, never 2 pings in one ball
+        + [(700, 11.0, 21.0), (800, 12.0, 22.0), (900, 13.0, 23.0)]
+        # dwell B: 1000..1600 s around (14, 24)
+        + [(1000 + i * 150, 14.0, 24.0 + (jit if i % 2 else -jit)) for i in range(5)]
+        # trailing dwell C: only 100 s — below min_duration, no stay
+        + [(2000, 15.0, 25.0), (2100, 15.0, 25.0 + jit)],
+    )
+    e2 = mk(
+        "e2",
+        # one long dwell that never exits — trailing emission
+        [(i * 200, -5.0 + (jit if i % 3 == 0 else 0.0), 100.0) for i in range(5)],
+    )
+    df = spark.createDataFrame(
+        e1 + e2, "entity_id string, ts double, lat double, lon double"
+    )
+
+    RAD, DUR = 500.0, 300.0
+
+    def hav_m(a, b):
+        la1, lo1, la2, lo2 = map(math.radians, (a[0], a[1], b[0], b[1]))
+        h = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * EARTH_RADIUS_M * math.asin(math.sqrt(h))
+
+    def twin(pings):
+        pings = sorted(pings)  # (ts, lat, lon)
+        n, i, out = len(pings), 0, []
+        while i < n:
+            j = i + 1
+            while j < n and hav_m(pings[i][1:], pings[j][1:]) < RAD:
+                j += 1
+            if j == i + 1:
+                i += 1
+                continue
+            if pings[j - 1][0] - pings[i][0] >= DUR:
+                out.append((pings[i][0], pings[j - 1][0], j - i))
+                i = j
+            else:
+                i += 1
+        return out
+
+    got = geo_stay_points(
+        df, radius_m=RAD, min_duration_s=DUR
+    ).toPandas()
+    for ent, rows in (("e1", e1), ("e2", e2)):
+        want = twin([(t, la, lo) for _, t, la, lo in rows])
+        g = got[got.entity_id == ent].sort_values("stay_id")
+        assert list(g.stay_id) == list(range(len(want)))
+        assert [
+            (r.t_start, r.t_end, r.n_pings) for r in g.itertuples()
+        ] == want
+    # e1: exactly dwell A and dwell B; trailing C filtered by duration
+    assert len(got[got.entity_id == "e1"]) == 2
+    # e2: the never-exiting trailing dwell emits
+    assert len(got[got.entity_id == "e2"]) == 1
+    # centroids sit inside their ball (≈ the dwell center)
+    a = got[(got.entity_id == "e1")].iloc[0]
+    assert hav_m((a.lat, a.lon), (10.0, 20.0)) < RAD
+
+    rep = geo_stay_points(
+        df.repartition(13), radius_m=RAD, min_duration_s=DUR
+    ).toPandas()
+    assert sorted(map(tuple, rep.to_numpy().tolist())) == sorted(
+        map(tuple, got.to_numpy().tolist())
+    )
