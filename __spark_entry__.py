@@ -65,6 +65,11 @@ QUANT_PROBS = [0.25, 0.5, 0.9, 0.99]
 GEO_RADIUS_M = 400_000.0
 GEO_K = 5
 GEO_QMOD = 5
+# stay-point gate: 8000 km dwell ball / 4000 s min duration; ts =
+# d*60 + (d%3)*1500 makes consecutive gaps cycle 6000/1500/1500 s so
+# both the emit and the duration-reject branches fire
+STAY_R = 8_000_000.0
+STAY_D = 4000.0
 # geo DBSCAN gate: at 800 km the 1000 worldwide doc points form 57
 # clusters + 157 border + 93 noise, and the closest pair distance to
 # the radius cut is 55.5 m — flooring-safe for both engines' doubles
@@ -1282,6 +1287,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit(None).cast("int").alias("rank"),
             )
         )
+        # stay variant (r5 closing): stay-point detection — offset-0
+        # doc points become pings of 50 entities (entity = d % 50, ts
+        # = d·60 + (d%3)·1500 s — consecutive gaps cycle 6000/1500/
+        # 1500 s, so the 4000 s min-duration emits some windows and
+        # duration-rejects others, exercising both anchor-advance
+        # branches on this scatter). The engine runs
+        # the real sequential Arrow kernel; the oracle REPLAYS the
+        # anchor walk as a recursive CTE over first-exit indices — a
+        # second implementation of a stateful sequential operator in
+        # pure SQL. Exactness: ts/duration decisions are exact
+        # integer-valued doubles; ball decisions are floats with the
+        # margin audited at sf0.01 (min |dist − 8000 km| over every
+        # same-entity pair = 6044 m, see the stexit comment).
+        # Packed: r_id = 'stay_id:t_start:t_end', dist_floor_m =
+        # n_pings, rank = stay_id.
+        pings_df = pts.where(F.col("offset") == 0).select(
+            (F.col("d") % 50).cast("string").alias("entity_id"),
+            (F.col("d") * 60 + (F.col("d") % 3) * 1500)
+            .cast("double")
+            .alias("ts"),
+            "lat",
+            "lon",
+        )
+        stays = GEO.geo_stay_points(
+            pings_df, radius_m=STAY_R, min_duration_s=STAY_D
+        ).select(
+            F.lit("stay").alias("variant"),
+            F.col("entity_id").alias("q_id"),
+            F.concat_ws(
+                ":",
+                F.col("stay_id"),
+                F.col("t_start").cast("long"),
+                F.col("t_end").cast("long"),
+            ).alias("r_id"),
+            F.col("n_pings").cast("long").alias("dist_floor_m"),
+            F.col("stay_id").alias("rank"),
+        )
         return (
             out.unionByName(zon)
             .unionByName(snap)
@@ -1291,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(hd)
             .unionByName(fr)
             .unionByName(hull)
+            .unionByName(stays)
         )
 
     def q_dedup_groups(spark, sf):
@@ -3337,6 +3380,61 @@ hdet AS (
   GROUP BY 1, 2),
 hedge AS (SELECT ia, ib FROM hdet WHERE mnd > 0 OR mxd < 0)
 """
+
+    # stay-point oracle: the sequential anchor scan replayed as a
+    # RECURSIVE walk. stexit precomputes, for every anchor k, the
+    # first later ping whose haversine distance reaches the ball
+    # radius (strict < stays inside — NULL if the tail never exits);
+    # stwalk then advances exactly like the engine kernel: jump to j
+    # and emit [i, j-1] when the window dwells ≥ min duration, else
+    # advance one ping. Recursion depth = pings per entity. Margin
+    # audit at sf0.01 (2026-08-20): min |dist − STAY_R| over every
+    # same-entity ping pair = 6044 m — 11 orders above cross-engine
+    # haversine-vs-atan2 noise (~1e-8 m); duration decisions are
+    # exact integer-valued doubles. 27 stays emit at sf0.01 with
+    # ~2x that duration-rejected — both anchor branches fire.
+    _hav_ab = f"""2.0 * 6371008.8 * asin(sqrt(least(1.0,
+       pow(sin(radians(b.lat - a.lat)/2), 2)
+       + cos(radians(a.lat)) * cos(radians(b.lat))
+         * pow(sin(radians(b.lon - a.lon)/2), 2))))"""
+    _stay_ctes = f"""
+stp AS (
+  SELECT CAST(d % 50 AS VARCHAR) AS e, d * 60.0 + (d % 3) * 1500.0 AS ts, lat, lon,
+         row_number() OVER (PARTITION BY d % 50 ORDER BY d * 60.0 + (d % 3) * 1500.0) AS k,
+         count(*) OVER (PARTITION BY d % 50) AS n
+  FROM geo WHERE off = 0),
+stexit AS (
+  SELECT a.e, a.k,
+         min(CASE WHEN {_hav_ab} >= {STAY_R} THEN b.k END) AS j
+  FROM stp a JOIN stp b ON b.e = a.e AND b.k > a.k
+  GROUP BY a.e, a.k),
+stwalk(e, i, s_a, s_b) AS (
+  SELECT e, CAST(1 AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+  FROM (SELECT DISTINCT e FROM stp)
+  UNION ALL
+  SELECT e,
+         CASE WHEN jeff > i + 1 AND dur >= {STAY_D} THEN jeff ELSE i + 1 END,
+         CASE WHEN jeff > i + 1 AND dur >= {STAY_D} THEN i END,
+         CASE WHEN jeff > i + 1 AND dur >= {STAY_D} THEN jeff - 1 END
+  FROM (
+    SELECT w.e, w.i, coalesce(x.j, tsi.n + 1) AS jeff,
+           tsj.ts - tsi.ts AS dur
+    FROM stwalk w
+    JOIN stp tsi ON tsi.e = w.e AND tsi.k = w.i
+    LEFT JOIN stexit x ON x.e = w.e AND x.k = w.i
+    JOIN stp tsj ON tsj.e = w.e AND tsj.k = coalesce(x.j, tsi.n + 1) - 1
+    WHERE w.i <= tsi.n)),
+ststays AS (
+  SELECT w.e,
+         CAST(row_number() OVER (PARTITION BY w.e ORDER BY w.s_a) - 1
+              AS INTEGER) AS stay_id,
+         ta.ts AS t_start, tb.ts AS t_end,
+         w.s_b - w.s_a + 1 AS n_pings
+  FROM stwalk w
+  JOIN stp ta ON ta.e = w.e AND ta.k = w.s_a
+  JOIN stp tb ON tb.e = w.e AND tb.k = w.s_b
+  WHERE w.s_a IS NOT NULL)
+"""
     o["geo_search"] = f"""
 WITH {_PTS_DOCS}, {_geo_hav}, {_nearest_ctes}, {_snap_sql}, {_overlay_ctes}, {_cross_ctes}, {_ll_ctes},
 {_traj_ctes},
@@ -3424,6 +3522,15 @@ UNION ALL
 SELECT 'hull' AS variant, ia AS q_id, ib AS r_id,
        CAST(NULL AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
 FROM hedge
+UNION ALL
+SELECT 'stay' AS variant, e AS q_id,
+       CAST(stay_id AS VARCHAR) || ':' || CAST(CAST(t_start AS BIGINT) AS VARCHAR)
+         || ':' || CAST(CAST(t_end AS BIGINT) AS VARCHAR) AS r_id,
+       CAST(n_pings AS BIGINT) AS dist_floor_m, stay_id AS rank
+FROM (
+  WITH RECURSIVE {_stay_ctes}
+  SELECT * FROM ststays
+) ststays_scoped
 """
 
     # group closure over the same verified pairs: recursive min-label
