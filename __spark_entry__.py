@@ -1310,9 +1310,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "lat",
             "lon",
         )
-        stays = GEO.geo_stay_points(
+        st_df = GEO.geo_stay_points(
             pings_df, radius_m=STAY_R, min_duration_s=STAY_D
-        ).select(
+        )
+        stays = st_df.select(
             F.lit("stay").alias("variant"),
             F.col("entity_id").alias("q_id"),
             F.concat_ws(
@@ -1323,6 +1324,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("r_id"),
             F.col("n_pings").cast("long").alias("dist_floor_m"),
             F.col("stay_id").alias("rank"),
+        )
+        # od variant: origin→destination trips between consecutive
+        # stays (stay_transitions — one JVM window, no Python). All
+        # compared fields are exact integer-valued doubles (depart/
+        # arrive ts, transit seconds); the float trip_m stays in
+        # pytest. The oracle applies the same lead() window to its
+        # recursive-walk stays.
+        stays = stays.unionByName(
+            GEO.stay_transitions(st_df).select(
+                F.lit("od").alias("variant"),
+                F.col("entity_id").alias("q_id"),
+                F.concat_ws(
+                    ":",
+                    F.col("from_stay"),
+                    F.col("to_stay"),
+                    F.col("depart_t").cast("long"),
+                    F.col("arrive_t").cast("long"),
+                ).alias("r_id"),
+                F.col("transit_s").cast("long").alias("dist_floor_m"),
+                F.col("from_stay").alias("rank"),
+            )
         )
         return (
             out.unionByName(zon)
@@ -3523,14 +3545,28 @@ SELECT 'hull' AS variant, ia AS q_id, ib AS r_id,
        CAST(NULL AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
 FROM hedge
 UNION ALL
-SELECT 'stay' AS variant, e AS q_id,
-       CAST(stay_id AS VARCHAR) || ':' || CAST(CAST(t_start AS BIGINT) AS VARCHAR)
-         || ':' || CAST(CAST(t_end AS BIGINT) AS VARCHAR) AS r_id,
-       CAST(n_pings AS BIGINT) AS dist_floor_m, stay_id AS rank
-FROM (
+SELECT variant, q_id, r_id, dist_floor_m, rank FROM (
   WITH RECURSIVE {_stay_ctes}
-  SELECT * FROM ststays
-) ststays_scoped
+  SELECT 'stay' AS variant, e AS q_id,
+         CAST(stay_id AS VARCHAR) || ':' || CAST(CAST(t_start AS BIGINT) AS VARCHAR)
+           || ':' || CAST(CAST(t_end AS BIGINT) AS VARCHAR) AS r_id,
+         CAST(n_pings AS BIGINT) AS dist_floor_m, stay_id AS rank
+  FROM ststays
+  UNION ALL
+  SELECT 'od' AS variant, e AS q_id,
+         CAST(from_stay AS VARCHAR) || ':' || CAST(to_stay AS VARCHAR)
+           || ':' || CAST(CAST(depart_t AS BIGINT) AS VARCHAR)
+           || ':' || CAST(CAST(arrive_t AS BIGINT) AS VARCHAR) AS r_id,
+         CAST(arrive_t - depart_t AS BIGINT) AS dist_floor_m,
+         from_stay AS rank
+  FROM (
+    SELECT e, stay_id AS from_stay,
+           lead(stay_id) OVER w AS to_stay,
+           t_end AS depart_t,
+           lead(t_start) OVER w AS arrive_t
+    FROM ststays WINDOW w AS (PARTITION BY e ORDER BY stay_id))
+  WHERE to_stay IS NOT NULL
+) stay_arms
 """
 
     # group closure over the same verified pairs: recursive min-label

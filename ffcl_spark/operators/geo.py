@@ -2323,6 +2323,41 @@ def geo_stay_points(
     return sel.groupBy("entity_id").applyInPandas(segment, out_schema)
 
 
+def stay_transitions(stays: DataFrame) -> DataFrame:
+    """Origin→destination trips from :func:`geo_stay_points` output:
+    one row per consecutive stay pair of an entity — (entity_id,
+    from_stay, to_stay, from_lat, from_lon, to_lat, to_lon,
+    depart_t, arrive_t, transit_s, trip_m) where transit_s =
+    to.t_start − from.t_end (time between dwells) and trip_m the
+    great-circle metres between the two stay centroids. The OD-flow
+    primitive: `groupBy` the endpoints (or their spherical cells) for
+    a flow matrix, feed the legs to :func:`geo_map_match`.
+
+    Pure JVM plan: ONE window over (entity_id ORDER BY stay_id) —
+    rides the stays' existing partitioning, no Python, no extra
+    scan. Deterministic: stay_id is the per-entity time order."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("entity_id").orderBy("stay_id")
+    nxt = lambda c: F.lead(c).over(w)  # noqa: E731
+    out = stays.select(
+        "entity_id",
+        F.col("stay_id").alias("from_stay"),
+        nxt("stay_id").alias("to_stay"),
+        F.col("lat").alias("from_lat"),
+        F.col("lon").alias("from_lon"),
+        nxt("lat").alias("to_lat"),
+        nxt("lon").alias("to_lon"),
+        F.col("t_end").alias("depart_t"),
+        nxt("t_start").alias("arrive_t"),
+        (nxt("t_start") - F.col("t_end")).alias("transit_s"),
+        haversine_m(
+            F.col("lat"), F.col("lon"), nxt("lat"), nxt("lon")
+        ).alias("trip_m"),
+    )
+    return out.where(F.col("to_stay").isNotNull())
+
+
 def trajectory_frechet_join(
     trajs: DataFrame,
     refs: DataFrame | None = None,

@@ -2465,3 +2465,48 @@ def test_stay_points_twin_and_invariants(spark):
     assert sorted(map(tuple, rep.to_numpy().tolist())) == sorted(
         map(tuple, got.to_numpy().tolist())
     )
+
+
+def test_stay_transitions(spark):
+    """OD trips from stays: one row per consecutive stay pair, exact
+    depart/arrive/transit times, trip length == haversine of the two
+    stay centroids, single-stay entities emit nothing."""
+    import math
+
+    from ffcl_spark.operators.geo import (
+        EARTH_RADIUS_M,
+        geo_stay_points,
+        stay_transitions,
+    )
+
+    jit = 0.0005
+    rows = (
+        [("e1", float(i * 120), 10.0 + (jit if i % 2 else -jit), 20.0)
+         for i in range(6)]
+        + [("e1", 700.0, 11.0, 21.0), ("e1", 800.0, 12.0, 22.0)]
+        + [("e1", 1000.0 + i * 150, 14.0, 24.0 + (jit if i % 2 else -jit))
+           for i in range(5)]
+        + [("e2", float(i * 200), -5.0, 100.0) for i in range(4)]
+    )
+    df = spark.createDataFrame(
+        rows, "entity_id string, ts double, lat double, lon double"
+    )
+    stays = geo_stay_points(df, radius_m=500.0, min_duration_s=300.0)
+    got = stay_transitions(stays).collect()
+    assert len(got) == 1  # e1: A→B; e2: single stay → nothing
+    t = got[0]
+    assert (t.entity_id, t.from_stay, t.to_stay) == ("e1", 0, 1)
+    assert (t.depart_t, t.arrive_t, t.transit_s) == (600.0, 1000.0, 400.0)
+
+    def hav(a, b):
+        la1, lo1, la2, lo2 = map(math.radians, (a[0], a[1], b[0], b[1]))
+        h = (
+            math.sin((la2 - la1) / 2) ** 2
+            + math.cos(la1) * math.cos(la2) * math.sin((lo2 - lo1) / 2) ** 2
+        )
+        return 2 * EARTH_RADIUS_M * math.asin(math.sqrt(h))
+
+    assert t.trip_m == pytest.approx(
+        hav((t.from_lat, t.from_lon), (t.to_lat, t.to_lon)), rel=1e-12
+    )
+    assert t.trip_m > 500_000  # (10,20)→(14,24) is a real trip
