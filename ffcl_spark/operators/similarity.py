@@ -94,6 +94,93 @@ def cosine_neardup_pairs(
     )
 
 
+def semantic_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    n_clusters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Within-cluster cosine near-dup pairs — the SemDeDup candidate
+    rule (Abbas et al. 2023, public): k-means the embedding space,
+    then compare pairs ONLY inside each cluster. The engine's third
+    near-dup candidate generator beside SRP-LSH banding and IVF
+    buckets: k-means buckets adapt to the corpus's density (LSH
+    bands are data-oblivious), which is what semantic dedup of
+    training corpora runs in practice.
+
+    Approximation contract: a pair straddling a cluster boundary is
+    never compared (identical vectors always share a cluster — the
+    argmin is a pure function of the vector). ``n_clusters=1``
+    degrades exactly to :func:`cosine_neardup_pairs`.
+
+    Scale shape: clustering is the gate-proven distributed Lloyd
+    (`kmeans_nd` — broadcast centroids, k·dims driver rows per
+    iteration); pair generation is ONE shuffle on the cluster label
+    with pair work Σ|cluster|² instead of n² — n_clusters is the
+    knob that bounds the quadratic term."""
+    from ffcl_spark.operators.kmeans import kmeans_nd
+
+    pts = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("features")
+    )
+    _, _, labels = kmeans_nd(
+        pts, n_clusters, seed=seed, max_iters=max_iters
+    )
+    side = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        _norm(F.col(vec_col)).alias("nn"),
+    ).join(labels, "id")
+    a = side.select(
+        "label",
+        F.col("id").alias("id_a"),
+        F.col("v").alias("va"),
+        F.col("nn").alias("na"),
+    )
+    b = side.select(
+        "label",
+        F.col("id").alias("id_b"),
+        F.col("v").alias("vb"),
+        F.col("nn").alias("nb"),
+    )
+    return (
+        a.join(b, "label")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+        )
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float,
+    n_clusters: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+) -> DataFrame:
+    """SemDeDup: (id, canonical_id, group_size) keep/drop decisions
+    from embedding-space near-duplicates — :func:`semantic_neardup_pairs`
+    candidates closed transitively by the shared min-label star
+    contraction (``dedup.dedup_groups(pairs=...)``), so A~B, B~C
+    collapse to one canonical keep even when the cluster pass never
+    compared A to C. Same output contract as ``exact_dedup`` /
+    ``dedup_groups`` — downstream keep/drop logic is identical across
+    the exact, MinHash, SimHash, and semantic dedup families."""
+    from ffcl_spark.operators.dedup import dedup_groups
+
+    pairs = semantic_neardup_pairs(
+        df, threshold, n_clusters, id_col=id_col, vec_col=vec_col, seed=seed
+    )
+    return dedup_groups(df, threshold, id_col=id_col, pairs=pairs)
+
+
 LSH_BANDS = 12
 LSH_BAND_BITS = 8
 

@@ -513,3 +513,58 @@ def test_pca_whiten(spark):
     mean, comps, _ = SIM.pca_components(emb, d, k)
     with pytest.raises(ValueError, match="whiten"):
         SIM.pca_project(emb, d, k, components=(mean, comps), whiten=True)
+
+
+def test_semantic_neardup_k1_equals_brute(spark):
+    """n_clusters=1 degrades exactly to the brute cosine pair set
+    (same ids, same cos values)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").cache()
+    brute = SIM.cosine_neardup_pairs(emb, 0.4).toPandas()
+    sem = SIM.semantic_neardup_pairs(emb, 0.4, n_clusters=1).toPandas()
+    bset = {(r.id_a, r.id_b): r.cos for r in brute.itertuples()}
+    sset = {(r.id_a, r.id_b): r.cos for r in sem.itertuples()}
+    assert bset.keys() == sset.keys() and len(bset) > 0
+    for k in bset:
+        assert sset[k] == bset[k]
+
+
+def test_semantic_dedup_groups_and_closure(spark):
+    """Planted clique chains collapse to one canonical keep under the
+    clustered pass (identical/near vectors share a cluster), output
+    contract matches dedup_groups (min-id canonical, singleton size
+    1), and pairs ⊆ the brute pair set (clustering only prunes)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    dims = 8
+    base = rng.normal(size=(12, dims))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    vid = 0
+    for i in range(12):
+        rows.append((vid, base[i].tolist())); vid += 1
+    # chain A~B~C near vec 0: B between A and C so A~C may miss the cut
+    a = base[0]
+    d = rng.normal(size=dims); d -= (d @ a) * a; d /= np.linalg.norm(d)
+    for ang in (0.05, 0.10):  # cos(0.05)≈0.9988, cos(0.10)≈0.995
+        v = np.cos(ang) * a + np.sin(ang) * d
+        rows.append((vid, (v / np.linalg.norm(v)).tolist())); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    t = 0.998  # A~B (0.9988) and B~C (0.9988) pass; A~C (0.995) fails
+    sem_pairs = SIM.semantic_neardup_pairs(df, t, n_clusters=4).toPandas()
+    brute = SIM.cosine_neardup_pairs(df, t).toPandas()
+    sp = set(zip(sem_pairs.id_a, sem_pairs.id_b))
+    bp = set(zip(brute.id_a, brute.id_b))
+    assert sp <= bp  # clustering only prunes
+    assert (0, 12) in sp and (12, 13) in sp  # the chain survived
+    assert (0, 13) not in bp  # A~C genuinely below the cut
+
+    got = SIM.semantic_dedup(df, t, n_clusters=4).toPandas().set_index("id")
+    assert got.loc[0].canonical_id == 0
+    assert got.loc[12].canonical_id == 0  # closure: A~B
+    assert got.loc[13].canonical_id == 0  # closure: B~C without A~C
+    assert got.loc[0].group_size == 3
+    # untouched vectors are their own singleton groups
+    assert got.loc[5].canonical_id == 5 and got.loc[5].group_size == 1
+    assert len(got) == 14
