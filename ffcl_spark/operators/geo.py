@@ -1561,6 +1561,77 @@ def sphere_rasterize(
     return tiles.select("tile_id", "ring").mapInPandas(cover_kernel, cov_schema)
 
 
+def sphere_tile_raster(
+    tiles: DataFrame, delta_deg: float, *, m_table: list[int] | None = None
+) -> DataFrame:
+    """EXACT vector→raster under the GIS cell-center rule: (tile_id,
+    cell) for every latitude-band grid cell whose CENTER lies inside
+    (or on the boundary of) the tile — the deterministic rasterization
+    the raster↔vector loop needs, distinct from
+    :func:`sphere_rasterize`'s conservative padded cover (that one is
+    the candidate-generation superset; this one is the exact raster).
+
+    Plan: candidate cells from the distributed cover, their centers
+    from one JVM expression (`functions.sphere.cell_center`), then the
+    gate-proven gnomonic even-odd containment kernel decides each
+    center exactly (:func:`geo_pip_join` — map-only for bounded tile
+    tables, broadcast-cover path beyond). Cost scales with covered
+    cells, never with the grid."""
+    from ffcl_spark.functions import sphere as S
+
+    cand = (
+        sphere_rasterize(tiles, delta_deg, m_table=m_table)
+        .select("cell")
+        .distinct()
+    )
+    centers = cand.select(
+        F.col("cell").alias("id"),
+        S.cell_center(F.col("cell"), delta_deg).alias("c"),
+    ).select("id", F.col("c.lat").alias("lat"), F.col("c.lon").alias("lon"))
+    return geo_pip_join(centers, tiles, delta_deg=delta_deg).select(
+        "tile_id", F.col("id").alias("cell")
+    )
+
+
+def raster_to_tiles(
+    cells: DataFrame, delta_deg: float, *, cell_col: str = "cell"
+) -> DataFrame:
+    """Raster→vector: each grid cell as a tile row (tile_id =
+    'cell-<id>', ring = the cell's exact lat/lon rectangle corners,
+    CCW) — pure JVM column expressions, no Python, no shuffle. The
+    inverse face of :func:`sphere_tile_raster`: occupancy rollups,
+    probe covers, and rasterized footprints become polygon tables the
+    measure/PIP/overlay family consumes.
+
+    Geometry caveat (documented, inherent to any raster→vector): the
+    cell's north/south edges are PARALLELS, while the tile family
+    interprets ring edges as great-circle arcs — exact for the
+    east/west (meridian) edges, a one-cell-height approximation for
+    the other two at coarse ``delta_deg``. Use
+    ``functions.sphere.cell_area_m2`` (Archimedes hat-box, exact) for
+    areas rather than the ring shoelace."""
+    from ffcl_spark.functions import sphere as S
+
+    b = S.cell_bounds(F.col(cell_col), delta_deg)
+
+    def v(lat, lon):
+        return F.struct(lat.alias("lat"), lon.alias("lon"))
+
+    ring = F.array(
+        v(b["lat_lo"], b["lon_lo"]),
+        v(b["lat_lo"], b["lon_hi"]),
+        v(b["lat_hi"], b["lon_hi"]),
+        v(b["lat_hi"], b["lon_lo"]),
+    )
+    return cells.select(
+        F.concat(F.lit("cell-"), F.col(cell_col).cast("string")).alias(
+            "tile_id"
+        ),
+        ring.alias("ring"),
+        F.col(cell_col),
+    )
+
+
 def sphere_overlay_join(
     tiles_a: DataFrame,
     tiles_b: DataFrame,

