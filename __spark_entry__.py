@@ -1346,6 +1346,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("from_stay").alias("rank"),
             )
         )
+        # raster variant (r5 closing): EXACT vector→raster under the
+        # cell-center rule — which 6° latitude-band cells' centers lie
+        # inside which fixture tiles. The engine runs the real
+        # cover-then-verify plan (conservative rasterize → cell_center
+        # JVM expression → gnomonic even-odd kernel); the oracle
+        # enumerates EVERY grid cell from the band→m VALUES relation,
+        # re-derives each center with the same IEEE arithmetic, and
+        # decides containment by the half-space formulation (the pip
+        # oracle's machinery — a different algorithm). Margin audited
+        # (fixture-constant): min |deciding edge·center| 4.2e-5 over
+        # all 14,640 pairs — see the rcells CTE comment.
+        rast = GEO.sphere_tile_raster(tiles, 6.0).select(
+            F.lit("raster").alias("variant"),
+            F.col("tile_id").alias("q_id"),
+            F.col("cell").cast("string").alias("r_id"),
+            F.lit(None).cast("long").alias("dist_floor_m"),
+            F.lit(None).cast("int").alias("rank"),
+        )
         return (
             out.unionByName(zon)
             .unionByName(snap)
@@ -1356,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(fr)
             .unionByName(hull)
             .unionByName(stays)
+            .unionByName(rast)
         )
 
     def q_dedup_groups(spark, sf):
@@ -3403,6 +3422,36 @@ hdet AS (
 hedge AS (SELECT ia, ib FROM hdet WHERE mnd > 0 OR mxd < 0)
 """
 
+    # raster oracle: EVERY cell of the 6-degree grid from the band-m
+    # VALUES relation; centers re-derived with the same IEEE
+    # arithmetic as functions/sphere.cell_center; containment by the
+    # pip oracle's half-space formulation. Margin audit
+    # (fixture-constant, 2026-08-20): min |deciding edge-dot| over
+    # all 14,640 (center, tile) pairs = 4.2e-5 (~270 m of slack) —
+    # 11 orders above cross-engine arithmetic noise; 20 pairs emit.
+    from ffcl_spark.functions.sphere import band_m_table as _r_bmt
+
+    _rmt_rows = ",".join(
+        f"({band},{m})" for band, m in enumerate(_r_bmt(6.0))
+    )
+    _raster_ctes = f"""
+rmt(band, m) AS (VALUES {_rmt_rows}),
+rcells AS (
+  SELECT band * 4294967296 + j AS cell,
+         least(CAST(band AS DOUBLE) * 6.0 - 90.0 + 6.0, 90.0) / 2
+           + (CAST(band AS DOUBLE) * 6.0 - 90.0) / 2 AS clat,
+         ((CAST(j AS DOUBLE) * 360.0 / CAST(m AS DOUBLE) - 180.0)
+           + ((CAST(j AS DOUBLE) + 1.0) * 360.0 / CAST(m AS DOUBLE) - 180.0)) / 2 AS clon
+  FROM (SELECT band, m,
+               unnest(generate_series(0, CAST(m - 1 AS BIGINT))) AS j
+        FROM rmt)),
+rpts AS (SELECT cell,
+                cos(radians(clat))*cos(radians(clon)) AS px,
+                cos(radians(clat))*sin(radians(clon)) AS py,
+                sin(radians(clat)) AS pz
+         FROM rcells)
+"""
+
     # stay-point oracle: the sequential anchor scan replayed as a
     # RECURSIVE walk. stexit precomputes, for every anchor k, the
     # first later ping whose haversine distance reaches the ball
@@ -3461,6 +3510,7 @@ ststays AS (
 WITH {_PTS_DOCS}, {_geo_hav}, {_nearest_ctes}, {_snap_sql}, {_overlay_ctes}, {_cross_ctes}, {_ll_ctes},
 {_traj_ctes},
 {_hull_ctes},
+{_raster_ctes},
 plans(pl) AS (VALUES ('sphere'), ('embed'))
 SELECT 'radius_' || pl AS variant, q_id, r_id,
        CAST(floor(dist) AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
@@ -3544,6 +3594,14 @@ UNION ALL
 SELECT 'hull' AS variant, ia AS q_id, ib AS r_id,
        CAST(NULL AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
 FROM hedge
+UNION ALL
+SELECT 'raster' AS variant, e.tile_id AS q_id, CAST(r.cell AS VARCHAR) AS r_id,
+       CAST(NULL AS BIGINT) AS dist_floor_m, CAST(NULL AS INTEGER) AS rank
+FROM rpts r
+CROSS JOIN (VALUES
+  {_pip_edge_values()}) e(tile_id, nx, ny, nz)
+GROUP BY e.tile_id, r.cell
+HAVING min(e.nx*r.px + e.ny*r.py + e.nz*r.pz) >= 0
 UNION ALL
 SELECT variant, q_id, r_id, dist_floor_m, rank FROM (
   WITH RECURSIVE {_stay_ctes}
