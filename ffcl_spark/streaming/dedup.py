@@ -356,3 +356,64 @@ def dedup_stream(
     )
     q.awaitTermination()
     return q
+
+
+def contamination_stream(
+    docs_stream: DataFrame,
+    refs: DataFrame,
+    out_dir: str,
+    ckpt_dir: str,
+    *,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Start (availableNow) the streaming DECONTAMINATION filter: score
+    each micro-batch's documents against a STATIC benchmark corpus
+    (``operators.dedup.ngram_contamination``) and write the per-doc
+    decision log — (id, n_grams, n_hit, ratio, admitted) with
+    ``admitted = ratio < threshold`` — to ``out_dir/epoch=<batch id>``
+    (whole-directory overwrite ⇒ idempotent replay, the store
+    discipline of this module). Returns the drained query.
+
+    The production ingest shape: crawl batches arrive continuously,
+    the benchmark set is fixed. Its distinct shingles are computed
+    ONCE here and cut with an eager ``localCheckpoint`` (the
+    hot-groups hoist lesson — a static reference is never re-shingled
+    or re-scanned per epoch); per-epoch cost is one scan of the BATCH
+    plus the broadcast join. Executor state between epochs: ZERO.
+
+    Contract matches the batch operator: only docs with ≥ 1 shingle
+    are scored (a doc shorter than ``shingle_n`` tokens carries no
+    n-gram evidence); the union of all epochs' rows equals the batch
+    ``ngram_contamination`` over the union of the batches — pinned in
+    pytest. ``docs_stream`` carries plain (``id_col``, ``text_col``)
+    columns (flatten interleaved spans upstream if needed)."""
+    from ffcl_spark.operators.dedup import ngram_contamination, ref_shingle_set
+
+    ref_sh = ref_shingle_set(
+        refs, n=shingle_n, id_col=id_col, text_col=text_col
+    ).localCheckpoint()
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        scored = ngram_contamination(
+            batch_df,
+            n=shingle_n,
+            id_col=id_col,
+            text_col=text_col,
+            ref_shingles=ref_sh,
+        ).withColumn("admitted", F.col("ratio") < F.lit(threshold))
+        scored.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    q = (
+        docs_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    free_checkpoint(ref_sh)
+    return q

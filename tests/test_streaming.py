@@ -364,3 +364,69 @@ def test_geo_index_stream_builds_probeable_store(spark, tmp_path):
         delta_deg=4.0,
     )
     assert spark.read.parquet(f"{store}/points").count() == len(pts)
+
+
+def test_contamination_stream_equals_batch(spark, tmp_path):
+    """Multi-epoch streaming decontamination == the batch operator on
+    the union (scores, counts, admitted flags); the benchmark is
+    shingled once (localCheckpoint hoist); replayed stream consumes
+    nothing new."""
+    import pandas as pd
+
+    from ffcl_spark.operators.dedup import ngram_contamination
+    from ffcl_spark.streaming.dedup import contamination_stream
+
+    bench_rows = [("b0", "the quick brown fox jumps over the lazy dog")]
+    corpus = [
+        ("c0", "the quick brown fox jumps over the lazy dog"),  # 1.0
+        ("c1", "quoting the quick brown fox inside other words here"),
+        ("c2", "completely unrelated content about spark shuffles"),
+        ("c3", "ab"),  # < n tokens → unscored
+    ]
+    refs = spark.createDataFrame(bench_rows, "doc_id string, text string")
+    drop = str(tmp_path / "drop")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # two part files → maxFilesPerTrigger=1 forces two epochs
+    spark.createDataFrame(
+        corpus, "doc_id string, text string"
+    ).repartition(2).write.parquet(drop)
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    contamination_stream(stream, refs, out, ckpt, threshold=0.9)
+
+    got = (
+        spark.read.parquet(f"{out}/epoch=*")
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = (
+        ngram_contamination(
+            spark.createDataFrame(corpus, "doc_id string, text string"), refs
+        )
+        .withColumn("admitted", F.col("ratio") < F.lit(0.9))
+        .toPandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["id", "n_grams", "n_hit", "ratio", "admitted"]],
+        want[["id", "n_grams", "n_hit", "ratio", "admitted"]],
+    )
+    assert set(got.id) == {"c0", "c1", "c2"}  # short doc unscored
+    assert not got.set_index("id").loc["c0"].admitted  # fully contained
+    assert got.set_index("id").loc["c2"].admitted
+
+    # replay: restart with same checkpoint consumes nothing
+    stream2 = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop)
+    )
+    contamination_stream(stream2, refs, out, ckpt, threshold=0.9)
+    again = spark.read.parquet(f"{out}/epoch=*").toPandas()
+    assert len(again) == len(got)
