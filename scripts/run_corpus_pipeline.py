@@ -44,9 +44,19 @@ def main(argv: list[str] | None = None) -> None:
         "--max-ppl", type=float, default=None,
         help="model-based gate: drop docs whose unigram-LM perplexity exceeds this",
     )
+    ap.add_argument(
+        "--benchmark", default=None,
+        help="decontamination: parquet of benchmark/eval docs (doc_id, text); "
+        "docs whose n-gram containment vs it reaches --max-contamination are dropped",
+    )
+    ap.add_argument("--max-contamination", type=float, default=0.5)
     args = ap.parse_args(argv)
 
-    from ffcl_spark.operators.dedup import dedup_groups, exact_dedup
+    from ffcl_spark.operators.dedup import (
+        dedup_groups,
+        exact_dedup,
+        ngram_contamination,
+    )
     from ffcl_spark.operators.sampling import pack_chunks
     from ffcl_spark.operators.textops import (
         corpus_stats,
@@ -90,6 +100,22 @@ def main(argv: list[str] | None = None) -> None:
                 .select("doc_id"),
                 "doc_id",
                 "left_semi",
+            ),
+        )
+
+    # optional decontamination: drop docs containing too much of the
+    # benchmark/eval set (directional n-gram containment — docs too
+    # short to carry n-gram evidence are kept, the operator contract)
+    if args.benchmark is not None:
+        bench = spark.read.parquet(args.benchmark)
+        clean = stage(
+            "decontaminate",
+            lambda: clean.join(
+                ngram_contamination(clean, bench)
+                .where(F.col("ratio") >= args.max_contamination)
+                .select(F.col("id").alias("doc_id")),
+                "doc_id",
+                "left_anti",
             ),
         )
 
