@@ -2429,6 +2429,42 @@ def stay_transitions(stays: DataFrame) -> DataFrame:
     return out.where(F.col("to_stay").isNotNull())
 
 
+def geo_od_flows(
+    transitions: DataFrame, delta_deg: float = 5.0
+) -> DataFrame:
+    """Origin→destination FLOW MATRIX at spherical-cell granularity
+    from :func:`stay_transitions` output: (from_cell, to_cell,
+    n_trips, mean_transit_s, mean_trip_m) — the mobility-analytics
+    aggregate (commute matrices, inter-region demand) that closes the
+    pings → stays → trips → flows chain.
+
+    Pure JVM: one ``sphere_cell`` expression per endpoint and ONE
+    partial-aggregated groupBy whose shuffle is |occupied cell pairs|
+    rows (map-side combine) — nothing scales with trips. Self-loops
+    (both stays in one cell) are kept; filter ``from_cell != to_cell``
+    for strict inter-cell demand."""
+    from ffcl_spark.functions import sphere as S
+
+    return (
+        transitions.select(
+            S.sphere_cell(
+                F.col("from_lat"), F.col("from_lon"), delta_deg
+            ).alias("from_cell"),
+            S.sphere_cell(F.col("to_lat"), F.col("to_lon"), delta_deg).alias(
+                "to_cell"
+            ),
+            "transit_s",
+            "trip_m",
+        )
+        .groupBy("from_cell", "to_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_trips"),
+            F.avg("transit_s").alias("mean_transit_s"),
+            F.avg("trip_m").alias("mean_trip_m"),
+        )
+    )
+
+
 def trajectory_frechet_join(
     trajs: DataFrame,
     refs: DataFrame | None = None,

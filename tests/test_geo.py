@@ -2588,3 +2588,56 @@ def test_sphere_tile_raster_center_rule(spark):
         SF.sum(cell_area_m2(SF.col("cell"), DD_)).alias("a")
     ).collect()[0]["a"]
     assert area > 0
+
+
+def test_geo_od_flows(spark):
+    """Flow matrix == pandas twin over the transitions (cell
+    assignment by the shared packing, count + means exact on this
+    2-entity fixture); self-loop kept."""
+    from ffcl_spark.functions.sphere import band_m_table
+    from ffcl_spark.operators.geo import (
+        geo_od_flows,
+        geo_stay_points,
+        stay_transitions,
+    )
+
+    jit = 0.0005
+    rows = (
+        [("e1", float(i * 120), 10.0 + (jit if i % 2 else -jit), 20.0)
+         for i in range(6)]
+        + [("e1", 700.0, 11.0, 21.0), ("e1", 800.0, 12.0, 22.0)]
+        + [("e1", 1000.0 + i * 150, 14.0, 24.0 + (jit if i % 2 else -jit))
+           for i in range(5)]
+        # e2: two dwells in the SAME 5° cell (band [-5,0), one lon cell)
+        + [("e2", float(i * 200), -4.5, 100.0) for i in range(4)]
+        + [("e2", 1500.0, -6.0, 99.0), ("e2", 1600.0, -7.0, 98.0)]
+        + [("e2", 2000.0 + i * 200, -3.0, 100.5) for i in range(4)]
+    )
+    df = spark.createDataFrame(
+        rows, "entity_id string, ts double, lat double, lon double"
+    )
+    tr = stay_transitions(
+        geo_stay_points(df, radius_m=500.0, min_duration_s=300.0)
+    ).toPandas()
+    got = geo_od_flows(
+        spark.createDataFrame(tr), delta_deg=5.0
+    ).toPandas()
+
+    mt = band_m_table(5.0)
+
+    def cell(lat, lon):
+        b = min(len(mt) - 1, max(0, int((lat + 90.0) // 5.0)))
+        m = mt[b]
+        j = min(m - 1, max(0, int((lon + 180.0) * m / 360.0)))
+        return b * (1 << 32) + j
+
+    want = {}
+    for r in tr.itertuples():
+        k = (cell(r.from_lat, r.from_lon), cell(r.to_lat, r.to_lon))
+        want.setdefault(k, []).append((r.transit_s, r.trip_m))
+    assert {
+        (r.from_cell, r.to_cell): r.n_trips for r in got.itertuples()
+    } == {k: len(v) for k, v in want.items()}
+    assert len(got) >= 2  # e1's inter-cell trip + e2's self-loop
+    self_loops = got[got.from_cell == got.to_cell]
+    assert len(self_loops) == 1 and self_loops.iloc[0].n_trips == 1
