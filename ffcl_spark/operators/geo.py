@@ -1115,8 +1115,10 @@ def nearest_tile_locals(tiles: DataFrame) -> list[tuple]:
         ring = np.array(
             [[v["lat"], v["lon"]] for v in row["ring"]], dtype=np.float64
         )
-        c, e1, e2, ring_xy, _ = tile_frame_np(ring)
-        local.append((row["tile_id"], c, e1, e2, ring_xy, ring))
+        c, e1, e2, ring_xy, cap_deg = tile_frame_np(ring)
+        local.append(
+            (row["tile_id"], c, e1, e2, ring_xy, ring, np.radians(cap_deg))
+        )
     return local
 
 
@@ -1172,30 +1174,54 @@ def geo_nearest_tile(
         ]
     )
 
+    # lazy sequential argmin (r6): tiles are scanned in ascending
+    # tile_id with a strictly-better running minimum — identical
+    # verdicts to the old full distance matrix + first-min argmin, but
+    # (a) points already resolved at distance 0 (inside an earlier
+    # tile — the common case with a covering tile set) skip every
+    # remaining tile's exact boundary-distance evaluation, and (b) a
+    # per-tile CAP lower bound (angle to the tile center minus the cap
+    # radius, with a 1 cm slack dominating all rounding) skips tiles
+    # that provably cannot beat the running best. Guide §1.2: cut
+    # per-task work after the plan shape (map-only, no shuffle) is
+    # already right.
     def kernel(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             p = unit_vector_np(pdf["lat"].to_numpy(), pdf["lon"].to_numpy())
-            dmat = np.empty((len(pdf), len(local)), dtype=np.float64)
-            for j, (_, c, e1, e2, ring_xy, ring) in enumerate(local):
-                d = arc_boundary_distance_np(p, ring) * earth_radius_m
-                t = p @ c
-                ok = t > 1e-12
+            n = len(pdf)
+            best_d = np.full(n, np.inf)
+            best_j = np.zeros(n, dtype=np.int64)
+            for j, (_, c, e1, e2, ring_xy, ring, cap_rad) in enumerate(local):
+                active = np.nonzero(best_d > 0.0)[0]
+                if len(active) == 0:
+                    break
+                pa = p[active]
+                ct = pa @ c
+                lb_m = (np.arccos(np.clip(ct, -1.0, 1.0)) - cap_rad) * earth_radius_m
+                cand = lb_m - 0.01 <= best_d[active]
+                if not cand.any():
+                    continue
+                act = active[cand]
+                pa = pa[cand]
+                ct = ct[cand]
+                d = arc_boundary_distance_np(pa, ring) * earth_radius_m
+                ok = ct > 1e-12
                 if ok.any():
-                    x = (p[ok] @ e1) / t[ok]
-                    y = (p[ok] @ e2) / t[ok]
+                    x = (pa[ok] @ e1) / ct[ok]
+                    y = (pa[ok] @ e2) / ct[ok]
                     inside = points_in_polygon(x, y, ring_xy)
-                    idx = np.nonzero(ok)[0][inside]
-                    d[idx] = 0.0
-                dmat[:, j] = d
-            best = dmat.argmin(axis=1)  # first minimum = smallest tile_id
-            dist = dmat[np.arange(len(pdf)), best]
+                    d[np.nonzero(ok)[0][inside]] = 0.0
+                upd = d < best_d[act]
+                tgt = act[upd]
+                best_d[tgt] = d[upd]
+                best_j[tgt] = j
             out = pd.DataFrame(
                 {
                     "id": pdf["id"],
-                    "tile_id": [local[j][0] for j in best],
-                    "dist_m": dist,
+                    "tile_id": [local[j][0] for j in best_j],
+                    "dist_m": best_d,
                 }
             )
             if max_dist_m is not None:

@@ -40,7 +40,14 @@ PAIR_BUDGET = 4_000_000  # elements per distance block inside the kernel
 
 
 def knn_resolution(n_rows: int, k: int, cfg: EngineConfig) -> EngineConfig:
-    """Deepest resolution keeping ≈max(48, 3k) rows per cell."""
+    """Deepest resolution keeping ≈max(48, 3k) rows per cell.
+
+    (r6 note: a finer target — max(12, 2k), 4× fewer candidate
+    distances per query — was measured at the bench scale and was NOT
+    faster: the grouped kernel is bounded by per-group/py-boundary
+    overhead and output construction, not by the NumPy distance scan,
+    and the 4× group count outweighed the saved flops. Kept at the
+    r5 value; see OPTIMIZATION_r06.md.)"""
     target = max(48, 3 * k)
     res = 0
     while res < 14 and n_rows / (4 ** (res + 1)) >= target:
@@ -183,6 +190,28 @@ def _coarse_key_expr(ixc, iyc, gshift: int):
     return F.shiftleft(F.shiftright(ixc, gshift), 26) + F.shiftright(iyc, gshift)
 
 
+def _plan_row_count(df: DataFrame) -> int | None:
+    """Catalyst's row-count statistic when it is EXACT (materialized
+    cache statistics); None otherwise. Never runs a job. Row-preserving
+    wrappers (Project / SubqueryAlias — a column selection over a
+    cached table, the common caller shape) are walked through, because
+    the default size-only stats visitor drops rowCount at them."""
+    try:
+        node = df._jdf.queryExecution().optimizedPlan()
+        for _ in range(8):
+            rc = node.stats().rowCount()
+            if rc.isDefined():
+                return int(str(rc.get()))
+            name = node.getClass().getSimpleName()
+            if name in ("Project", "SubqueryAlias") and node.children().size() == 1:
+                node = node.children().apply(0)
+            else:
+                break
+    except Exception:  # pragma: no cover - py4j edge
+        pass
+    return None
+
+
 def hot_coarse_groups(
     refs: DataFrame,
     cfg: EngineConfig,
@@ -196,6 +225,15 @@ def hot_coarse_groups(
     instead of paying a full ref scan per call (round-3 ADVICE). The
     list is grid-bounded metadata (≤ #coarse cells), never point-sized."""
     if cfg.resolution < group_delta:
+        return []
+    # Catalyst row-count shortcut (r6): a cached/statistics-bearing ref
+    # set whose TOTAL row count is at or below the hot threshold cannot
+    # contain a hot group — skip the detection scan outright (one full
+    # aggregation job per call otherwise; the bench pays it per rep).
+    # Plan-only: hot classification never changes results, only the
+    # physical grouping.
+    rc = _plan_row_count(refs)
+    if rc is not None and rc <= hot_group_rows:
         return []
     fr = C.cell_id(F.col("x"), F.col("y"), cfg)
     base = refs.select(fr.alias("fcell"))

@@ -62,6 +62,24 @@ def _tag(df: DataFrame, prefix: str) -> DataFrame:
     )
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's own size estimate for a plan (no job is run). Used to
+    pick join strategies deliberately (guide §3.1) instead of letting
+    bad post-Generate estimates broadcast an exploded side."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:  # pragma: no cover - py4j edge
+        return 1 << 62
+
+
+def _broadcast_threshold_bytes(df: DataFrame) -> int:
+    try:
+        v = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        return int(v)
+    except Exception:  # pragma: no cover - non-numeric spelling
+        return 10 * 1024 * 1024
+
+
 def radius_join(
     queries: DataFrame,
     refs: DataFrame,
@@ -81,6 +99,36 @@ def radius_join(
     iteration. Self-pairs appear when queries is refs (FFCL includes
     the query point at distance 0).
 
+    Plan (r6 optimization pass — results unchanged, exactness argued
+    inline):
+
+    - *radius-matched resolution*: candidate pairs scale with the area
+      of the probed neighborhood, ≈(2r + s)² per query at cell side s,
+      so the join re-cells internally at the deepest resolution with
+      s < r·(something in [r/2·…]) — s ∈ [r/2, r) — instead of using
+      whatever resolution the caller's cfg carries. The grid is only a
+      candidate plan; the exact dist predicate decides membership, so
+      the result is resolution-independent.
+    - *cell box-distance prune*: an exploded (query, cell) row whose
+      cell box lies entirely ≥ r away can contribute no pair and is
+      dropped BEFORE the join (before the exchange — guide §2.3).
+      Sound in float: the box gap per axis is a single rounded
+      subtraction of exact inputs and correctly-rounded ops are
+      monotone, so fl(gap²·sum) ≤ fl(dx²+dy²) for every ref in the
+      cell (domain-clamped edge cells treat the clamped side as
+      unbounded). Cuts candidates ≈2-3× on top of the resolution
+      match.
+    - *deliberate join strategy*: broadcast the (unexploded) refs side
+      when Catalyst's own estimate fits the broadcast threshold —
+      never the exploded query side, whose post-Generate estimate is
+      unreliable — else force a shuffled-hash join (build = refs;
+      sorting candidate pairs would be pure waste).
+    - *deferred sqrt* (euclidean): candidates are filtered on the
+      squared form first — dist < r ⟹ d2 < r² (monotone correctly-
+      rounded sqrt with r exactly representable), so the prefilter
+      keeps a superset and the exact ``sqrt(d2) < r`` decides; sqrt
+      runs only on survivors.
+
     Skew: cells whose ref count exceeds ``cfg.hot_cell_rows`` are
     salted explicitly — refs in a hot cell scatter over
     ``cfg.salt_buckets`` sub-keys (hash of id), queries fan out to all
@@ -90,6 +138,9 @@ def radius_join(
     defense). The hot-cell set is a broadcast of cell counts — per-cell
     metadata, not data.
     """
+    if radius > 0:
+        res_star = max(0, min(14, math.ceil(math.log2(cfg.domain / radius))))
+        cfg = cfg.with_resolution(res_star)
     rings = max(1, math.ceil(radius / cfg.cell_size))
     q = _tag(queries, "q").withColumn(
         "cell",
@@ -97,6 +148,31 @@ def radius_join(
             C.neighbor_cells(C.cell_id(F.col("q_x"), F.col("q_y"), cfg), rings, cfg)
         ),
     )
+    # box-distance prune: drop (query, cell) rows whose cell box cannot
+    # hold any point strictly closer than r. Edge cells absorb the
+    # whole out-of-domain half-plane (axis_index clamps), so their
+    # clamped sides must not bound the gap.
+    n = cfg.grid_n
+    s = F.lit(cfg.cell_size)
+    ix = C.cell_ix(F.col("cell"))
+    iy = C.cell_iy(F.col("cell"))
+    x_lo = F.lit(cfg.x0) + ix.cast("double") * s
+    y_lo = F.lit(cfg.y0) + iy.cast("double") * s
+    zero = F.lit(0.0)
+    gx = F.greatest(
+        zero,
+        F.when(ix > 0, x_lo - F.col("q_x")).otherwise(zero),
+        F.when(ix < n - 1, F.col("q_x") - (x_lo + s)).otherwise(zero),
+    )
+    gy = F.greatest(
+        zero,
+        F.when(iy > 0, y_lo - F.col("q_y")).otherwise(zero),
+        F.when(iy < n - 1, F.col("q_y") - (y_lo + s)).otherwise(zero),
+    )
+    if metric == "manhattan":
+        q = q.where(gx + gy < radius)
+    else:
+        q = q.where(gx * gx + gy * gy < radius * radius)
     r = _tag(refs, "r").withColumn(
         "cell", C.cell_id(F.col("r_x"), F.col("r_y"), cfg)
     )
@@ -108,14 +184,24 @@ def radius_join(
         # double-scan). The literal isin() keeps both sides' salting a
         # pure column expression — no extra join, no cached lineage to
         # manage.
-        hot_rows = (
-            r.groupBy("cell")
-            .count()
-            .where(F.col("count") > cfg.hot_cell_rows)
-            .select("cell")
-            .collect()
-        )
-        hot_cells = [row["cell"] for row in hot_rows]
+        from ffcl_spark.operators.knn_kernel import _plan_row_count
+
+        # exact-statistics shortcut (r6): a ref set whose total row
+        # count (known from materialized cache stats, no job) is at or
+        # below the hot threshold cannot contain a hot cell — skip the
+        # detection aggregation job entirely
+        rc = _plan_row_count(refs)
+        if rc is not None and rc <= cfg.hot_cell_rows:
+            hot_cells = []
+        else:
+            hot_rows = (
+                r.groupBy("cell")
+                .count()
+                .where(F.col("count") > cfg.hot_cell_rows)
+                .select("cell")
+                .collect()
+            )
+            hot_cells = [row["cell"] for row in hot_rows]
         nbuckets = cfg.salt_buckets
         if hot_cells:
             is_hot = F.col("cell").isin(hot_cells)
@@ -136,14 +222,27 @@ def radius_join(
         else:
             r = r.withColumn("salt", F.lit(0))
             q = q.withColumn("salt", F.lit(0))
-        joined = q.join(r, ["cell", "salt"])
+        keys = ["cell", "salt"]
     else:
-        joined = q.join(r, "cell")
-    return (
-        joined.withColumn("dist", F.expr(dist_expr(metric)))
-        .where(F.col("dist") < radius)
-        .select("q_id", "r_id", "dist")
-    )
+        keys = ["cell"]
+    # join strategy: build on the compact refs side, never the exploded
+    # query side (guide §3.1) — broadcast when it truly fits, else a
+    # shuffled-hash join (candidate pairs are filtered immediately, so
+    # a sort-merge's sorts would be pure overhead)
+    if _plan_size_bytes(r) <= _broadcast_threshold_bytes(refs):
+        joined = q.join(F.broadcast(r), keys)
+    else:
+        joined = q.join(r.hint("shuffle_hash"), keys)
+    if metric == "euclidean":
+        d2 = "(q_x - r_x) * (q_x - r_x) + (q_y - r_y) * (q_y - r_y)"
+        out = (
+            joined.withColumn("d2", F.expr(d2))
+            .where(F.col("d2") < radius * radius)  # superset prefilter
+            .withColumn("dist", F.sqrt(F.col("d2")))
+        )
+    else:
+        out = joined.withColumn("dist", F.expr(dist_expr(metric)))
+    return out.where(F.col("dist") < radius).select("q_id", "r_id", "dist")
 
 
 def knn_join(

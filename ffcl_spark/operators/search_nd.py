@@ -270,10 +270,26 @@ def radius_join_nd_blocked(
 
     from ffcl_spark.kernels.neighbors import pairwise_fold_nd
 
-    nq = queries.count()
-    nr = refs.count()
+    from ffcl_spark.operators.knn_kernel import _plan_row_count
+
+    # exact cache statistics replace the sizing count jobs when known
+    # (persisted inputs — the common iterative-caller shape)
+    nq = _plan_row_count(queries) or queries.count()
+    nr = _plan_row_count(refs) or refs.count()
     n_rb = max(1, math.ceil(nr / ref_block_rows))
     n_qb = max(1, math.ceil(nq / query_block_rows))
+    # scale-adaptive parallelism floor (guide §2): the cogroup gets
+    # exactly n_qb·n_rb group keys, hashed into shuffle partitions —
+    # so a ref set of a few × ref_block_rows would otherwise occupy a
+    # handful of cores, and with exactly `par` keys the balls-in-bins
+    # collision tail still leaves cores idle. Split refs until the key
+    # count reaches ~4× the scheduler's parallelism (evens the hash
+    # tail) — but never below ~2k refs per block (keeps each block's
+    # NumPy scan fat enough to stay vectorization-bound). Queries
+    # replicate ×n_rb (the cheap side); refs still shuffle exactly
+    # once when n_qb == 1.
+    par = queries.sparkSession.sparkContext.defaultParallelism
+    n_rb = max(n_rb, min(math.ceil(4 * par / n_qb), max(1, nr // 2000)))
 
     q = (
         queries.select(
@@ -373,10 +389,26 @@ def knn_join_nd_blocked(
     if metric != "euclidean":
         precise = True  # BLAS form is euclidean-only
 
-    nq = queries.count()
-    nr = refs.count()
+    from ffcl_spark.operators.knn_kernel import _plan_row_count
+
+    # exact cache statistics replace the sizing count jobs when known
+    # (persisted inputs — the common iterative-caller shape)
+    nq = _plan_row_count(queries) or queries.count()
+    nr = _plan_row_count(refs) or refs.count()
     n_rb = max(1, math.ceil(nr / ref_block_rows))
     n_qb = max(1, math.ceil(nq / query_block_rows))
+    # scale-adaptive parallelism floor (guide §2): the cogroup gets
+    # exactly n_qb·n_rb group keys, hashed into shuffle partitions —
+    # so a ref set of a few × ref_block_rows would otherwise occupy a
+    # handful of cores, and with exactly `par` keys the balls-in-bins
+    # collision tail still leaves cores idle. Split refs until the key
+    # count reaches ~4× the scheduler's parallelism (evens the hash
+    # tail) — but never below ~2k refs per block (keeps each block's
+    # NumPy scan fat enough to stay vectorization-bound). Queries
+    # replicate ×n_rb (the cheap side); refs still shuffle exactly
+    # once when n_qb == 1.
+    par = queries.sparkSession.sparkContext.defaultParallelism
+    n_rb = max(n_rb, min(math.ceil(4 * par / n_qb), max(1, nr // 2000)))
 
     q = (
         queries.select(

@@ -251,9 +251,14 @@ def lsh_neardup_pairs(
     the exact oracle — at LOW thresholds (random-pair cosine near the
     threshold) no LSH family prunes, and exact all-pairs is inherently
     quadratic; the gate keeps the brute form there by design."""
+    # persist the signatures: the band self-join below has the
+    # signature pipeline (an Arrow matmul pass over every vector) in
+    # BOTH branches — without the persist it runs twice (Spark does
+    # not dedup common subtrees). Handle rides the result for
+    # ``plans.cache.release``.
     sigs = hyperplane_signatures(
         df, dims, n_bands * band_bits, seed, id_col, vec_col
-    )
+    ).persist()
     # band keys: band_bits-wide slices of the packed words (band_bits
     # divides 64 at the defaults, so a band never straddles words)
     band_exprs = []
@@ -285,12 +290,15 @@ def lsh_neardup_pairs(
         F.col(vec_col).alias("vb"),
         _norm(F.col(vec_col)).alias("nb"),
     )
-    return (
+    from ffcl_spark.plans.cache import carry
+
+    return carry(
         cands.join(va, "id_a")
         .join(vb, "id_b")
         .withColumn("cos", _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", "cos")
+        .select("id_a", "id_b", "cos"),
+        sigs,
     )
 
 
@@ -1136,34 +1144,56 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF ANN: refs live in their nearest-centroid bucket; a query
     scans only its ``n_probe`` nearest buckets. Approximate — recall
-    measured vs ``cosine_topk`` in tests."""
-    spark = refs.sparkSession
-    cent_rows = [(i, [float(v) for v in c]) for i, c in enumerate(centroids)]
-    cents = spark.createDataFrame(cent_rows, "bucket int, cvec array<double>")
+    measured vs ``cosine_topk`` in tests.
 
-    def bucket_assign(df, id_alias, vec_alias, top_n):
-        d2 = (
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_alias), F.col("cvec"), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-                ),
-                F.lit(0.0),
-                lambda a, v: a + v,
-            )
+    Bucket assignment is MAP-ONLY (r6): the centroid matrix is driver
+    metadata and ships in the task closure of one Arrow kernel pass
+    per side, instead of crossJoin × |centroids| + a row_number
+    window — that window was a full shuffle+sort of n·|centroids| rows
+    on both sides (guide §2.4: remove shuffles outright; §4.2: batch
+    NumPy in the kernel). The kernel accumulates d2 as an explicit
+    per-dimension left fold — acc = fl(acc + fl((x−y)²)) in ascending
+    dimension order, float64 — which is bit-identical to the old
+    ``aggregate(zip_with(...))`` SQL fold, and argmin/stable argsort
+    break ties by ascending bucket exactly like the old
+    ``row_number over (orderBy d2, bucket)`` — identical bucket sets,
+    identical results (pinned in tests)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    def assign(df: DataFrame, top_n: int) -> DataFrame:
+        cols = df.columns
+        out_schema = T.StructType(
+            [df.schema[c] for c in cols] + [T.StructField("bucket", T.IntegerType())]
         )
-        w = Window.partitionBy(id_alias).orderBy("d2", "bucket")
-        return (
-            df.crossJoin(F.broadcast(cents))
-            .withColumn("d2", d2)
-            .withColumn("brank", F.row_number().over(w))
-            .where(F.col("brank") <= top_n)
-            .drop("cvec", "d2", "brank")
-        )
+
+        def kernel(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.array(pdf.iloc[:, 1].tolist(), dtype=np.float64)
+                acc = np.zeros((len(pdf), len(C)), dtype=np.float64)
+                for i in range(C.shape[1]):
+                    diff = V[:, i, None] - C[None, :, i]
+                    acc = acc + diff * diff  # left fold, dim order
+                if top_n == 1:
+                    # argmin = first minimum = smallest bucket on ties
+                    yield pdf.assign(bucket=acc.argmin(axis=1).astype("int32"))
+                else:
+                    order = np.argsort(acc, axis=1, kind="stable")[:, :top_n]
+                    idx = np.repeat(np.arange(len(pdf)), order.shape[1])
+                    out = pdf.iloc[idx].reset_index(drop=True)
+                    out["bucket"] = order.ravel().astype("int32")
+                    yield out
+
+        return df.mapInPandas(kernel, out_schema)
 
     r = refs.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_vec"), _norm(F.col(vec_col)).alias("n_norm"))
-    r_b = bucket_assign(r, "n_id", "n_vec", 1)
+    r_b = assign(r, 1)
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"), _norm(F.col(vec_col)).alias("q_norm"))
-    q_b = bucket_assign(q, "q_id", "q_vec", n_probe)
+    q_b = assign(q, n_probe)
     sim = (
         q_b.join(r_b, "bucket")
         .where(F.col("q_id") != F.col("n_id"))

@@ -32,6 +32,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash over sort-merge when the
+        # per-partition build side fits (guide §3.1/§9): the engine's
+        # equi-joins feed either an immediate filter (candidate
+        # verification) or a partial aggregation — sorting both sides
+        # first is pure overhead. Scale-safe: the SHJ size conditions
+        # still gate the choice, and AQE re-plans at runtime.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("FFCL_DRIVER_MEM", "48g"))
