@@ -629,27 +629,44 @@ def _adc_block_candidates(
 def _bucket_assign_refs(
     refs: DataFrame, centroids: np.ndarray, id_col: str, vec_col: str
 ) -> DataFrame:
-    """(id, bucket): nearest-IVF-centroid per ref — the shared JVM fold
-    + (d2, bucket) tie order used by every IVF path."""
-    spark = refs.sparkSession
-    cent_rows = [(i, [float(v) for v in c]) for i, c in enumerate(centroids)]
-    cents_df = spark.createDataFrame(cent_rows, "bucket int, cvec array<double>")
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col("v"), F.col("cvec"), lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        ),
-        F.lit(0.0),
-        lambda a, v: a + v,
+    """(id, bucket): nearest-IVF-centroid per ref — the shared
+    (d2, bucket) tie order used by every IVF path.
+
+    MAP-ONLY Arrow kernel (r6): the centroid matrix ships in the task
+    closure; d2 accumulates as an explicit per-dimension left fold
+    (acc = fl(acc + fl((x−y)²)) in ascending dimension order, float64)
+    — bit-identical to the previous ``aggregate(zip_with(...))`` JVM
+    fold — and np.argmin's first-minimum is exactly the old
+    ``row_number over (orderBy d2, bucket) == 1``. The crossJoin ×
+    |centroids| + window was a full shuffle+sort of n·|centroids|
+    rows (guide §2.4)."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    C = np.asarray(centroids, dtype=np.float64)
+    out_schema = T.StructType(
+        [
+            T.StructField("id", refs.schema[id_col].dataType),
+            T.StructField("bucket", T.IntegerType()),
+        ]
     )
-    wb = Window.partitionBy("id").orderBy("d2", "bucket")
-    return (
-        refs.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .crossJoin(F.broadcast(cents_df))
-        .withColumn("d2", d2)
-        .withColumn("brank", F.row_number().over(wb))
-        .where(F.col("brank") == 1)
-        .select("id", "bucket")
-    )
+
+    def kernel(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.array(pdf["v"].tolist(), dtype=np.float64)
+            acc = np.zeros((len(pdf), len(C)), dtype=np.float64)
+            for i in range(C.shape[1]):
+                diff = V[:, i, None] - C[None, :, i]
+                acc = acc + diff * diff  # left fold, dim order
+            yield pd.DataFrame(
+                {"id": pdf["id"], "bucket": acc.argmin(axis=1).astype("int32")}
+            )
+
+    return refs.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).mapInPandas(kernel, out_schema)
 
 
 def write_ann_index(
