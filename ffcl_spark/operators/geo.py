@@ -1880,7 +1880,12 @@ def geo_line_tile_join(
                 else:  # antipodal degenerate chain: no usable cap
                     cr = float(np.pi)
                 for tid, ring, tc, tr in local:
-                    if nrm > 0:
+                    # cap prune only when BOTH caps are geodesically
+                    # convex (radius ≤ π/2) — a chain spanning more
+                    # than a hemisphere has arcs that can leave its
+                    # non-convex vertex cap, so pruning on it could
+                    # drop a truly touching pair (r6, round-5 ADVICE)
+                    if nrm > 0 and cr <= np.pi / 2 and tr <= np.pi / 2:
                         gap = float(np.arccos(np.clip(cc @ tc, -1.0, 1.0)))
                         if gap > cr + tr + 1e-9:
                             continue
@@ -2036,7 +2041,10 @@ def route_chain_locals(lines: DataFrame) -> list[tuple]:
             cap = float(np.arccos(np.clip(v @ c, -1.0, 1.0)).max())
         else:  # antipodal degenerate chain: no usable cap
             cap = float(np.pi)
-        local.append((row["line_id"], chain, c, cap))
+        # vertex unit vectors ride the payload so per-pair consumers
+        # (the Fréchet endpoint lower bound) never recompute trig for
+        # the fixed bounded side (r6, round-5 ADVICE low)
+        local.append((row["line_id"], chain, c, cap, v))
     return local
 
 
@@ -2089,7 +2097,14 @@ def geo_line_line_join(
     out_schema = T.StructType(
         [
             T.StructField("line_id", lines_a.schema["line_id"].dataType),
-            T.StructField("other_id", T.StringType()),
+            # other_id carries the BOUNDED side's raw ids — take its
+            # type from that table, not a hardcoded string (r6,
+            # round-5 ADVICE low: a non-string bounded id would have
+            # hit an Arrow type error at runtime)
+            T.StructField(
+                "other_id",
+                (lines_a if self_join else lines_b).schema["line_id"].dataType,
+            ),
         ]
     )
 
@@ -2110,10 +2125,16 @@ def geo_line_line_join(
                     cr = float(np.arccos(np.clip(vc @ cc, -1.0, 1.0)).max())
                 else:
                     cr = float(np.pi)
-                for oid, ochain, oc, orad in local:
+                for oid, ochain, oc, orad, _ov in local:
                     if self_join and not (row.line_id < oid):
                         continue
-                    if nrm > 0:
+                    # cap prune only when BOTH caps are geodesically
+                    # convex (radius ≤ π/2): a chain spanning more
+                    # than a hemisphere has arcs that can leave its
+                    # non-convex vertex cap, so pruning on it could
+                    # silently drop a truly crossing pair (r6,
+                    # round-5 ADVICE medium)
+                    if nrm > 0 and cr <= np.pi / 2 and orad <= np.pi / 2:
                         gap = float(np.arccos(np.clip(cc @ oc, -1.0, 1.0)))
                         if gap > cr + orad + 1e-9:
                             continue
@@ -2613,7 +2634,11 @@ def trajectory_frechet_join(
     out_schema = T.StructType(
         [
             T.StructField("line_id", trajs.schema["line_id"].dataType),
-            T.StructField("other_id", T.StringType()),
+            # bounded side's id type, not a hardcoded string (r6 ADVICE)
+            T.StructField(
+                "other_id",
+                (trajs if self_join else refs).schema["line_id"].dataType,
+            ),
             T.StructField("frechet_m", T.DoubleType()),
         ]
     )
@@ -2641,13 +2666,14 @@ def trajectory_frechet_join(
                     if nrm > 0
                     else float(np.pi)
                 )
-                for oid, ochain, oc, orad in local:
+                for oid, ochain, oc, orad, ov in local:
                     if self_join and not (row.line_id < oid):
                         continue
                     if cap_rad is not None:
-                        ov = unit_vector_np(ochain[:, 0], ochain[:, 1])
                         # endpoint couplings are forced; cap gap is a
-                        # second lower bound — both conservative
+                        # second lower bound — both conservative (the
+                        # bounded side's unit vectors are precomputed
+                        # in route_chain_locals — r6 ADVICE hoist)
                         lb = max(ang(vc[0], ov[0]), ang(vc[-1], ov[-1]))
                         if nrm > 0:
                             lb = max(lb, ang(cc, oc) - cr - orad)
@@ -2715,7 +2741,11 @@ def trajectory_hausdorff_join(
     out_schema = T.StructType(
         [
             T.StructField("line_id", trajs.schema["line_id"].dataType),
-            T.StructField("other_id", T.StringType()),
+            # bounded side's id type, not a hardcoded string (r6 ADVICE)
+            T.StructField(
+                "other_id",
+                (trajs if self_join else refs).schema["line_id"].dataType,
+            ),
             T.StructField("hausdorff_m", T.DoubleType()),
             T.StructField("h_ab_m", T.DoubleType()),
             T.StructField("h_ba_m", T.DoubleType()),
@@ -2745,12 +2775,15 @@ def trajectory_hausdorff_join(
                     if nrm > 0
                     else float(np.pi)
                 )
-                for oid, ochain, oc, orad in local:
+                for oid, ochain, oc, orad, _ov in local:
                     if self_join and not (row.line_id < oid):
                         continue
                     if cap_rad is not None and nrm > 0:
-                        # cap gap lower-bounds EVERY pairwise angle,
-                        # hence both directed maxima — conservative
+                        # cap gap lower-bounds EVERY pairwise angle
+                        # (vertex sets live inside their caps by
+                        # construction — no convexity needed for the
+                        # DISCRETE metric), hence both directed
+                        # maxima — conservative
                         if ang(cc, oc) - cr - orad > cap_rad + 1e-12:
                             continue
                     h_ab, h_ba = hausdorff_rad(chain, ochain)
