@@ -104,9 +104,9 @@ def radius_join(
 
     - *radius-matched resolution*: candidate pairs scale with the area
       of the probed neighborhood, ≈(2r + s)² per query at cell side s,
-      so the join re-cells internally at the deepest resolution with
-      s < r·(something in [r/2·…]) — s ∈ [r/2, r) — instead of using
-      whatever resolution the caller's cfg carries. The grid is only a
+      so the join re-cells internally at the deepest resolution whose
+      cell side lands in s ∈ [r/2, r), instead of using whatever
+      resolution the caller's cfg carries. The grid is only a
       candidate plan; the exact dist predicate decides membership, so
       the result is resolution-independent.
     - *cell box-distance prune*: an exploded (query, cell) row whose
@@ -169,10 +169,13 @@ def radius_join(
         F.when(iy > 0, y_lo - F.col("q_y")).otherwise(zero),
         F.when(iy < n - 1, F.col("q_y") - (y_lo + s)).otherwise(zero),
     )
+    # non-strict bounds: a passing pair can sit exactly AT d2 == r·r
+    # in float (its sqrt rounding down below r), so the superset
+    # filters must keep the equality boundary
     if metric == "manhattan":
-        q = q.where(gx + gy < radius)
+        q = q.where(gx + gy < radius)  # fl(gx+gy) ≤ fl(|dx|+|dy|) < r
     else:
-        q = q.where(gx * gx + gy * gy < radius * radius)
+        q = q.where(gx * gx + gy * gy <= radius * radius)
     r = _tag(refs, "r").withColumn(
         "cell", C.cell_id(F.col("r_x"), F.col("r_y"), cfg)
     )
@@ -237,7 +240,10 @@ def radius_join(
         d2 = "(q_x - r_x) * (q_x - r_x) + (q_y - r_y) * (q_y - r_y)"
         out = (
             joined.withColumn("d2", F.expr(d2))
-            .where(F.col("d2") < radius * radius)  # superset prefilter
+            # non-strict superset prefilter: dist < r ⟹ d2 ≤ fl(r·r)
+            # (the only double in [fl(r²), r²) is fl(r²) itself, and a
+            # pair there can still round its sqrt below r)
+            .where(F.col("d2") <= radius * radius)
             .withColumn("dist", F.sqrt(F.col("d2")))
         )
     else:
